@@ -1,0 +1,65 @@
+"""Benchmark harness: times every registered headline query.
+
+Usage: ``python bench.py`` — reads ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full materialization with the `noop` sink
+(JVM-side, no driver collect, no Python row transfer) so the timing
+measures the distributed plan, not serialization to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from mapreduceapp_spark.session import get_spark
+    from mapreduceapp_spark.plans.registry import bench_queries
+
+    spark = get_spark(
+        app_name="mapreduceapp-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = sys.argv[1:] or None
+    timings: dict[str, float] = {}
+    for name, q in bench_queries().items():
+        if names and name not in names:
+            continue
+        df = q.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

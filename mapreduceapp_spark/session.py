@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine's only parallelism knob is ``multiThreadLevel``
+(``MapReduceFramework.h:18-20``); its execution is single-process,
+in-memory, no spill (``MapReduceFramework.cpp:140``). Here the
+equivalent knob is the master / shuffle-partition configuration, and
+everything else (spill, AQE re-planning, skew handling) is delegated
+to Spark.
+
+Defaults are tuned for the driver's local[N] harness but chosen so
+the same settings are sane on a real cluster:
+
+- AQE on (coalesce partitions + skew-join): at 100 TB the static
+  shuffle-partition count is always wrong; AQE right-sizes it at
+  runtime.
+- ``spark.sql.shuffle.partitions`` matches local core count here; on
+  a 1000-executor cluster you'd set ~2-3x total cores and let AQE
+  coalesce.
+- Arrow enabled so any Pandas-UDF path is batch-vectorized, never
+  row-at-a-time pickling.
+- Session timezone pinned to UTC so event-time semantics match the
+  DuckDB oracle's naive timestamps byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "mapreduceapp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Any already-active session is reused as-is (Spark is a singleton
+    per JVM); the driver may hand us its own session, which we must
+    not fight.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    cpus = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

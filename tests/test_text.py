@@ -1,0 +1,39 @@
+"""Text-operator tests: golden reference parity + DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import assert_matches_oracle
+
+
+def test_charcount_golden(spark, tmp_path):
+    """F-CHARCOUNT: the reference sample client's exact inputs
+    (/root/reference/SampleClient.cpp:74-76) must produce the
+    contract-specified counts a:4 b:3 v:2 d:7 j:6 (FIXTURES.md)."""
+    docs = spark.createDataFrame(
+        [(1, "aaabbvvab"), (2, "dddjjj"), (3, "jjjdddd")], ["doc_id", "text"]
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    out = get_query("q_charcount").builder(spark, sf_dir)
+    got = {r["c"]: r["cnt"] for r in out.collect()}
+    assert got == {"a": 4, "b": 3, "v": 2, "d": 7, "j": 6}
+
+
+@pytest.mark.parametrize(
+    "name", ["q_charcount", "q_wordcount", "q_inverted_index", "q_text_stats"]
+)
+def test_text_oracle(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"c", "cnt"}
