@@ -1,0 +1,373 @@
+"""Core relational operators (SURVEY.md §2.B B3–B6, B12, B16–B18, B20, B22).
+
+Reference grounding: each of these is the closure of the reference's
+MapReduce model — a generator ``map`` (``MapReduceClient.h:57-58``)
+choosing what to emit under which ordered key, and a complete-group
+``reduce`` (``MapReduceClient.h:61-64``) folding each group. Here
+they are declared DataFrame plans so Catalyst supplies what the
+reference lacks entirely (no optimizer — ``SURVEY.md §4.1``):
+predicate pushdown, column pruning, partial aggregation, AQE.
+
+Oracle-determinism convention: any double-valued aggregate is
+wrapped in ``round(x, n)`` identically on the Spark and DuckDB
+sides, so differing float summation orders cannot flip the driver's
+value hash. Exact-integer aggregates (counts, sums of integral
+doubles like l_quantity) need no rounding.
+
+Scale notes (100 TB):
+- Filters sit directly on the scan → parquet row-group skipping +
+  ``PushedFilters``; projections prune to ``ReadSchema``.
+- groupBy aggregates are hash-based with map-side partial rows:
+  shuffle volume = O(groups × partitions), not O(rows).
+- Global sort+limit uses Spark's TakeOrderedAndProject (per-partition
+  top-k then k-way merge on the driver) — no full global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.functions.numeric import (
+    exact_decimal_sum,
+    oracle_exact_decimal_sum,
+)
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.sources import tables
+
+
+@register(
+    "q_filter_project",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_quantity < 24
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    """,
+    doc="Projection + filter; map emits 0-or-1 times (B3).",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushed into the parquet scan.
+
+    .explain shows PushedFilters: [LessThan(l_quantity,24.0),
+    GreaterThanOrEqual(l_shipdate,...)] and a 6-column ReadSchema —
+    at 100 TB this skips whole row groups via min/max stats.
+    """
+    t = tables(spark, sf_dir)
+    li = t.lineitem
+    return li.filter(
+        (F.col("l_quantity") < 24)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        # revenue carries exactly 4 decimal digits (2-dec price ×
+        # 2-dec discount), so a 4-decimal round has no half-way case
+        # for the two engines to disagree on.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="""
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    doc="Distinct = group by whole row, emit once (B4).",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return t.orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "q_groupby_agg",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               {oracle_exact_decimal_sum("l_extendedprice", 2)} AS sum_base_price,
+               {oracle_exact_decimal_sum("l_extendedprice * (1 - l_discount)", 4)}
+                   AS sum_disc_price,
+               {oracle_exact_decimal_sum(
+                   "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}
+                   AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               {oracle_exact_decimal_sum("l_extendedprice", 2)} / count(*) AS avg_price,
+               {oracle_exact_decimal_sum("l_discount", 2)} / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Multi-key hash aggregation, TPC-H Q1 shape (B5).",
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical reduce-side fold
+    (reference analog: CounterClient::reduce summing per-key counts,
+    SampleClient.cpp:52-65, generalized to multi-measure).
+
+    Partial aggregation means the shuffle carries ~#groups rows per
+    partition; with 4 groups this is O(partitions) bytes at any SF.
+    """
+    t = tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        # l_quantity is integral-valued → double sums are exact in
+        # any order; money measures use exact_decimal_sum so the
+        # value hash is engine-independent (functions/numeric.py).
+        F.sum("l_quantity").alias("sum_qty"),
+        exact_decimal_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        exact_decimal_sum(disc_price, 4).alias("sum_disc_price"),
+        exact_decimal_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        (exact_decimal_sum(F.col("l_extendedprice"), 2) / n).alias("avg_price"),
+        (exact_decimal_sum(F.col("l_discount"), 2) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "q_having",
+    oracle=f"""
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               {oracle_exact_decimal_sum("o_totalprice", 2)} AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 12
+    """,
+    doc="Post-aggregation filter; reduce emits conditionally (B6).",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_decimal_sum(F.col("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="Global sort + limit / top-k (B12). Tie-broken for determinism.",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by price. Spark plans TakeOrderedAndProject: each task
+    keeps a size-k heap, the driver merges k·p candidates — no global
+    sort, no single-reducer bottleneck at 100 TB. o_orderkey
+    tie-break keeps the result set deterministic across engines.
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+        SELECT c_custkey AS entity_key, c_nationkey AS nationkey,
+               'customer' AS entity
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey AS entity_key, s_nationkey AS nationkey,
+               'supplier' AS entity
+        FROM supplier
+    """,
+    doc="UNION ALL via tagged two-input map (B16).",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — no shuffle at all: partitions of both inputs are
+    simply concatenated in the plan."""
+    t = tables(spark, sf_dir)
+    cust = t.customer.select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("entity"),
+    )
+    supp = t.supplier.select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("entity"),
+    )
+    return cust.unionByName(supp)
+
+
+@register(
+    "q_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct): nations having both customers and suppliers (B16).",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "q_except",
+    oracle="""
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+    """,
+    doc="EXCEPT (distinct): parts never shipped in bulk quantity (B16).",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return t.part.select(F.col("p_partkey").alias("partkey")).subtract(
+        t.lineitem.filter(F.col("l_quantity") > 45).select(
+            F.col("l_partkey").alias("partkey")
+        )
+    )
+
+
+@register(
+    "q_scalar_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               lower(o_orderpriority) AS prio_lower,
+               substring(o_orderpriority, 1, 1) AS prio_code,
+               CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+               concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month_start,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+                   AS days_since_start,
+               abs(o_totalprice - 100000.0) AS price_dev,
+               round(sqrt(o_totalprice), 6) AS price_sqrt,
+               round(ln(o_totalprice), 6) AS price_ln,
+               CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band
+        FROM orders
+    """,
+    doc="Scalar string/date/math expression library + CASE WHEN (B18).",
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference computes scalars freely inside client map code
+    (char classification, SampleClient.cpp:37-39); here the scalar
+    library is declarative and whole-stage-codegen'd — one narrow
+    map stage, zero shuffles.
+
+    sqrt is IEEE-correctly-rounded (bit-identical across engines);
+    ln is not guaranteed to be, hence round(…, 6).
+    """
+    t = tables(spark, sf_dir)
+    o = t.orders
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("o_month_start"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_start"),
+        # identical IEEE ops on identical inputs → bit-equal, no round
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dev"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+        SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+               count(*) AS cnt,
+               {oracle_exact_decimal_sum("value", 2)} AS total
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Numeric bucketing + count — generalizes the char histogram (B20).",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of events.value in width-25 buckets. Same
+    flatMap→group→fold shape as the flagship (A9) with a computed
+    key; bucket count is bounded so the post-shuffle state is tiny.
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t.events.select(
+            F.floor(F.col("value") / 25).alias("bucket"), F.col("value")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            exact_decimal_sum(F.col("value"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Exact distinct aggregation (B22 exact twin).",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct: Spark expands this to a two-level
+    aggregate (partial distinct per partition, then merge) — the
+    exact-but-shuffly baseline that q_approx_distinct replaces at
+    scale."""
+    t = tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # approximate by design: checked rows-only by the driver;
+    # tests/test_relational.py asserts <2% relative error vs exact.
+    doc="HyperLogLog++ approximate count-distinct (B22).",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct = HyperLogLog++ sketch: fixed-size state
+    per group, mergeable map-side → at 100 TB the shuffle carries
+    KB-sized sketches instead of the distinct-key explosion of the
+    exact plan. rsd=0.01 (1% target error).
+    """
+    t = tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+    )

@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The driver's table set (TESTDATA.md); one parquet file per table.
 TABLE_NAMES = (
@@ -39,9 +41,50 @@ TABLE_NAMES = (
 )
 
 
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as parquet TIMESTAMP(NANOS) in ``path``.
+
+    Spark's parquet reader rejects nanosecond timestamps outright
+    (PARQUET_TYPE_ILLEGAL); the escape hatch is the session conf
+    ``spark.sql.legacy.parquet.nanosAsLong`` which surfaces them as
+    raw int64 nanos. We detect such columns from the file footer
+    (one driver-side metadata read, cached) and convert back to
+    proper timestamps after the scan.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return ()
+    return tuple(
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one table under ``sf_dir``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Lazy parquet scan of one table under ``sf_dir``.
+
+    Nanosecond-timestamp columns (e.g. ``events.ts`` in the driver's
+    testdata) are read as int64 nanos and converted to microsecond
+    timestamps JVM-side (``timestamp_micros``), floor-dividing like
+    every micros-capped consumer does — still a narrow, codegen'd
+    projection on top of the pushdown-capable scan.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+        )
+    return df
 
 
 @dataclass

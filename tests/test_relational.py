@@ -1,0 +1,62 @@
+"""Relational-operator tests: oracle parity at sf0.001 + semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import assert_matches_oracle
+
+ORACLE_QUERIES = [
+    "q_filter_project",
+    "q_distinct",
+    "q_groupby_agg",
+    "q_having",
+    "q_sort_limit",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_scalar_funcs",
+    "q_histogram",
+    "q_count_distinct",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_relational_oracle(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """B22: the HLL++ sketch must land within 2% of the exact count."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in get_query("q_approx_distinct").builder(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n_customers"]
+        for r in get_query("q_count_distinct").builder(spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.02 * exact[k]), (
+            k,
+            approx[k],
+            exact[k],
+        )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """The scale contract: q_filter_project's predicate must appear as
+    PushedFilters on the parquet scan and the scan must read only the
+    projected columns."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    df = get_query("q_filter_project").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema  # pruned
+    assert "l_partkey" not in read_schema  # pruned
