@@ -1,0 +1,212 @@
+"""Join operators (SURVEY.md §2.B B7–B11).
+
+Reference grounding: the reference has no join operator; a join is
+*constructed* in its model as the classic repartition join — map tags
+each row with its source relation and emits under the join key, and
+reduce crosses the tagged lists within each complete key group
+(generator map ``MapReduceClient.h:57-58``; complete-group reduce
+``MapReduceClient.h:61-64``). The map-side (broadcast) join analog
+relies on all input being visible to every thread in shared memory
+(``MapReduceFramework.cpp:26,269``). Here every variant is a
+declared ``join`` and Catalyst/AQE pick the physical strategy.
+
+Scale notes (100 TB):
+- Fact⋈fact (orders⋈lineitem) → sort-merge/shuffled-hash on the key;
+  AQE skew-join splits oversized partitions at runtime.
+- Fact⋈dim → ``F.broadcast`` hint: dims (region 5 rows, nation 25,
+  supplier ~SF·10k) replicate to every executor, zero shuffle of the
+  fact side — the decisive optimization at 1000 executors.
+- Semi/anti joins ship only the key column of the right side and
+  short-circuit per match — never materialize the pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.functions.numeric import (
+    exact_decimal_sum,
+    oracle_exact_decimal_sum,
+)
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.sources import tables
+
+
+@register(
+    "q_equijoin",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 250000
+    """,
+    doc="Repartition equi-join: orders ⋈ customer (B7).",
+)
+def q_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join. The o_totalprice predicate is pushed below
+    the join into the orders scan (visible in .explain), shrinking
+    the shuffled side before the exchange — the build side is small
+    enough that AQE usually converts this to a broadcast join at
+    runtime (localShuffleReader)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_totalprice") > 250000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q_broadcast_join",
+    oracle=f"""
+        SELECT r.r_name, n.n_name,
+               count(*) AS n_customers,
+               {oracle_exact_decimal_sum("c.c_acctbal", 2)} AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    doc="Map-side (broadcast) join: customer ⋈ nation ⋈ region (B8).",
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims with explicit broadcast hints — the Spark analog
+    of the reference's shared-memory map-side join (every thread sees
+    the whole small input, MapReduceFramework.cpp:26,269). nation and
+    region replicate to executors; the customer side is never
+    shuffled for the join, only for the final tiny aggregation."""
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_decimal_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_multiway_join",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {oracle_exact_decimal_sum(
+                   "l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    doc="Chained 3-way join + agg + top-k, TPC-H Q3 shape (B9).",
+)
+def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→orders→lineitem chain. Catalyst pushes each predicate
+    to its own scan; join order follows the chain so each shuffle key
+    is the next join's key. Final top-10 is TakeOrderedAndProject —
+    no global sort. Tie-broken on l_orderkey for determinism."""
+    t = tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t.orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t.lineitem.filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_decimal_sum(revenue, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+    """,
+    doc="Left-semi join: customers with at least one big order (B10).",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: emits each left row at most once on first match —
+    the reduce-side construction (emit left iff right list non-empty)
+    without ever materializing the right list. Only o_custkey of the
+    filtered right side is shuffled."""
+    t = tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+    """,
+    doc="Left-anti join: customers with no big order (B10).",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_outer_join",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               count(o.o_orderkey) AS n_big_orders,
+               coalesce({oracle_exact_decimal_sum("o.o_totalprice", 2)}, 0.0)
+                   AS big_order_total
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="Left outer join with null-padded lone groups (B11).",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: the reduce-side construction emits null-padded
+    rows for groups with no right-side rows. count(col) skips nulls
+    and coalesce(0.0) canonicalizes the null sum, so unmatched
+    customers show (0, 0.0)."""
+    t = tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        t.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.coalesce(
+                exact_decimal_sum(F.col("o_totalprice"), 2), F.lit(0.0)
+            ).alias("big_order_total"),
+        )
+    )

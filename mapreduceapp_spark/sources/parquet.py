@@ -81,9 +81,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-        )
+        # integer `div`, not `/`: float division of int64 nanos loses
+        # precision above 2^53 and rounds the last microsecond digit
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
