@@ -1,0 +1,161 @@
+"""Multimodal column handling (SURVEY.md §2.C — C5).
+
+Media (image/audio/video) is modeled the way a 100 TB training
+pipeline stores it: an opaque ``binary`` payload column plus typed
+metadata columns, processed by Arrow-batched Pandas functions via
+``mapInPandas``. The reference's values are already opaque client
+objects (``MapReduceClient.h:15-18``); binary payloads are the same
+idea with Spark-native types.
+
+The container has no image/audio codecs, so the *decode* step is
+stubbed (``decode_media``): it tries real decoders and falls back to
+a clearly-marked deterministic fake. Everything around it — schema,
+binary plumbing, Arrow batch shape, partitioning — is real and
+tested; swapping in a real codec changes one function body.
+
+Scale posture:
+- payloads stay in executors end-to-end (no collect, no driver I/O);
+- ``mapInPandas`` streams Arrow record batches, so peak memory is
+  one batch of payloads, not a partition of decoded frames;
+- feature extraction emits small fixed-width rows — the shuffle
+  after extraction carries features, never payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.functions.vectors import oracle_quantize, quantize, sq_norm
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.sources import tables
+
+
+@register(
+    "q_multimodal_cols",
+    oracle=f"""
+        SELECT d.doc_id, d.lang, d.n_chars, e.label,
+               round(sqrt(list_dot_product({oracle_quantize('e.embedding')},
+                                           {oracle_quantize('e.embedding')})::DOUBLE)
+                     / 1000, 6) AS emb_norm
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+    doc="Documents joined to their embedding vectors with null-safe norms (C5).",
+)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical multimodal join: text metadata ⋈ vector modality.
+
+    1:1 equi-join on the id — shuffle-keyed by id on both sides (or
+    broadcast if one modality table is small). Norm math uses the
+    exact-int quantization (functions/vectors.py) so the double is
+    engine-identical; /1000 undoes the quantization scale.
+    """
+    t = tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        "label",
+        (
+            F.sqrt(sq_norm(quantize("embedding")).cast("double")) / 1000.0
+        ).alias("emb_norm"),
+    )
+    return (
+        t.documents.select("doc_id", "lang", "n_chars")
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id", "lang", "n_chars", "label", F.round("emb_norm", 6).alias("emb_norm")
+        )
+    )
+
+
+@register(
+    "q_media_metadata",
+    oracle="""
+        SELECT doc_id,
+               source AS media_source,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS fingerprint,
+               hex(encode(text))[1:16] AS head_hex
+        FROM documents
+    """,
+    doc="Binary payload column + typed metadata (byte length, md5, head bytes).",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-as-binary plumbing: build the payload column and derive
+    typed metadata with JVM-side binary functions only.
+
+    The payload here is the document's UTF-8 bytes standing in for
+    image bytes (deterministic, codec-free); md5/octet_length/
+    substring operate on raw bytes exactly as they would on JPEGs.
+    No Python touches the payload — metadata extraction is codegen.
+    """
+    d = tables(spark, sf_dir).documents
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.col("source").alias("media_source"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("fingerprint"),
+        F.hex(F.substring(payload, 1, 8)).alias("head_hex"),
+    )
+
+
+class MediaDecodeUnavailable(NotImplementedError):
+    """Raised when a real media codec is required but not installed."""
+
+
+def decode_media(payload: bytes, *, strict: bool = False) -> dict:
+    """Decode one media payload → {width, height, n_frames, mean_byte}.
+
+    STUB: real decoding needs PIL/ffmpeg, absent from this container.
+    With ``strict=True`` raises :class:`MediaDecodeUnavailable` (the
+    honest production behavior). Otherwise returns a deterministic
+    fake derived from the bytes themselves, so the distributed
+    pipeline around the decoder is fully exercised and reproducible.
+    """
+    if strict:
+        raise MediaDecodeUnavailable("no media codec installed in this container")
+    n = len(payload)
+    return {
+        "width": 16 + (n * 7919) % 1024,
+        "height": 16 + (n * 104729) % 1024,
+        "n_frames": 1 + n % 7,
+        "mean_byte": float(sum(payload) / n) if n else 0.0,
+    }
+
+
+_FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, n_frames int, mean_byte double"
+)
+
+
+@register(
+    "q_media_features",
+    oracle=None,  # decode is a stub (no codecs in container) — the
+    # Arrow plumbing is pinned by tests/test_multimodal.py instead.
+    doc="Arrow-batched media feature extraction over binary payloads (mapInPandas).",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary modality via ``mapInPandas``.
+
+    Batch shape: each Arrow batch arrives as a pandas DataFrame with
+    the payload as ``bytes``; the decoder runs per payload; output is
+    a narrow fixed-width feature frame. This is the real production
+    topology (decode where the bytes live, ship features not media);
+    only ``decode_media``'s body is fake.
+    """
+    d = tables(spark, sf_dir).documents
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "n_bytes", pdf["payload"].map(len).astype("int32"))
+            yield out
+
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(extract, schema=_FEATURE_SCHEMA)

@@ -138,3 +138,117 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nchar").alias("max_chars"),
         )
     )
+
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT, list_transform(string_split(text, ''),
+                                                          c -> ascii(c)::BIGINT)),
+                   (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fp
+        FROM documents
+    """,
+    doc="Document fingerprint: polynomial rolling hash over characters.",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash fp = fold(acc·31 + codepoint mod p) —
+    the classic content fingerprint for incremental dedup.
+
+    Pure higher-order-function fold (``aggregate``) in codegen: no
+    shuffle at all, a map-only pass that at 100 TB runs at scan
+    speed. The modulus keeps every intermediate < 2^35, so identical
+    int64 math in any engine (overflow semantics never triggered).
+    """
+    t = tables(spark, sf_dir)
+    fp = F.aggregate(
+        chars("text"),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+    return t.documents.select("doc_id", fp.alias("fp"))
+
+
+# Marker-token lists per language for the lang-id heuristic. The
+# driver's corpus is synthetic with a shared vocabulary, so this
+# predictably leans 'en' — the operator's value is the deterministic,
+# oracle-checked classification plumbing (argmax + stable tie-break),
+# which is exactly what a real stopword-profile classifier needs.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "of", "is", "and"),
+    "es": ("el", "los", "que", "y", "una"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "zh": ("shi", "bu", "le", "wo", "zhe"),
+}
+
+
+@register(
+    "q_lang_id",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang AS actual_lang,
+                   {scores}
+            FROM (SELECT doc_id, lang,
+                         list_filter(regexp_split_to_array(lower(text), '{re}'),
+                                     x -> x <> '') AS tk
+                  FROM documents)
+        )
+        SELECT doc_id, actual_lang,
+               CASE {argmax} END AS pred_lang,
+               greatest({score_cols}) AS best_score
+        FROM scored
+    """.format(
+        re=TOKEN_SPLIT_RE,
+        scores=", ".join(
+            f"len(list_filter(tk, x -> x IN {m!r})) AS s_{lang}"
+            for lang, m in sorted(LANG_MARKERS.items())
+        ),
+        argmax=" ".join(
+            f"WHEN s_{lang} = greatest({', '.join('s_' + l for l in sorted(LANG_MARKERS))}) "
+            f"THEN '{lang}'"
+            for lang in sorted(LANG_MARKERS)
+        ),
+        score_cols=", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS)),
+    ),
+    doc="Language-ID: marker-token scoring with argmax + alphabetical tie-break.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-profile language identification.
+
+    score(lang) = marker-token hits (with multiplicity) via a
+    codegen'd ``filter`` over the token array; prediction = argmax
+    with alphabetical tie-break (a deterministic total order, so the
+    SQL CASE chain and the Spark ``when`` chain agree exactly).
+    Map-only — no shuffle; at 100 TB this runs at scan speed.
+    """
+    t = tables(spark, sf_dir)
+    tk = tokens("text")
+    langs = sorted(LANG_MARKERS)
+    def marker_hits(markers: tuple[str, ...]):
+        # single-arg lambda: F.filter inspects arity, and a default
+        # second parameter would be misread as the index argument
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(tk, marker_hits(LANG_MARKERS[lang]))).alias(f"s_{lang}")
+        for lang in langs
+    }
+    scored = t.documents.select(
+        "doc_id", F.col("lang").alias("actual_lang"), *scores.values()
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.when(F.col(f"s_{langs[0]}") == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+    )

@@ -53,9 +53,15 @@ def get_spark(
         return active
 
     cpus = _default_parallelism()
+    # local[N] runs all executor threads inside the driver JVM; the
+    # 1g default heap that is fine for a real cluster's driver is
+    # absurd for a 32-thread single-JVM harness. Sized to the
+    # driver's 128 GiB box with headroom for Python workers + Arrow.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,66 @@
+"""Dedup family (SURVEY.md §2.C): exact, Jaccard, MinHash-LSH, SimHash."""
+
+from __future__ import annotations
+
+import itertools
+
+from tests.oracle import assert_matches_oracle
+
+
+def test_exact_dedup_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_exact_dedup", sf_dir)
+
+
+def test_ngram_jaccard_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_ngram_jaccard", sf_dir)
+
+
+def test_minhash_equals_exact_jaccard(spark, sf_dir):
+    """LSH candidates + exact verification must reproduce the exact
+    pair set (the corpus's pair distribution is bimodal, so LSH
+    recall at the threshold is ~1 — see module constants)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    exact = {
+        tuple(r)
+        for r in get_query("q_ngram_jaccard").builder(spark, sf_dir).collect()
+    }
+    lsh = {
+        tuple(r)
+        for r in get_query("q_minhash_neardup").builder(spark, sf_dir).collect()
+    }
+    assert exact == lsh
+    assert len(exact) > 0, "fixture should contain planted near-duplicates"
+
+
+def test_simhash_banded_join_equals_brute_force(spark, sf_dir):
+    """The pigeonhole band join is an exact strategy, not an
+    approximation: it must find precisely the hamming ≤ 3 pairs."""
+    from mapreduceapp_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        _simhash,
+        q_simhash_neardup,
+    )
+    from mapreduceapp_spark.functions.text import tokens
+    from mapreduceapp_spark.sources import tables
+    from pyspark.sql import functions as F
+
+    d = tables(spark, sf_dir).documents
+    doc_tokens = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in _simhash(doc_tokens).collect()}
+    def hamming(a: int, b: int) -> int:
+        # mask to 64 bits: Spark longs are two's-complement, Python
+        # ints are arbitrary precision (negative xor ⇒ wrong popcount)
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    brute = {
+        (a, b, hamming(fps[a], fps[b]))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if hamming(fps[a], fps[b]) <= SIMHASH_MAX_HAMMING
+    }
+    banded = {tuple(r) for r in q_simhash_neardup(spark, sf_dir).collect()}
+    assert banded == brute
