@@ -140,6 +140,48 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs,
+# the shape GPT-style byte-pair encoders split on before merging.
+# Chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, no posix classes.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '')) AS n_ws_tokens,
+               len(regexp_extract_all(lower(text), '[0-9]+')) AS n_number_runs,
+               len(regexp_extract_all(lower(text), '[^a-z0-9\\s]+')) AS n_punct_runs
+        FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex pre-tokens (C4).",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting for training-data budgeting: whitespace tokens
+    (the cheap estimate) vs BPE-style pre-tokens (the closer-to-real
+    estimate), plus digit/punct run counts for quality filters.
+
+    Map-only regexp_count in codegen — scan-speed at 100 TB; the
+    regex is deliberately lookaround-free so Java regex and RE2
+    tokenize byte-identically.
+    """
+    t = tables(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        F.regexp_count(low, F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        F.size(
+            F.filter(F.split(low, r"\s+"), lambda x: x != F.lit(""))
+        ).alias("n_ws_tokens"),
+        F.regexp_count(low, F.lit("[0-9]+")).alias("n_number_runs"),
+        F.regexp_count(low, F.lit(r"[^a-z0-9\s]+")).alias("n_punct_runs"),
+    )
+
+
 FP_MOD = 1_000_000_007
 FP_BASE = 31
 

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2 item 3.
+
+These pin the *laws* of the MapReduce contract the reference declares
+(``MapReduceClient.h:61-64``) and sometimes violates (SURVEY.md §8
+Q3: its shuffle can split a key group). Spark's groupBy must satisfy
+them for arbitrary inputs, not just the driver fixtures:
+
+- every key appears in exactly one output group;
+- sum of group aggregates equals the global aggregate;
+- inner-join cardinality is the sum over keys of |L_k|·|R_k|;
+- the char-count flagship agrees with a trivial in-Python oracle.
+
+Examples are kept small and the deadline disabled: each example is a
+full Spark job, so the value is in the random *structure* (duplicate
+keys, empty strings, unicode, negatives), not in thousands of cases.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=-5, max_value=5)
+vals = st.integers(min_value=-(10**9), max_value=10**9)
+rows = st.lists(st.tuples(keys, vals), min_size=1, max_size=60)
+
+
+@given(data=rows)
+@SETTINGS
+def test_complete_groups_and_sum_law(spark, data):
+    """Each key → exactly one group; group sums total to global sum
+    (the law broken by the reference's descending-sort shuffle, Q3)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(data, "k int, v long")
+    grouped = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    seen_keys = [r["k"] for r in grouped]
+    assert len(seen_keys) == len(set(seen_keys)), "key split across groups"
+    assert set(seen_keys) == {k for k, _ in data}
+    assert sum(r["s"] for r in grouped) == sum(v for _, v in data)
+    assert sum(r["n"] for r in grouped) == len(data)
+
+
+@given(left=rows, right=rows)
+@SETTINGS
+def test_inner_join_cardinality(spark, left, right):
+    """|L ⋈ R| == Σ_k |L_k|·|R_k| — the repartition-join construction
+    (SURVEY.md §2.B B7) must neither drop nor duplicate pairs."""
+    ldf = spark.createDataFrame(left, "k int, lv long")
+    rdf = spark.createDataFrame(right, "k int, rv long")
+    lc, rc = Counter(k for k, _ in left), Counter(k for k, _ in right)
+    expected = sum(n * rc.get(k, 0) for k, n in lc.items())
+    assert ldf.join(rdf, "k").count() == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=["L", "N", "P", "Zs"]
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_charcount_matches_python_oracle(spark, texts):
+    """The flagship query's semantics (reference SampleClient.cpp:32-66)
+    on arbitrary unicode strings, against collections.Counter."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.functions.text import chars
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["c"]: r["cnt"]
+        for r in df.select(F.explode(chars("text")).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    want = Counter("".join(texts))
+    assert got == {c: n for c, n in want.items()}
+
+
+@given(s=st.text(max_size=60))
+@SETTINGS
+def test_fingerprint_matches_python_oracle(spark, s):
+    """Rolling-hash fingerprint law: engine fold == reference fold in
+    plain Python over codepoints."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.functions.text import chars
+    from mapreduceapp_spark.operators.text import FP_BASE, FP_MOD
+
+    df = spark.createDataFrame([(s,)], "text string")
+    fp_col = F.aggregate(
+        chars("text"),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+    got = df.select(fp_col.alias("fp")).collect()[0]["fp"]
+    want = 0
+    for ch in s:
+        want = (want * FP_BASE + ord(ch)) % FP_MOD
+    assert got == want
