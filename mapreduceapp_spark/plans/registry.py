@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "mapreduceapp_spark.operators.semistructured",
     "mapreduceapp_spark.streaming.windows",
     "mapreduceapp_spark.streaming.latedata",
+    "mapreduceapp_spark.streaming.stateful",
     "mapreduceapp_spark.plans.progress",
     "mapreduceapp_spark.operators.dedup",
     "mapreduceapp_spark.operators.similarity",

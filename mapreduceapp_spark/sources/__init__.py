@@ -8,6 +8,13 @@ input" (the reference accepts arbitrary client-built vectors,
 ``SampleClient.cpp:72-79``).
 """
 
+from mapreduceapp_spark.sources.formats import (  # noqa: F401
+    from_rows,
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_parquet,
+)
 from mapreduceapp_spark.sources.parquet import (  # noqa: F401
     TABLE_NAMES,
     Tables,

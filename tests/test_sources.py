@@ -1,0 +1,57 @@
+"""Source/sink formats: CSV, JSON-lines, in-memory, partitioned parquet."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from mapreduceapp_spark.sources import from_rows, read_csv, write_csv
+
+    df = from_rows(
+        spark, [(1, "a", 1.5), (2, "b", -2.25)], "id bigint, tag string, v double"
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path, num_files=1)
+    back = read_csv(spark, path, "id bigint, tag string, v double")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_jsonl_explicit_schema_drops_unknown_fields(spark, tmp_path):
+    from mapreduceapp_spark.sources import read_jsonl
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"id": 1, "kind": "x", "junk": {"deep": true}}\n'
+        '{"id": 2, "kind": "y"}\n'
+        '{"id": 3}\n'
+    )
+    df = read_jsonl(spark, str(p), "id bigint, kind string")
+    assert df.columns == ["id", "kind"]
+    rows = {r["id"]: r["kind"] for r in df.collect()}
+    assert rows == {1: "x", 2: "y", 3: None}
+
+
+def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
+    """partitionBy layout must be readable back and give the scan a
+    partition filter (pruning, not a full read + filter)."""
+    from mapreduceapp_spark.sources import load_table, write_parquet
+
+    out = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    write_parquet(orders, out, partition_by=["o_orderstatus"], num_files=2)
+
+    status_dirs = {
+        d for d in os.listdir(out) if d.startswith("o_orderstatus=")
+    }
+    assert len(status_dirs) >= 2  # hive-style layout exists
+
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus=F" in plan or "PartitionFilters" in plan
