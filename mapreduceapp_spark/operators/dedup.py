@@ -398,10 +398,12 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduceapp_spark.functions.text import tokens
 
     d = tables(spark, sf_dir).documents
-    doc_tokens = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # one row per token OCCURRENCE with weight 1: summing ±1 votes
+    # over occurrences equals summing cnt-weighted votes over
+    # distinct tokens, so the (doc, tok) pre-aggregation shuffle a
+    # first cut had bought nothing — dropped
+    doc_tokens = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok"), F.lit(1).alias("cnt")
     )
     fp = _simhash(doc_tokens)
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
