@@ -266,29 +266,38 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (doc, band) — 16 rows per doc regardless of document size.
     """
     sh = _doc_shingles_with_minhash(spark, sf_dir)
+    # band key folds the band index into the hash so one long column
+    # keys the shuffle; bucket membership via groupBy + in-bucket
+    # pair expansion beats a self-join on the same key (one shuffle
+    # of N·bands rows instead of two join sides + join machinery —
+    # measured 4.0s → 2.5s at sf0.1). Bucket pair fan-out is the same
+    # g²/2 either way; buckets are tiny by construction.
     band_entries = sh.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS)
-                        ).alias("band_key"),
-                    )
+                    F.xxhash64(F.lit(b), F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS))
                     for b in range(LSH_BANDS)
                 ]
             )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
-    cand = (
-        band_entries.alias("a")
-        .join(band_entries.alias("b"), ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).alias("band_key"),
+    )
+    in_bucket_pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    cand = (
+        band_entries.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(in_bucket_pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # Stage 3.5 — signature prefilter. A single 4-row band collides
