@@ -40,12 +40,15 @@ def token_count(text: Column | str) -> Column:
 
 
 def shingles(text: Column | str, k: int = 5) -> Column:
-    """k-gram character shingles (distinct) of the lowercased text.
+    """k-gram character shingles (distinct) of the lowercased text —
+    pure-expression form.
 
-    Built with ``sequence`` + ``transform`` (higher-order functions,
-    JVM-side) rather than a Python UDF: at 100 TB, shingling is the
-    hot inner loop of near-dup detection and must stay in codegen.
-    Returns an array of distinct k-char substrings.
+    NOTE: measured at bench scale, this JVM expression is the SLOW
+    path — ``substring(t, i, k)`` restarts its UTF-8 scan per call,
+    O(len²) per document. The dedup operators use the Arrow-batched
+    equivalent (``operators/dedup._doc_shingles``, ~4× faster); this
+    column form remains for small-string/ad-hoc use where plugging
+    into a larger expression tree matters more than throughput.
     """
     t = F.lower(F.col(text) if isinstance(text, str) else text)
     n = F.length(t)
