@@ -1,0 +1,228 @@
+"""Temporal operators: as-of join, range join, range-frame windows,
+grouping sets (SURVEY.md §2.B extensions; custom-operator bullet of
+the north star).
+
+The reference's model can construct all of these (composite ordered
+K2 keys + complete-group reduce — the secondary-sort construction,
+``MapReduceClient.h:22-26,61-64``); Spark lacks *named* as-of/range
+join operators, so they're built as compositions of DataFrame ops —
+exactly the "custom operator as composition" path, no UDFs at all.
+
+Scale notes:
+- as-of join: union + ordered window with ``last(ignorenulls)`` —
+  one shuffle keyed by the join key; state per partition is a single
+  carried row. This is how production tick-data as-ofs run; never a
+  per-row subquery.
+- range join: banding time into gap-sized buckets turns an
+  inequality join into an equi-join with candidate fan-out ≤ 2
+  buckets per probe; Spark would otherwise fall back to
+  BroadcastNestedLoopJoin (quadratic). Same pigeonhole idea as the
+  SimHash band join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.sources import tables
+
+ASOF_MARKER = "purchase"
+RANGE_GAP_US = 300_000_000  # 5 minutes in microseconds
+
+
+@register(
+    "q_asof_join",
+    oracle=f"""
+        SELECT a.event_id,
+               a.user_id,
+               b.ts AS asof_purchase_ts,
+               b.value AS asof_purchase_value,
+               (epoch_us(a.ts) - epoch_us(b.ts)) // 1000000 AS secs_since
+        FROM events a
+        ASOF JOIN (SELECT * FROM events WHERE event_type = '{ASOF_MARKER}') b
+          ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    doc="As-of join: each event matched to the user's most recent purchase at-or-before it.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward, inclusive) join as a composition: tag the two
+    inputs, union, and carry the last marker row forward with an
+    ordered window — the distributed equivalent of DuckDB's native
+    ASOF JOIN (which the oracle uses, so the composition is checked
+    against a real as-of implementation).
+
+    Tie discipline: at equal ts the marker sorts first (tag 0 < 1),
+    making the match inclusive, matching ASOF's ``>=``.
+    """
+    ev = tables(spark, sf_dir).events
+    left = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == ASOF_MARKER)
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = left.unionByName(right).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.last("p_ts", ignorenulls=True).over(w).alias("asof_purchase_ts"),
+        F.last("p_value", ignorenulls=True).over(w).alias("asof_purchase_value"),
+    )
+    return (
+        merged.filter((F.col("tag") == 1) & F.col("asof_purchase_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "asof_purchase_ts",
+            "asof_purchase_value",
+            F.expr(
+                "(unix_micros(ts) - unix_micros(asof_purchase_ts)) div 1000000"
+            ).alias("secs_since"),
+        )
+    )
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+        SELECT a.event_id AS event_a,
+               b.event_id AS event_b,
+               a.user_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND {RANGE_GAP_US}
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    """,
+    doc="Range join: same-user event pairs within 5 minutes, via time banding.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range self-join without a nested-loop fallback.
+
+    Band each event into gap-sized time buckets; a pair within the
+    gap must land in the same or adjacent bucket (pigeonhole), so
+    probing each left row against buckets {b, b+1} with an EQUI-join
+    on (user, bucket) finds every candidate exactly once — the exact
+    filter then applies the true inequality. Candidate volume is
+    O(rows × bucket-occupancy), not O(rows²); at 100 TB the bucket
+    width tunes the fan-out/precision trade.
+    """
+    ev = tables(spark, sf_dir).events.select(
+        "event_id", "user_id", "ts", F.expr("unix_micros(ts)").alias("us")
+    )
+    bucketed = ev.withColumn("bucket", F.expr(f"us div {RANGE_GAP_US}"))
+    probes = bucketed.select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id"),
+        F.col("us").alias("us_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    build = bucketed.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id"),
+        F.col("us").alias("us_b"),
+        F.col("ts").alias("ts_b"),
+        "bucket",
+    )
+    cand = probes.join(build, ["user_id", "bucket"])
+    gap = F.col("us_b") - F.col("us_a")
+    ordered = (F.col("ts_a") < F.col("ts_b")) | (
+        (F.col("ts_a") == F.col("ts_b")) & (F.col("event_a") < F.col("event_b"))
+    )
+    return (
+        cand.filter((gap >= 0) & (gap <= RANGE_GAP_US) & ordered)
+        .select("event_a", "event_b", "user_id", gap.alias("gap_us"))
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_last_hour,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS value_last_hour_x100
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-frame window: per-event trailing-hour activity (B15 range variant).",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) window frame — value-based bounds over
+    event-time, vs the ROWS frames of q_window_running. Ordering key
+    is epoch microseconds so the frame bound is exact integer
+    arithmetic in both engines; the summed measure uses the scaled-
+    int convention for cross-engine equality. One shuffle keyed by
+    user_id; frames never leave the partition.
+    """
+    ev = tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts)"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .over(w)
+        .alias("value_last_hour_x100"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS via the SQL entry path (B17 completion).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through ``spark.sql`` — the engine's SQL front
+    door (rollup/cube cover the DataFrame API variants). Physical
+    plan is a single Expand + aggregate: one pass, one shuffle,
+    rows duplicated once per grouping set — not one job per set.
+    ``l_quantity`` is integral-valued, so the BIGINT cast sums
+    exactly in any engine.
+    """
+    t = tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

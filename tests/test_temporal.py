@@ -1,0 +1,53 @@
+"""Temporal operators: as-of join, range join, range frames, grouping sets."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_asof_join", "q_range_join", "q_window_range_frame", "q_grouping_sets"],
+)
+def test_temporal_oracle(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_asof_join_semantics_handmade(spark, tmp_path):
+    """Pin the as-of contract on a handmade fixture: inclusive match,
+    most-recent-wins, no-marker rows dropped (inner semantics)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = [
+        # user 1: purchases at t=10:00 and 11:00
+        (1, 1, "2024-01-01 10:00:00", "purchase", 5.0),
+        (2, 1, "2024-01-01 10:30:00", "click", 0.0),     # → 10:00
+        (3, 1, "2024-01-01 11:00:00", "purchase", 7.0),  # → itself (inclusive)
+        (4, 1, "2024-01-01 11:45:00", "view", 0.0),      # → 11:00
+        # user 2: never purchases → dropped
+        (5, 2, "2024-01-01 10:15:00", "click", 0.0),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string, value double"
+        )
+        .selectExpr(
+            "event_id", "cast(ts as timestamp) ts", "user_id", "event_type",
+            "value", "'{}' as props",
+        )
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+
+    out = {
+        r["event_id"]: (str(r["asof_purchase_ts"]), r["secs_since"])
+        for r in get_query("q_asof_join").builder(spark, sf_dir).collect()
+    }
+    assert out == {
+        1: ("2024-01-01 10:00:00", 0),
+        2: ("2024-01-01 10:00:00", 1800),
+        3: ("2024-01-01 11:00:00", 0),
+        4: ("2024-01-01 11:00:00", 2700),
+    }
