@@ -264,6 +264,14 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contrast with q_ngram_jaccard: that shuffles the full posting
     list (O(total shingles) rows, skew-prone); this shuffles one row
     per (doc, band) — 16 rows per doc regardless of document size.
+
+    100 TB note: this lazy plan re-derives the shingle/signature pass
+    for the banding branch and each verification side (3 scans). At
+    bench scale the pass is ~1s so purity wins; at petabyte scale
+    you'd stage the signature table once (write parquet, read
+    thrice) — the classic materialize-the-cheap-derivation trade,
+    deliberately NOT hidden inside this builder so the query stays
+    side-effect-free.
     """
     sh = _doc_shingles_with_minhash(spark, sf_dir)
     # band key folds the band index into the hash so one long column
