@@ -64,3 +64,33 @@ def test_simhash_banded_join_equals_brute_force(spark, sf_dir):
     }
     banded = {tuple(r) for r in q_simhash_neardup(spark, sf_dir).collect()}
     assert banded == brute
+
+
+def test_dedup_clusters_oracle(spark, sf_dir):
+    """Connected components (iterative min-label propagation) must
+    match DuckDB's recursive-CTE fixpoint over the same edge set."""
+    assert_matches_oracle(spark, "q_dedup_clusters", sf_dir)
+
+
+def test_dedup_clusters_are_closed(spark, sf_dir):
+    """Every near-dup pair must land in the same cluster, and labels
+    must be the component minimum (canonical doc)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in get_query("q_dedup_clusters").builder(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in get_query("q_minhash_neardup").builder(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture should contain planted near-duplicates"
+    for a, b in pairs:
+        assert labels[a] == labels[b]
+    # label is the min member of its cluster
+    members: dict[int, list[int]] = {}
+    for doc, c in labels.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)

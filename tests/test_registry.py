@@ -20,7 +20,7 @@ def test_every_query_builds_lazily(spark, sf_dir):
     # executed-demo queries: their OUTPUT is a record of a run they
     # perform (streaming watermark demo, job-progress poll), so they
     # necessarily run jobs at build time — the documented exceptions
-    executed_demos = {"q_late_data", "q_progress"}
+    executed_demos = {"q_late_data", "q_progress", "q_dedup_clusters"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():
