@@ -1,0 +1,219 @@
+"""Reshaping + distribution analytics: pivot, unpivot, exact
+percentiles, correlated subqueries.
+
+Reference grounding: all four are reachable in the reference's model
+only as chained MapReduce jobs (a pivot is map-to-(status, priority)
+keys then a reduce that scatters columns; a correlated subquery is a
+join of two full passes — ``MapReduceFramework.cpp:202-225`` gives no
+shortcut). Declared as single DataFrame/SQL plans, Catalyst collapses
+each to one or two shuffles.
+
+Scale notes (100 TB):
+- ``pivot`` is given its value list explicitly — otherwise Spark runs
+  an eager distinct-scan job over the full table just to learn the
+  columns. With the list pinned, pivot is ONE hash aggregate (each
+  output column a filtered partial agg), not a job per column.
+- ``unpivot`` is an Expand node: rows × metrics generated map-side,
+  then the same one-shuffle partial aggregation as any groupBy —
+  never a per-metric pass over the table.
+- exact percentiles need a per-group sort of values; grouping first
+  means only group-local data moves. For the giant-group case the
+  approx twin (``q_approx_distinct`` family / percentile_approx) is
+  the scale path; here groups are few and bounded.
+- the correlated EXISTS decorrelates (Catalyst RewriteCorrelatedScalarSubquery
+  / RewritePredicateSubquery) into an aggregate + join — visible in
+  .explain as a plain shuffle join, not a per-row re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.functions.numeric import oracle_exact_decimal_sum
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.sources import tables
+
+# TPC-H order priorities — pinned so pivot never scans for values.
+PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PRIORITY_COLS = {p: "p" + p.split("-")[0] for p in PRIORITIES}  # p1..p5
+
+
+def _oracle_pivot_cell(priority: str) -> str:
+    # exact-int64 sum over one priority's rows; empty cell => NULL,
+    # matching Spark's pivot output for an absent combination
+    return (
+        f"sum(CAST(round((CASE WHEN o_orderpriority = '{priority}' "
+        f"THEN o_totalprice END) * 100) AS BIGINT)) / 100.0"
+    )
+
+
+@register(
+    "q_pivot",
+    oracle=f"""
+        SELECT o_orderstatus,
+               {", ".join(f"{_oracle_pivot_cell(p)} AS {c}" for p, c in _PRIORITY_COLS.items())}
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Pivot orders: total price by status (rows) x priority (columns).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshaping via ``groupBy().pivot(values=...)``.
+
+    The explicit value list matters at scale: without it Spark runs
+    an extra eager job (full distinct over the pivot column) before
+    it can even build the plan. With it, the physical plan is a
+    single hash aggregate whose partial rows carry five filtered
+    sums — one shuffle keyed by o_orderstatus.
+
+    Cell sums use the exact-int64 trick (functions/numeric.py) so an
+    empty (status, priority) cell is NULL and every non-empty cell is
+    bit-identical to the oracle's FILTER-style CASE sum.
+    """
+    t = tables(spark, sf_dir)
+    piv = (
+        t.orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(PRIORITIES))
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0))
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(c) for p, c in _PRIORITY_COLS.items()],
+    )
+
+
+_UNPIVOT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_unpivot",
+    oracle=f"""
+        WITH long AS (
+            {" UNION ALL ".join(
+                f"SELECT '{m}' AS metric, {m} AS val FROM lineitem"
+                for m in _UNPIVOT_METRICS
+            )}
+        )
+        SELECT metric,
+               count(*) AS n,
+               {oracle_exact_decimal_sum("val")} AS total,
+               round({oracle_exact_decimal_sum("val")} / count(*), 4) AS avg_val
+        FROM long GROUP BY metric
+    """,
+    doc="Unpivot lineitem measures to long form, profile each metric.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via ``DataFrame.unpivot`` (melt).
+
+    Physically an Expand node: each input row emits one row per
+    metric *map-side*, flowing straight into partial aggregation —
+    the 4× row inflation never crosses the shuffle (4 metrics ×
+    n_partitions partial rows do). The alternative the reference
+    would need — one pass per metric — reads the table 4 times.
+
+    All four measures carry ≤2 decimal digits, so the exact-int64
+    sum is bit-identical cross-engine; avg divides that one exact
+    double by an exact count.
+    """
+    t = tables(spark, sf_dir)
+    long = t.lineitem.unpivot(
+        ids=[],
+        values=list(_UNPIVOT_METRICS),
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    total = F.sum(F.round(F.col("val") * 100).cast("long")) / 100.0
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        total.alias("total"),
+        F.round(total / F.count(F.lit(1)), 4).alias("avg_val"),
+    )
+
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+@register(
+    "q_percentiles",
+    oracle=f"""
+        SELECT l_returnflag,
+               round(median(l_extendedprice), 4) AS median_price,
+               list_transform(
+                   quantile_cont(l_extendedprice, {list(_QUANTILES)}),
+                   x -> round(x, 4)) AS quantiles
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact per-group median + quantile vector (linear interpolation).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution profile per group: median and a quantile
+    vector, linear interpolation — ``F.percentile``, the same
+    continuous-quantile definition DuckDB's ``quantile_cont`` uses.
+
+    Exact percentiles require the group's values gathered and
+    sorted, so this is the small-group-cardinality tool (here: 3
+    return flags). At 100 TB with the same few groups the per-group
+    sort is the bottleneck by design; the engine's unbounded-group
+    scale path is ``percentile_approx`` (QDigest sketch, map-side
+    mergeable) — see q_approx_distinct for the sketch convention.
+    """
+    t = tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.transform(
+            F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in _QUANTILES])),
+            lambda x: F.round(x, 4),
+        ).alias("quantiles"),
+    )
+
+
+@register(
+    "q_corr_subquery",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+            SELECT avg(i.o_totalprice) FROM orders i
+            WHERE i.o_custkey = o.o_custkey
+        )
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.05
+        )
+    """,
+    doc="Correlated scalar subquery + correlated EXISTS (decorrelated).",
+)
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders that are >2x their customer's average order value AND
+    contain a meaningfully discounted line — a correlated scalar
+    subquery plus a correlated EXISTS, through the SQL front door.
+
+    Catalyst decorrelates both: the scalar subquery becomes an
+    aggregate-then-join on o_custkey, EXISTS becomes a left-semi
+    join on o_orderkey (.explain shows no nested-loop anywhere).
+    That rewrite is the entire scale story — the naive evaluation is
+    O(orders × orders) re-scans, the decorrelated plan is two
+    shuffle joins. Predicate comparison on unrounded doubles on both
+    sides; only the projected output is rounded for the hash.
+    """
+    t = tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_cs")
+    t.lineitem.createOrReplaceTempView("lineitem_cs")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM orders_cs o
+        WHERE o.o_totalprice > 2 * (
+            SELECT avg(i.o_totalprice) FROM orders_cs i
+            WHERE i.o_custkey = o.o_custkey
+        )
+          AND EXISTS (
+            SELECT 1 FROM lineitem_cs l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.05
+        )
+        """
+    )

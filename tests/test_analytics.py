@@ -1,0 +1,66 @@
+"""Reshaping + distribution analytics: pivot, unpivot, percentiles,
+correlated subqueries (operators/analytics.py)."""
+
+from __future__ import annotations
+
+from tests.oracle import assert_matches_oracle
+
+
+def test_pivot_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_pivot", sf_dir)
+
+
+def test_pivot_roundtrips_unpivot(spark, sf_dir):
+    """Melting the pivoted frame back recovers one row per non-empty
+    (status, priority) cell — the reshape is lossless."""
+    from mapreduceapp_spark.operators.analytics import _PRIORITY_COLS, q_pivot
+
+    wide = q_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["o_orderstatus"],
+        values=list(_PRIORITY_COLS.values()),
+        variableColumnName="priority",
+        valueColumnName="total",
+    ).filter("total IS NOT NULL")
+    assert long.count() == sum(
+        1
+        for r in wide.collect()
+        for c in _PRIORITY_COLS.values()
+        if r[c] is not None
+    )
+
+
+def test_unpivot_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_unpivot", sf_dir)
+
+
+def test_percentiles_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_percentiles", sf_dir)
+
+
+def test_percentiles_are_ordered(spark, sf_dir):
+    from mapreduceapp_spark.plans.registry import get_query
+
+    for r in get_query("q_percentiles").builder(spark, sf_dir).collect():
+        q = r["quantiles"]
+        assert q == sorted(q), "quantile vector must be monotone"
+        assert q[1] == r["median_price"], "p50 must equal median"
+
+
+def test_corr_subquery_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_corr_subquery", sf_dir)
+
+
+def test_corr_subquery_decorrelates(spark, sf_dir):
+    """The plan must contain no nested-loop evaluation: both
+    correlated subqueries decorrelate to joins."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    plan = (
+        get_query("q_corr_subquery")
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
