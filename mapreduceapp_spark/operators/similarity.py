@@ -16,6 +16,13 @@ Scale posture (100 TB):
   hyperplanes are derived deterministically from xxhash64 so the
   signature needs no stored model and is reproducible across runs
   and executors.
+- ``q_ann_ivf`` is the coarse-quantization (inverted-file) ANN: every
+  vector is assigned to its nearest of C centroids, queries probe the
+  nprobe closest lists — O(Q·C + Q·nprobe·N/C). Unlike angular LSH it
+  retains recall even when true neighbors are far (the regime called
+  out in :func:`ann_topk`'s docstring), and because the centroids are
+  a deterministic sample rather than a fitted model, the entire
+  search is SQL-expressible and oracle-checked end to end.
 """
 
 from __future__ import annotations
@@ -317,3 +324,168 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over the embeddings table — see :func:`ann_topk` for the
     algorithm, cost model, and honest recall statement."""
     return ann_topk(_quantized(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- ANN / IVF
+
+# Centroids are a deterministic 1-in-IVF_STRIDE sample of the table
+# itself (vec_id % IVF_STRIDE == IVF_OFFSET) — C grows with N, so the
+# per-list length N/C stays constant as the table scales.
+IVF_STRIDE = 50
+IVF_OFFSET = 7
+IVF_NPROBE = 3
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    return e.filter(f"vec_id % {IVF_STRIDE} = {IVF_OFFSET}").select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("sq").alias("c_sq"),
+    )
+
+
+def ann_ivf(
+    e: DataFrame,
+    query_pred: str = KNN_QUERY_PRED,
+    k: int = KNN_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k cosine via an inverted-file (IVF) index.
+
+    ``e`` must carry (vec_id, qv, sq) — see :func:`_quantized`.
+
+    Three stages, each shaped for the 1000-executor case:
+
+    1. *Assign* — broadcast the C centroids against the table and keep
+       each vector's argmax-cosine centroid via ``max_by`` over a
+       (cos, -cent_id) struct. The C-way fan-out collapses back to one
+       row per vector in the map-side partial aggregate, so the only
+       shuffle carries N rows (the inverted lists), never N·C.
+    2. *Probe* — each query ranks the same broadcast centroids and
+       keeps its ``nprobe`` best lists.
+    3. *Search* — the (query × probe) set is tiny, so it broadcasts
+       against the assigned table: the inverted lists stream through
+       unshuffled, only matching lists get scored, and the single
+       remaining shuffle is the per-query top-k window.
+
+    Scanned fraction ≈ nprobe/C with C ∝ N — at 100 TB, C ~ 10^5
+    centroids keeps both the broadcast (C rows) and the list length
+    (N/C) bounded. A fitted k-means would place centroids better, but
+    sampled centroids need no training job, no stored model, and make
+    the whole search deterministically SQL-checkable; swapping in
+    fitted centroids changes only ``_centroids``.
+
+    Candidate lists can hold fewer than k vectors, so a query may
+    return < k rows — inherent to IVF (the oracle does the same).
+    Tie-breaks everywhere are (cos DESC, id ASC) on exact-int-derived
+    doubles, so ranks are bit-stable across engines.
+    """
+    cents = _centroids(e)
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn(
+            "ccos", cosine(dot(F.col("qv"), F.col("c_qv")), F.col("sq"), F.col("c_sq"))
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("n")),
+            ).alias("cluster"),
+            F.first("qv").alias("qv"),
+            F.first("sq").alias("sq"),
+        )
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probes = (
+        e.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("sq").alias("q_sq"),
+        )
+        .join(F.broadcast(cents))
+        .withColumn(
+            "ccos",
+            cosine(dot(F.col("q_qv"), F.col("c_qv")), F.col("q_sq"), F.col("c_sq")),
+        )
+        .withColumn("prb", F.row_number().over(qw))
+        .filter(F.col("prb") <= nprobe)
+        .select("query_id", "q_qv", "q_sq", F.col("cent_id").alias("probe"))
+    )
+    cand = F.broadcast(probes).join(
+        assigned,
+        (F.col("cluster") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(dot(F.col("q_qv"), F.col("qv")), F.col("q_sq"), F.col("sq")).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _oracle_cos(a: str, b: str) -> str:
+    return oracle_cosine(
+        f"list_dot_product({a}.qv, {b}.qv)", f"{a}.sq", f"{b}.sq"
+    )
+
+
+@register(
+    "q_ann_ivf",
+    oracle=f"""
+        WITH q AS ({_ORACLE_QUANTIZED}),
+        cents AS (
+            SELECT vec_id AS cent_id, qv, sq FROM q
+            WHERE vec_id % {IVF_STRIDE} = {IVF_OFFSET}
+        ),
+        assigned AS (
+            SELECT vec_id, qv, sq, cent_id AS cluster FROM (
+                SELECT v.vec_id, v.qv, v.sq, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {_oracle_cos('v', 'c')} DESC, c.cent_id
+                       ) AS rn
+                FROM q v, cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, q_qv, q_sq, probe FROM (
+                SELECT a.vec_id AS query_id, a.qv AS q_qv, a.sq AS q_sq,
+                       c.cent_id AS probe,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_oracle_cos('a', 'c')} DESC, c.cent_id
+                       ) AS rn
+                FROM q a, cents c
+                WHERE a.vec_id % 100 = 0
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, v.vec_id AS neighbor_id,
+                   {oracle_cosine('list_dot_product(p.q_qv, v.qv)', 'p.q_sq', 'v.sq')}
+                       AS cos
+            FROM probes p JOIN assigned v ON v.cluster = p.probe
+            WHERE v.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {KNN_K}
+    """,
+    doc="Approximate top-k cosine via IVF coarse quantization (C3 scale path).",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table — see :func:`ann_ivf` for the
+    algorithm, shuffle shape, and cost model. Deterministic sampled
+    centroids ⇒ fully oracle-checked, unlike the LSH path."""
+    return ann_ivf(_quantized(spark, sf_dir))

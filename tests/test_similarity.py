@@ -79,3 +79,54 @@ def test_ann_lsh_returns_true_cosines_and_valid_ranks(spark, sf_dir):
         by_query.setdefault(r["query_id"], []).append(r["rnk"])
     for ranks in by_query.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_ivf_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_ann_ivf", sf_dir)
+
+
+def test_ann_ivf_full_probe_equals_exact_knn(spark, sf_dir):
+    """With nprobe = C (probe every inverted list) IVF degenerates to
+    exact brute-force search — output must equal q_knn_cosine row for
+    row. This pins the assignment/probe/search plumbing to the exact
+    baseline; the default-nprobe approximation is then *only* about
+    which lists get scanned."""
+    from mapreduceapp_spark.operators.similarity import (
+        _centroids,
+        _quantized,
+        ann_ivf,
+    )
+    from mapreduceapp_spark.plans.registry import get_query
+
+    e = _quantized(spark, sf_dir)
+    n_cents = _centroids(e).count()
+    full = ann_ivf(e, nprobe=n_cents).collect()
+    exact = get_query("q_knn_cosine").builder(spark, sf_dir).collect()
+    assert sorted(map(tuple, full), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, exact), key=lambda t: (t[0], t[2])
+    )
+    assert len(full) == len(exact) > 0
+
+
+def test_ann_ivf_scans_a_fraction(spark, sf_dir):
+    """Default-nprobe IVF must actually prune: candidate rows scored
+    per query ≤ nprobe lists' worth of vectors, not the full table."""
+    from mapreduceapp_spark.operators.similarity import (
+        IVF_NPROBE,
+        _centroids,
+        _quantized,
+        ann_ivf,
+    )
+
+    e = _quantized(spark, sf_dir)
+    n = e.count()
+    c = _centroids(e).count()
+    out = ann_ivf(e, k=n).collect()  # k=n => every scored candidate returned
+    by_query: dict[int, int] = {}
+    for r in out:
+        by_query[r["query_id"]] = by_query.get(r["query_id"], 0) + 1
+    assert by_query, "no queries returned"
+    # lists are uneven, but nprobe lists can't cover most of the table
+    worst = max(by_query.values())
+    assert worst < 0.8 * n, f"scanned {worst}/{n} rows — no pruning happened"
+    assert c > IVF_NPROBE, "test premise: more lists than probes"
