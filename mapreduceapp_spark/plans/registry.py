@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "mapreduceapp_spark.operators.semistructured",
     "mapreduceapp_spark.operators.temporal",
     "mapreduceapp_spark.operators.analytics",
+    "mapreduceapp_spark.operators.curation",
     "mapreduceapp_spark.streaming.windows",
     "mapreduceapp_spark.streaming.latedata",
     "mapreduceapp_spark.streaming.stateful",
