@@ -159,3 +159,113 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return payloads.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+FRAME_STRIDE = 2  # keep every 2nd frame
+RESIZE_TARGET = 224  # fit the long edge to 224 px, aspect preserved
+
+
+def decode_frames(payload: bytes, *, strict: bool = False) -> list[dict]:
+    """Decode a video payload into sampled, resized frame records.
+
+    STUB for the codec step only (no ffmpeg/PIL in this container;
+    ``strict=True`` raises :class:`MediaDecodeUnavailable`). The fake
+    is fully deterministic arithmetic on the payload bytes — the same
+    formulas as :func:`decode_media` — which is what makes the whole
+    frame pipeline *oracle-checkable*: dims and frame count derive
+    from octet_length, the per-frame content hash is md5 over the
+    payload bytes + frame index. A real decoder changes this body and
+    nothing else; the sampling stride, resize math, and fan-out shape
+    are the production logic.
+    """
+    if strict:
+        raise MediaDecodeUnavailable("no media codec installed in this container")
+    import hashlib
+    import math
+
+    n = len(payload)
+    meta = decode_media(payload)
+    w, h, n_frames = meta["width"], meta["height"], meta["n_frames"]
+    # aspect-preserving resize: long edge → RESIZE_TARGET (floor, not
+    # round — floor is bit-identical across engines, round-half rules
+    # are not worth depending on)
+    scale_den = max(w, h)
+    out_w = math.floor(w * float(RESIZE_TARGET) / scale_den)
+    out_h = math.floor(h * float(RESIZE_TARGET) / scale_den)
+    return [
+        {
+            "frame_idx": i,
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "out_w": out_w,
+            "out_h": out_h,
+            "frame_md5": hashlib.md5(
+                payload + b":" + str(i).encode()
+            ).hexdigest(),
+        }
+        for i in range(0, n_frames, FRAME_STRIDE)
+    ]
+
+
+_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, n_frames int, "
+    "out_w int, out_h int, frame_md5 string"
+)
+
+
+@register(
+    "q_frame_sample",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id, text,
+                   16 + (octet_length(encode(text)) * 7919) % 1024 AS width,
+                   16 + (octet_length(encode(text)) * 104729) % 1024 AS height,
+                   1 + octet_length(encode(text)) % 7 AS n_frames
+            FROM documents
+        )
+        SELECT d.doc_id, t.frame_idx, d.width, d.height, d.n_frames,
+               CAST(floor(d.width * {RESIZE_TARGET}.0
+                          / greatest(d.width, d.height)) AS INTEGER) AS out_w,
+               CAST(floor(d.height * {RESIZE_TARGET}.0
+                          / greatest(d.width, d.height)) AS INTEGER) AS out_h,
+               md5(d.text || ':' || t.frame_idx) AS frame_md5
+        FROM dims d,
+             unnest(generate_series(0, d.n_frames - 1, {FRAME_STRIDE}))
+                 AS t(frame_idx)
+    """,
+    doc="Frame sampling + aspect-preserving resize over video payloads (C5).",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality fan-out: every payload expands to its sampled
+    frames (every FRAME_STRIDE-th), each resized long-edge-to-224 —
+    the preprocessing shape of a vision-language training pipeline.
+
+    Topology: ``mapInPandas`` row explosion — one input row yields
+    0..n rows, streaming Arrow batch by batch, so peak executor
+    memory is one batch of payloads plus its (narrow) frame rows; the
+    payload bytes never cross a shuffle. Because the stub decoder is
+    deterministic byte arithmetic, the *entire* fan-out — frame
+    count, stride sampling, floor-based resize, per-frame md5 — is
+    hash-checked against a DuckDB lateral-unnest oracle; a real codec
+    would flip this query to rows-only (like q_media_features)
+    without touching the distributed shape.
+    """
+    d = tables(spark, sf_dir).documents
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in decode_frames(payload):
+                    rows.append({"doc_id": doc_id, **fr})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "n_frames", "out_w", "out_h", "frame_md5",
+                ],
+            )
+
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(sample_frames, schema=_FRAME_SCHEMA)

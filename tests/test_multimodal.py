@@ -48,3 +48,42 @@ def test_decode_stub_is_honest():
     fake = decode_media(b"\x89PNG")
     assert fake == decode_media(b"\x89PNG")  # deterministic
     assert set(fake) == {"width", "height", "n_frames", "mean_byte"}
+
+
+def test_frame_sample_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_frame_sample", sf_dir)
+
+
+def test_frame_sample_fanout_shape(spark, sf_dir):
+    """Every doc emits ceil(n_frames / stride) frames, indices follow
+    the stride, and resize preserves aspect (long edge == target)."""
+    from mapreduceapp_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        RESIZE_TARGET,
+    )
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_frame_sample").builder(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, frames in by_doc.items():
+        n_frames = frames[0]["n_frames"]
+        want = list(range(0, n_frames, FRAME_STRIDE))
+        assert sorted(f["frame_idx"] for f in frames) == want
+        for f in frames:
+            assert max(f["out_w"], f["out_h"]) == RESIZE_TARGET
+            assert f["out_w"] <= RESIZE_TARGET and f["out_h"] <= RESIZE_TARGET
+
+
+def test_decode_frames_strict_raises(spark):
+    import pytest
+
+    from mapreduceapp_spark.operators.multimodal import (
+        MediaDecodeUnavailable,
+        decode_frames,
+    )
+
+    with pytest.raises(MediaDecodeUnavailable):
+        decode_frames(b"xx", strict=True)
