@@ -175,3 +175,115 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+MIN_TOKENS = 25  # quality floor: drop short docs (integer compare — exact)
+
+
+def _pipeline_oracle() -> str:
+    # dedup's constants are imported lazily here (not at module top)
+    # purely to keep this module's header focused; there is no cycle —
+    # dedup never imports curation.
+    from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE
+    from mapreduceapp_spark.operators.dedup import JACCARD_THRESHOLD, SHINGLE_K
+
+    bucket = oracle_hash_bucket("doc_id")
+    return f"""
+        WITH flt AS (
+            SELECT doc_id, lang, ntok FROM (
+                SELECT doc_id, lang,
+                       len(list_filter(
+                           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                           x -> x <> '')) AS ntok
+                FROM documents
+            ) WHERE ntok >= {MIN_TOKENS}
+        ),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(length(lower(text)) - {SHINGLE_K - 1}, 1)),
+                i -> lower(text)[i:i+{SHINGLE_K - 1}])) AS s
+            FROM documents
+        ),
+        neardup AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        kept AS (
+            SELECT f.* FROM flt f
+            WHERE NOT EXISTS (
+                SELECT 1 FROM neardup p
+                JOIN flt fa ON fa.doc_id = p.doc_a
+                WHERE p.doc_b = f.doc_id
+            )
+        )
+        SELECT lang,
+               CASE WHEN {bucket} < {TRAIN_CUT} THEN 'train'
+                    WHEN {bucket} < {VAL_CUT} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(ntok) AS total_tokens
+        FROM kept
+        GROUP BY lang, split
+    """
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=_pipeline_oracle(),
+    doc="End-to-end curation: quality filter -> near-dup drop -> split -> stats.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation story as ONE declared plan: token-count
+    quality floor, near-duplicate removal (drop any doc with an
+    earlier surviving near-dup), deterministic split assignment, and
+    per-(lang, split) corpus accounting.
+
+    Composition, not re-implementation: near-dup pairs come from the
+    LSH detection path (``q_minhash_neardup`` — proven equal to exact
+    Jaccard output), the split from :func:`hash_bucket`, token counts
+    from the same word tokenizer the quality UDF uses. The oracle
+    recomputes every stage in SQL, so the *composition* is
+    hash-checked too, not just the pieces.
+
+    Plan shape at 100 TB: quality metrics are map-only over the scan;
+    the near-dup drop is a broadcast anti-join (the pair list is
+    ~duplicate-rate × N, orders of magnitude smaller than the
+    corpus); split assignment is map-only; the final rollup is one
+    partial-agg shuffle on (lang, split). The dominant cost is the
+    LSH detection it composes — everything this query *adds* is scan
+    or broadcast work.
+    """
+    from mapreduceapp_spark.functions.text import token_count
+    from mapreduceapp_spark.operators.dedup import q_minhash_neardup
+
+    t = tables(spark, sf_dir)
+    filtered = t.documents.select(
+        "doc_id", "lang", token_count("text").alias("ntok")
+    ).filter(F.col("ntok") >= MIN_TOKENS)
+
+    pairs = q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    # a pair only kills doc_b if its earlier endpoint survived quality
+    live_a = filtered.select(F.col("doc_id").alias("doc_a"))
+    drop = (
+        pairs.join(live_a, "doc_a")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = filtered.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_CUT, "train").when(b < VAL_CUT, "val").otherwise("test")
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+        )
+    )

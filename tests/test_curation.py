@@ -71,3 +71,37 @@ def test_pack_sequences_bins_fill_to_budget(spark, sf_dir):
             assert cum >= (r["bin"] + 1) * PACK_BUDGET, (
                 f"shard {shard} bin {r['bin']} underfilled: {cum}"
             )
+
+
+def test_curation_pipeline_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_curation_pipeline", sf_dir)
+
+
+def test_curation_pipeline_conserves_docs(spark, sf_dir):
+    """Stage accounting: pipeline output doc count == quality
+    survivors minus near-dup drops (no doc lost or double-counted by
+    the composition)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.functions.text import token_count
+    from mapreduceapp_spark.operators.curation import MIN_TOKENS
+    from mapreduceapp_spark.operators.dedup import q_minhash_neardup
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    out = get_query("q_curation_pipeline").builder(spark, sf_dir).collect()
+    n_out = sum(r["n_docs"] for r in out)
+
+    docs = tables(spark, sf_dir).documents.select(
+        "doc_id", token_count("text").alias("ntok")
+    )
+    survivors = {
+        r["doc_id"] for r in docs.filter(F.col("ntok") >= MIN_TOKENS).collect()
+    }
+    pairs = q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").collect()
+    dropped = {
+        p["doc_b"]
+        for p in pairs
+        if p["doc_a"] in survivors and p["doc_b"] in survivors
+    }
+    assert n_out == len(survivors) - len(dropped) > 0
