@@ -107,3 +107,34 @@ def write_csv(
     if num_files is not None:
         df = df.repartition(num_files)
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    **options: str,
+) -> DataFrame:
+    """ORC source — the other columnar interchange format.
+
+    Self-describing (schema travels with the file) and supports the
+    same pushdown/pruning contract as parquet, so no explicit schema
+    is demanded here. Included because real lakes are mixed: the
+    engine reads whichever columnar format the upstream wrote.
+    """
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same layout knobs as :func:`write_parquet`."""
+    if num_files is not None:
+        df = df.repartition(num_files, *(partition_by or []))
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -55,3 +55,25 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
     assert back.count() == expected
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "o_orderstatus=F" in plan or "PartitionFilters" in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves data, and a filtered re-read pushes
+    the predicate into the ORC scan (same contract as parquet)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.sources import tables
+    from mapreduceapp_spark.sources.formats import read_orc, write_orc
+
+    nation = tables(spark, sf_dir).nation
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path, num_files=1)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    filtered = back.filter(F.col("n_regionkey") == 0).select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
+        "PushedFilters"
+    )[1][:200], "predicate not pushed to ORC scan"
