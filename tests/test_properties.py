@@ -116,3 +116,65 @@ def test_fingerprint_matches_python_oracle(spark, s):
     for ch in s:
         want = (want * FP_BASE + ord(ch)) % FP_MOD
     assert got == want
+
+
+@given(ids=st.lists(st.integers(min_value=-(10**12), max_value=10**12),
+                    min_size=1, max_size=40, unique=True))
+@SETTINGS
+def test_hash_bucket_law(spark, ids):
+    """Split-assignment laws for arbitrary keys: bucket ∈ [0, 100),
+    pure in the key (same key ⇒ same bucket, twice), and salted
+    bucketings differ from unsalted ones somewhere on any non-trivial
+    id set (independence smoke)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.operators.curation import hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    out = df.select(
+        "k",
+        hash_bucket(F.col("k")).alias("b1"),
+        hash_bucket(F.col("k")).alias("b2"),
+        hash_bucket(F.col("k"), salt="s:").alias("bs"),
+    ).collect()
+    for r in out:
+        assert 0 <= r["b1"] < 100
+        assert r["b1"] == r["b2"], "bucket must be pure in the key"
+    if len(out) >= 20:
+        assert any(r["b1"] != r["bs"] for r in out), (
+            "salted bucketing identical to unsalted on 20+ keys"
+        )
+
+
+@given(toks=st.lists(st.integers(min_value=0, max_value=400),
+                     min_size=1, max_size=50))
+@SETTINGS
+def test_pack_bins_monotone_law(spark, toks):
+    """Packing law for arbitrary token sequences: bin ids are
+    non-decreasing in doc order and each doc's bin equals its exact
+    cumulative starting offset div budget."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    budget = 256
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, ntok long"
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn(
+            "bin", F.floor((F.sum("ntok").over(w) - F.col("ntok")) / budget)
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    offset = 0
+    prev_bin = 0
+    for r in out:
+        assert r["bin"] == offset // budget
+        assert r["bin"] >= prev_bin
+        prev_bin = r["bin"]
+        offset += r["ntok"]
