@@ -287,3 +287,48 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").alias("total_tokens"),
         )
     )
+
+
+SAMPLE_K = 20  # exactly-k docs kept per stratum
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+        SELECT lang, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {SAMPLE_K}
+    """,
+    doc="Exactly-k-per-stratum uniform sample via hash-order top-k.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sampling: exactly SAMPLE_K docs per
+    language, the k smallest by a sha256 hash of the id — i.e. a
+    uniform random sample whose randomness is a pure function of the
+    data, so it is reproducible across runs, engines, and subsets
+    (the distributed, deterministic replacement for reservoir
+    sampling's RNG state).
+
+    The hex digest is the order key directly (string compare —
+    identical in any engine); doc_id breaks the (impossible in
+    practice) tie. One shuffle keyed by stratum. At 100 TB with
+    k ≪ stratum size, the refinement is a pre-filter: keep rows with
+    digest below an approximate k-th-quantile threshold (a tiny
+    sketch pass), then run this exact top-k on the survivors — same
+    result, shuffle carries ~k rows per stratum instead of all.
+    """
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
+    )
+    return (
+        t.documents.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .drop("rn")
+    )

@@ -105,3 +105,29 @@ def test_curation_pipeline_conserves_docs(spark, sf_dir):
         if p["doc_a"] in survivors and p["doc_b"] in survivors
     }
     assert n_out == len(survivors) - len(dropped) > 0
+
+
+def test_stratified_sample_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_stratified_sample", sf_dir)
+
+
+def test_stratified_sample_exact_k_and_stable(spark, sf_dir):
+    """Exactly min(k, stratum size) rows per lang; identical sample
+    under repartitioning (pure function of the data)."""
+    from collections import Counter
+
+    from mapreduceapp_spark.operators.curation import SAMPLE_K
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    q = get_query("q_stratified_sample").builder
+    rows = q(spark, sf_dir).collect()
+    per_lang = Counter(r["lang"] for r in rows)
+    sizes = Counter(
+        r["lang"]
+        for r in tables(spark, sf_dir).documents.select("lang").collect()
+    )
+    for lang, n in per_lang.items():
+        assert n == min(SAMPLE_K, sizes[lang])
+    again = {(r["lang"], r["doc_id"]) for r in q(spark, sf_dir).repartition(5).collect()}
+    assert again == {(r["lang"], r["doc_id"]) for r in rows}
