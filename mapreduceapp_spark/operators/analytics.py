@@ -139,18 +139,26 @@ _QUANTILES = (0.25, 0.5, 0.75, 0.95)
     oracle=f"""
         SELECT l_returnflag,
                round(median(l_extendedprice), 4) AS median_price,
-               list_transform(
-                   quantile_cont(l_extendedprice, {list(_QUANTILES)}),
-                   x -> round(x, 4)) AS quantiles
+               {", ".join(
+                   f"round(quantile_cont(l_extendedprice, {q}), 4) "
+                   f"AS q{int(q * 100)}"
+                   for q in _QUANTILES
+               )}
         FROM lineitem
         GROUP BY l_returnflag
     """,
-    doc="Exact per-group median + quantile vector (linear interpolation).",
+    doc="Exact per-group median + quantile profile (linear interpolation).",
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distribution profile per group: median and a quantile
-    vector, linear interpolation — ``F.percentile``, the same
-    continuous-quantile definition DuckDB's ``quantile_cont`` uses.
+    """Exact distribution profile per group: median and the
+    q25/q50/q75/q95 quantiles, linear interpolation —
+    ``F.percentile``, the same continuous-quantile definition
+    DuckDB's ``quantile_cont`` uses. Each quantile is its own scalar
+    column (the harness canonicalizer cannot sort/hash top-level
+    array columns, and one scalar per quantile is the friendlier
+    schema anyway); Spark still computes them in a single
+    ``percentile(col, array(...))`` pass per group, then projects
+    the vector out element-wise.
 
     Exact percentiles require the group's values gathered and
     sorted, so this is the small-group-cardinality tool (here: 3
@@ -160,12 +168,20 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable) — see q_approx_distinct for the sketch convention.
     """
     t = tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
+    qvec = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(q) for q in _QUANTILES])
+    )
+    agg = t.lineitem.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
-        F.transform(
-            F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in _QUANTILES])),
-            lambda x: F.round(x, 4),
-        ).alias("quantiles"),
+        qvec.alias("_qv"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "median_price",
+        *[
+            F.round(F.col("_qv")[i], 4).alias(f"q{int(q * 100)}")
+            for i, q in enumerate(_QUANTILES)
+        ],
     )
 
 

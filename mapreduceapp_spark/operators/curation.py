@@ -130,7 +130,7 @@ PACK_SHARDS = 8  # independent packing streams; scale with the cluster
         )
         SELECT shard, bin,
                count(*) AS n_docs,
-               sum(ntok) AS bin_tokens,
+               CAST(sum(ntok) AS BIGINT) AS bin_tokens,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM placed GROUP BY shard, bin
@@ -225,7 +225,7 @@ def _pipeline_oracle() -> str:
                     WHEN {bucket} < {VAL_CUT} THEN 'val'
                     ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(ntok) AS total_tokens
+               CAST(sum(ntok) AS BIGINT) AS total_tokens
         FROM kept
         GROUP BY lang, split
     """

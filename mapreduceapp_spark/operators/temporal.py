@@ -165,7 +165,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id,
                count(*) OVER w AS n_last_hour,
-               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS value_last_hour_x100
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS value_last_hour_x100
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -201,7 +202,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                count(*) AS cnt,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,

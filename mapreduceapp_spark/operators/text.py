@@ -71,7 +71,7 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_inverted_index",
     oracle=f"""
-        SELECT w, list_sort(list(DISTINCT doc_id)) AS postings
+        SELECT w, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
         FROM (
             SELECT doc_id,
                    unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS w
@@ -86,18 +86,28 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical MapReduce query #2 (map emits (word, doc_id); reduce
     concatenates). Spark shape: explode + groupBy + collect_set.
 
+    The posting list is serialized to a comma-joined string so the
+    final schema is scalar-only (the harness canonicalizer cannot
+    sort/hash top-level array columns); the list semantics — sorted,
+    distinct doc_ids per token — are unchanged and fully checked.
+
     Scale: collect_set keys by token; the posting list for a stopword
     can be huge at 100 TB — a production variant would bucket postings
     (token, bucket) and store segmented lists. Documented tradeoff;
     here tokens are synthetic and bounded.
     """
     t = tables(spark, sf_dir)
+    postings = F.sort_array(F.collect_set("doc_id"))
     return (
         t.documents.select(
             F.col("doc_id"), F.explode(tokens("text")).alias("w")
         )
         .groupBy("w")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        .agg(
+            F.array_join(
+                F.transform(postings, lambda x: x.cast("string")), ","
+            ).alias("postings")
+        )
     )
 
 
@@ -106,8 +116,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT lang,
                count(*) AS n_docs,
-               sum(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                                   x -> x <> ''))) AS total_tokens,
+               CAST(sum(len(list_filter(
+                   regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                   x -> x <> ''))) AS BIGINT) AS total_tokens,
                round(avg(length(text)), 4) AS avg_chars,
                max(length(text)) AS max_chars
         FROM documents

@@ -42,9 +42,9 @@ def test_percentiles_are_ordered(spark, sf_dir):
     from mapreduceapp_spark.plans.registry import get_query
 
     for r in get_query("q_percentiles").builder(spark, sf_dir).collect():
-        q = r["quantiles"]
-        assert q == sorted(q), "quantile vector must be monotone"
-        assert q[1] == r["median_price"], "p50 must equal median"
+        q = [r["q25"], r["q50"], r["q75"], r["q95"]]
+        assert q == sorted(q), "quantile profile must be monotone"
+        assert q[1] == r["median_price"], "q50 must equal median"
 
 
 def test_corr_subquery_oracle(spark, sf_dir):
