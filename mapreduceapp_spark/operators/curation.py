@@ -185,11 +185,12 @@ def _pipeline_oracle() -> str:
     # purely to keep this module's header focused; there is no cycle —
     # dedup never imports curation.
     from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE
-    from mapreduceapp_spark.operators.dedup import JACCARD_THRESHOLD, SHINGLE_K
+    from mapreduceapp_spark.operators.dedup import ORACLE_JACCARD_PAIR_CTES
 
     bucket = oracle_hash_bucket("doc_id")
     return f"""
-        WITH flt AS (
+        WITH {ORACLE_JACCARD_PAIR_CTES},
+        flt AS MATERIALIZED (
             SELECT doc_id, lang, ntok FROM (
                 SELECT doc_id, lang,
                        len(list_filter(
@@ -198,24 +199,10 @@ def _pipeline_oracle() -> str:
                 FROM documents
             ) WHERE ntok >= {MIN_TOKENS}
         ),
-        sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                generate_series(1, greatest(length(lower(text)) - {SHINGLE_K - 1}, 1)),
-                i -> lower(text)[i:i+{SHINGLE_K - 1}])) AS s
-            FROM documents
-        ),
-        neardup AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sh a, sh b
-            WHERE a.doc_id < b.doc_id
-              AND len(list_intersect(a.s, b.s))::DOUBLE
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-                  >= {JACCARD_THRESHOLD}
-        ),
         kept AS (
             SELECT f.* FROM flt f
             WHERE NOT EXISTS (
-                SELECT 1 FROM neardup p
+                SELECT 1 FROM jpairs p
                 JOIN flt fa ON fa.doc_id = p.doc_a
                 WHERE p.doc_b = f.doc_id
             )

@@ -165,24 +165,44 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_EXACT_JACCARD = f"""
-        WITH sh AS (
+# Shared oracle CTE block computing the exact Jaccard >= threshold
+# pairs RELATIONALLY — unnest shingles, equi-self-join on shingle,
+# group-count co-occurrences — the same shape as the Spark plan in
+# :func:`_exact_jaccard_pairs`, instead of the O(N^2) cross join with
+# ``list_intersect`` per pair. Measured at sf0.01: 0.6 s vs 23.4 s,
+# identical output. MATERIALIZED matters twice over: the CTEs are
+# referenced multiple times, and inside ``WITH RECURSIVE`` (the
+# clusters oracle) a non-materialized CTE is re-evaluated every
+# iteration of the recursion (measured: 71 s -> 0.7 s).
+ORACLE_JACCARD_PAIR_CTES = f"""
+        shl AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct(list_transform(
                        generate_series(1, greatest(length(lower(text)) - {SHINGLE_K - 1}, 1)),
                        i -> lower(text)[i:i+{SHINGLE_K - 1}])) AS s
             FROM documents
         ),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   len(list_intersect(a.s, b.s)) AS inter,
-                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-            FROM sh a, sh b
+        sh_post AS MATERIALIZED (SELECT doc_id, unnest(s) AS s FROM shl),
+        sh_cnt AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM shl),
+        sh_co AS MATERIALIZED (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh_post a JOIN sh_post b USING (s)
             WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jpairs AS MATERIALIZED (
+            SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
+            FROM sh_co JOIN sh_cnt ca ON ca.doc_id = sh_co.doc_a
+                       JOIN sh_cnt cb ON cb.doc_id = sh_co.doc_b
+            WHERE inter::DOUBLE / (ca.n + cb.n - inter) >= {JACCARD_THRESHOLD}
         )
-        SELECT doc_a, doc_b, inter, uni, round(inter::DOUBLE / uni, 4) AS jac
-        FROM pairs
-        WHERE inter::DOUBLE / uni >= {JACCARD_THRESHOLD}
+"""
+
+_ORACLE_EXACT_JACCARD = f"""
+        WITH {ORACLE_JACCARD_PAIR_CTES}
+        SELECT doc_a, doc_b, inter, uni,
+               round(inter::DOUBLE / uni, 4) AS jac
+        FROM jpairs
 """
 
 
@@ -356,23 +376,15 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATERIALIZED pair CTEs are essential here: inside WITH RECURSIVE a
+# plain CTE would be re-evaluated on every iteration of ``reach``
+# (measured 71 s -> 0.7 s at sf0.01 after materializing).
 _ORACLE_DEDUP_CLUSTERS = f"""
-        WITH RECURSIVE sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                generate_series(1, greatest(length(lower(text)) - {SHINGLE_K - 1}, 1)),
-                i -> lower(text)[i:i+{SHINGLE_K - 1}])) AS s
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sh a, sh b
-            WHERE a.doc_id < b.doc_id
-              AND len(list_intersect(a.s, b.s))::DOUBLE
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-                  >= {JACCARD_THRESHOLD}
-        ), edges AS (
-            SELECT doc_a AS s, doc_b AS t FROM pairs
+        WITH RECURSIVE {ORACLE_JACCARD_PAIR_CTES},
+        edges AS MATERIALIZED (
+            SELECT doc_a AS s, doc_b AS t FROM jpairs
             UNION ALL
-            SELECT doc_b, doc_a FROM pairs
+            SELECT doc_b, doc_a FROM jpairs
         ), reach AS (
             SELECT s AS doc_id, s AS r FROM edges
             UNION
