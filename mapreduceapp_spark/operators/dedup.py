@@ -27,6 +27,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,6 +51,22 @@ LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: ≥1 band equal
+
+
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Set a checkpoint directory if the session has none.
+
+    Reliable ``DataFrame.checkpoint()`` needs one. On a cluster the
+    operator (the human one) points this at durable shared storage
+    (HDFS/object store) via ``sparkContext.setCheckpointDir`` before
+    running; this fallback keeps local[*] runs and tests working
+    without ceremony by using a process-temp directory.
+    """
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="mrapp_ckpt_"))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,15 +302,21 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (O(total shingles) rows, skew-prone); this shuffles one row
     per (doc, band) — 16 rows per doc regardless of document size.
 
-    100 TB note: this lazy plan re-derives the shingle/signature pass
-    for the banding branch and each verification side (3 scans). At
-    bench scale the pass is ~1s so purity wins; at petabyte scale
-    you'd stage the signature table once (write parquet, read
-    thrice) — the classic materialize-the-cheap-derivation trade,
-    deliberately NOT hidden inside this builder so the query stays
-    side-effect-free.
+    100 TB note — staged signature table: the shingle+signature
+    Arrow pass is consumed by five branches (banding, two prefilter
+    sides, two verification sides). Left lazy, each branch re-runs
+    the full corpus scan. The pass is staged ONCE via
+    ``persist(MEMORY_AND_DISK)`` — Spark's native "write once, read
+    N times" materialization: still lazy at build time (no job until
+    the driver acts), populated by the first stage that needs it,
+    served from executor-local storage to the rest, recomputed from
+    lineage on executor loss. At 100 TB this is one corpus scan
+    instead of five; storage cost is the shingle+signature columns
+    on executor disks, the classic materialize-the-derivation trade.
     """
-    sh = _doc_shingles_with_minhash(spark, sf_dir)
+    sh = _doc_shingles_with_minhash(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # band key folds the band index into the hash so one long column
     # keys the shuffle; bucket membership via groupBy + in-bucket
     # pair expansion beats a self-join on the same key (one shuffle
@@ -356,11 +379,12 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sig_agree") >= MINHASH_PERMS // 2)
         .select("doc_a", "doc_b")
     )
-    # verification joins need only the shingle sets — use the plain
-    # shingle pass so the signature work isn't recomputed per branch
-    shv = _doc_shingles(spark, sf_dir)
-    sa = shv.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shv.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verification reads the shingle sets from the SAME staged table
+    # (pre-staging this was a separate plain-shingle derivation so the
+    # signature work wasn't recomputed per branch; with the table
+    # staged, one combined pass serves every branch)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         est.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -430,8 +454,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the initial labels all re-derive from it, and without the
     # checkpoint each branch would re-run the whole detection
     # pipeline (measured 23s vs 6s at sf0.1).
+    #
+    # RELIABLE checkpoints (not localCheckpoint): localCheckpoint
+    # stores blocks in executor storage with no lineage left to
+    # recompute from, so one executor loss mid-fixpoint kills the
+    # whole job — unacceptable for a long iterative run on a real
+    # cluster. checkpoint() writes to the configured checkpoint
+    # directory (durable shared storage on a cluster; a temp dir on
+    # local[*]) and survives executor loss. The per-round lineage
+    # cut it provides is the same one that took the sf0.1 run from
+    # 23 s to 6 s when first introduced.
+    _ensure_checkpoint_dir(spark)
     pairs = (
-        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").checkpoint()
     )
     edges = pairs.unionByName(
         pairs.select(
@@ -441,8 +476,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nodes start labeled with themselves
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
-    ).localCheckpoint()
-    for _ in range(20):  # components are shallow; bound is a backstop
+    ).checkpoint()
+    # Components are near-dup families — diameter is typically tiny —
+    # but the bound is a backstop, not a correctness assumption: if
+    # the loop exits without converging (a component with diameter >
+    # the bound, e.g. a long chain of pairwise near-dups), the labels
+    # would be silently wrong, so raise instead of returning them.
+    max_rounds = 20
+    changed = -1
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_a == labels.doc_id)
             .groupBy(F.col("doc_b").alias("doc_id"))
@@ -456,7 +498,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()  # fixpoint loop: cut lineage per round
+            .checkpoint()  # fixpoint loop: cut lineage per round
         )
         changed = (
             new_labels.alias("n")
@@ -467,6 +509,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"q_dedup_clusters: min-label propagation did not converge "
+            f"within {max_rounds} rounds ({changed} labels still "
+            f"changing); a near-dup component has diameter > "
+            f"{max_rounds} — raise the bound for this corpus"
+        )
     return labels.select("doc_id", "cluster_id")
 
 
