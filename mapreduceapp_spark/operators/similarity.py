@@ -45,6 +45,14 @@ KNN_K = 10
 # Query set: every 100th vector — small by construction (N/100), so
 # Spark broadcasts it and the full table is scanned exactly once.
 KNN_QUERY_PRED = "vec_id % 100 = 0"
+# Brute-force kNN broadcasts the query set to every executor. N/100
+# grows with the corpus, so an unguarded broadcast would silently
+# become a multi-GB OOM at 100 TB. 100k 64-dim int64-quantized rows
+# ≈ 64 MB serialized — comfortably broadcastable; above that the IVF
+# path (q_ann_ivf) is the right tool. Enforced lazily at execution
+# time (see q_knn_cosine), not with a driver-side count, so the
+# builder stays a pure plan.
+KNN_MAX_BROADCAST_QUERIES = 100_000
 NEARDUP_COS_THRESHOLD = 0.45  # sits in a gap of the data's cosine distribution
 NEARDUP_BLOCKS = 8  # GEMM tiling factor; scale with N so a tile fits in memory
 
@@ -94,6 +102,19 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     build side is tiny) → exact int dot products in codegen → one
     shuffle keyed by query_id for the top-k window. No O(N²) pair
     blow-up; N·Q score rows only.
+
+    Guard: the broadcast side is bounded by
+    ``KNN_MAX_BROADCAST_QUERIES``. The check is part of the plan — a
+    one-row count aggregate of the query side is broadcast-joined in,
+    and the scoring expression adds ``when(count > cap, raise_error)
+    otherwise 0.0`` — so the builder stays lazy (no driver-side
+    count) and the job fails fast with a clear message instead of
+    OOM-ing executors when the query set outgrows the broadcast
+    budget. The guard value feeds the output column (adding exactly
+    0.0 when under budget), which is what stops Catalyst's column
+    pruning from optimizing the check away — a dropped standalone
+    assert column would be pruned, silently disabling the guard (this
+    was observed, not hypothesized). Beyond the cap, use q_ann_ivf.
     """
     e = _quantized(spark, sf_dir)
     q = e.filter(KNN_QUERY_PRED).select(
@@ -101,15 +122,32 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("q_qv"),
         F.col("sq").alias("q_sq"),
     )
+    qcnt = q.agg(F.count(F.lit(1)).alias("_nq"))  # one bigint row
+    over_budget = F.when(
+        F.col("_nq") > KNN_MAX_BROADCAST_QUERIES,
+        F.raise_error(
+            F.concat(
+                F.lit("q_knn_cosine: query set has "),
+                F.col("_nq").cast("string"),
+                F.lit(
+                    f" rows, over the broadcast budget of "
+                    f"{KNN_MAX_BROADCAST_QUERIES}; use q_ann_ivf for "
+                    f"large query sets"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(F.lit(0.0))
     scored = (
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(qcnt))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(dot(F.col("q_qv"), F.col("qv")), F.col("q_sq"), F.col("sq")).alias(
-                "cos"
-            ),
+            (
+                cosine(dot(F.col("q_qv"), F.col("qv")), F.col("q_sq"), F.col("sq"))
+                + over_budget
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -130,3 +130,23 @@ def test_ann_ivf_scans_a_fraction(spark, sf_dir):
     worst = max(by_query.values())
     assert worst < 0.8 * n, f"scanned {worst}/{n} rows — no pruning happened"
     assert c > IVF_NPROBE, "test premise: more lists than probes"
+
+
+def test_knn_broadcast_guard(spark, sf_dir, monkeypatch):
+    """The broadcast-budget guard must fail the JOB (at action time,
+    lazily planned) when the query set exceeds the cap, with a
+    message pointing at the IVF path — and must stay invisible when
+    under budget. Catalyst column pruning silently removed a
+    first-cut standalone assert column; this test pins the
+    un-prunable formulation."""
+    import pytest
+
+    import mapreduceapp_spark.operators.similarity as sim
+
+    under = sim.q_knn_cosine(spark, sf_dir)
+    assert under.count() > 0  # plan builds and runs under budget
+
+    monkeypatch.setattr(sim, "KNN_MAX_BROADCAST_QUERIES", 1)
+    over = sim.q_knn_cosine(spark, sf_dir)  # builds fine: guard is lazy
+    with pytest.raises(Exception, match="broadcast budget"):
+        over.count()
