@@ -41,7 +41,18 @@ RANGE_GAP_US = 300_000_000  # 5 minutes in microseconds
                b.value AS asof_purchase_value,
                (epoch_us(a.ts) - epoch_us(b.ts)) // 1000000 AS secs_since
         FROM events a
-        ASOF JOIN (SELECT * FROM events WHERE event_type = '{ASOF_MARKER}') b
+        ASOF JOIN (
+            -- two purchases at the same (user, ts) would make the
+            -- as-of value engine-arbitrary; keep the max-event_id one
+            -- per instant (the Spark window's tiebreak) so both
+            -- engines resolve ties identically
+            SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = '{ASOF_MARKER}'
+            ) WHERE rn = 1
+        ) b
           ON a.user_id = b.user_id AND a.ts >= b.ts
     """,
     doc="As-of join: each event matched to the user's most recent purchase at-or-before it.",
@@ -54,7 +65,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a real as-of implementation).
 
     Tie discipline: at equal ts the marker sorts first (tag 0 < 1),
-    making the match inclusive, matching ASOF's ``>=``.
+    making the match inclusive, matching ASOF's ``>=``. Among
+    markers at the SAME (user, ts) the ordering adds the marker's
+    original event_id as a final tiebreak, so the carried value is
+    deterministically the max-event_id purchase — without it the
+    window order between equal-ts markers is engine-arbitrary and
+    the result could differ run to run (and from the oracle, which
+    applies the same keep-max-event_id rule).
     """
     ev = tables(spark, sf_dir).events
     left = ev.select(
@@ -62,6 +79,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.lit(1).alias("tag"),
+        F.col("event_id").alias("tie"),
         F.lit(None).cast("timestamp").alias("p_ts"),
         F.lit(None).cast("double").alias("p_value"),
     )
@@ -72,13 +90,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.lit(0).alias("tag"),
+            F.col("event_id").alias("tie"),
             F.col("ts").alias("p_ts"),
             F.col("value").alias("p_value"),
         )
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "tag")
+        .orderBy("ts", "tag", "tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = left.unionByName(right).select(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,19 @@ STATE_SCHEMA = "n bigint, scaled bigint"
 _SCALE = 100  # value carries 2 decimals (decimal-sum convention)
 
 
+def scaled_int_sum(values: pd.Series) -> int:
+    """Exact scaled-int sum of a 2-decimal measure, mirroring
+    :func:`~mapreduceapp_spark.functions.numeric.exact_decimal_sum`
+    exactly: scale once, round half-AWAY-FROM-ZERO once (Spark
+    F.round semantics). The numpy/pandas default is half-even, which
+    diverges from the batch twin at representable half-way points
+    (e.g. a 3-decimal 0.125 -> 12 half-even vs 13 half-up), so round
+    via floor(x+0.5)/ceil(x-0.5) instead of Series.round."""
+    v = values.to_numpy() * _SCALE
+    snapped = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+    return int(snapped.astype("int64").sum())
+
+
 def fold_user_state(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
@@ -57,7 +71,7 @@ def fold_user_state(
         n += len(pdf)
         # exact int accumulation of a 2-decimal measure — see
         # functions/numeric.py for why this is engine-stable
-        scaled += int(round(pdf["value"], 2).mul(_SCALE).round().astype("int64").sum())
+        scaled += scaled_int_sum(pdf["value"])
     state.update((n, scaled))
     yield pd.DataFrame(
         {

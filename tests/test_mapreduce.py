@@ -51,3 +51,22 @@ def test_generic_harness_wordcount(spark):
         ("maps", 1),
         ("reduces", 1),
     }
+
+
+def test_mr_charcount_golden(spark, tmp_path):
+    """F-CHARCOUNT through the generic UDF harness: the reference
+    sample client's exact inputs (/root/reference/SampleClient.cpp:74-76)
+    must produce the contract-specified counts a:4 b:3 v:2 d:7 j:6
+    (FIXTURES.md) — pinning run_mapreduce the same way the codegen
+    path is pinned by tests/test_text.py::test_charcount_golden."""
+    docs = spark.createDataFrame(
+        [(1, "aaabbvvab"), (2, "dddjjj"), (3, "jjjdddd")], ["doc_id", "text"]
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    out = get_query("q_mr_charcount").builder(spark, sf_dir)
+    got = {r["c"]: r["cnt"] for r in out.collect()}
+    assert got == {"a": 4, "b": 3, "v": 2, "d": 7, "j": 6}

@@ -54,3 +54,23 @@ def test_stateful_stream_converges_to_batch(spark, sf_dir, tmp_path):
     # equality above also proves multiple batches folded state, but
     # make the multi-batch premise explicit:
     assert len(final) > 0
+
+
+def test_scaled_int_sum_matches_spark_round_semantics(spark):
+    """The streaming fold's rounding must be HALF_UP (away from
+    zero), exactly like the batch twin's F.round — pandas' default
+    half-even silently diverges at representable half-way points."""
+    import pandas as pd
+
+    from mapreduceapp_spark.streaming.stateful import scaled_int_sum
+
+    vals = [0.125, 0.135, -0.125, 2.675, 1.005, 0.0, -3.875]
+    got = scaled_int_sum(pd.Series(vals))
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    want = df.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s")
+    ).collect()[0]["s"]
+    assert got == want
