@@ -104,17 +104,24 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up; N·Q score rows only.
 
     Guard: the broadcast side is bounded by
-    ``KNN_MAX_BROADCAST_QUERIES``. The check is part of the plan — a
-    one-row count aggregate of the query side is broadcast-joined in,
-    and the scoring expression adds ``when(count > cap, raise_error)
-    otherwise 0.0`` — so the builder stays lazy (no driver-side
-    count) and the job fails fast with a clear message instead of
-    OOM-ing executors when the query set outgrows the broadcast
-    budget. The guard value feeds the output column (adding exactly
-    0.0 when under budget), which is what stops Catalyst's column
-    pruning from optimizing the check away — a dropped standalone
-    assert column would be pruned, silently disabling the guard (this
-    was observed, not hypothesized). Beyond the cap, use q_ann_ivf.
+    ``KNN_MAX_BROADCAST_QUERIES``. The check is part of the plan —
+    lazy, no driver-side count — and is engineered to cost nothing:
+
+    - the count aggregate reads ``limit(cap+1)`` of a one-column
+      projection, so it early-terminates instead of fully scanning
+      the table a second time (at 100 TB an unbounded count would BE
+      a second corpus scan);
+    - the guard folds into ``query_id`` on the QUERY side before the
+      broadcast (``+ when(count > cap, raise_error).otherwise(0)``),
+      so it evaluates Q times during broadcast build, not N·Q times
+      in the scoring loop (a first cut on the scored side cost ~25%
+      of query runtime at sf0.1);
+    - it must feed a live output column at all: a standalone assert
+      column gets removed by Catalyst column pruning, silently
+      disabling the guard (observed, not hypothesized).
+
+    The job fails fast with a pointer at q_ann_ivf when the query
+    set outgrows the broadcast budget.
     """
     e = _quantized(spark, sf_dir)
     q = e.filter(KNN_QUERY_PRED).select(
@@ -122,32 +129,31 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("q_qv"),
         F.col("sq").alias("q_sq"),
     )
-    qcnt = q.agg(F.count(F.lit(1)).alias("_nq"))  # one bigint row
+    qcnt = q.select("query_id").limit(KNN_MAX_BROADCAST_QUERIES + 1).agg(
+        F.count(F.lit(1)).alias("_nq")
+    )
     over_budget = F.when(
         F.col("_nq") > KNN_MAX_BROADCAST_QUERIES,
         F.raise_error(
-            F.concat(
-                F.lit("q_knn_cosine: query set has "),
-                F.col("_nq").cast("string"),
-                F.lit(
-                    f" rows, over the broadcast budget of "
-                    f"{KNN_MAX_BROADCAST_QUERIES}; use q_ann_ivf for "
-                    f"large query sets"
-                ),
+            F.lit(
+                f"q_knn_cosine: query set exceeds the broadcast "
+                f"budget of {KNN_MAX_BROADCAST_QUERIES} rows; use "
+                f"q_ann_ivf for large query sets"
             )
-        ).cast("double"),
-    ).otherwise(F.lit(0.0))
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    guarded_q = q.crossJoin(F.broadcast(qcnt)).select(
+        (F.col("query_id") + over_budget).alias("query_id"), "q_qv", "q_sq"
+    )
     scored = (
-        F.broadcast(q)
+        F.broadcast(guarded_q)
         .join(e, F.col("vec_id") != F.col("query_id"))
-        .crossJoin(F.broadcast(qcnt))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                cosine(dot(F.col("q_qv"), F.col("qv")), F.col("q_sq"), F.col("sq"))
-                + over_budget
-            ).alias("cos"),
+            cosine(dot(F.col("q_qv"), F.col("qv")), F.col("q_sq"), F.col("sq")).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
