@@ -1,0 +1,456 @@
+"""LLM training-data preparation operators (SURVEY.md §2.C family).
+
+Beyond the §2.C rows, these are the remaining operations a
+large-scale pretraining-data pipeline runs corpus-wide: benchmark
+decontamination, n-gram statistics, lexical relevance ranking
+(BM25), domain-mixture sampling, and intra-document repetition
+filtering. The reference has no analog (its operator surface is
+A1–A9, ``MapReduceFramework.cpp:1-383``); these follow the same
+engine conventions as the rest of the §2.C surface: declarative
+plans, broadcast-not-shuffle for small sides, and outputs that are
+integer-exact (or explicitly rounded scalars) so every query
+hash-matches its DuckDB oracle.
+
+Shared determinism rules (see memory of functions/numeric.py):
+- counts/flags are integers end-to-end; threshold comparisons are
+  integer cross-multiplications, never float ratios;
+- the only floats are final ``round(x, 4)`` columns;
+- ranking over floats always ranks on the ROUNDED value with an id
+  tiebreak, so a last-ulp engine difference cannot flip an order.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE, tokens
+from mapreduceapp_spark.operators.curation import hash_bucket, oracle_hash_bucket
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.sources import tables
+
+# ---------------------------------------------------------------- helpers
+
+# Every 7th doc plays the held-out benchmark; everything else is the
+# training corpus to be decontaminated against it. (Chosen so the
+# overlap set is non-empty at every test SF — an empty result would
+# make the oracle hash check vacuous.)
+PROBE_MOD = 7
+CONTAM_NGRAM = 8  # word 8-grams: standard decontamination unit
+
+BM25_TERMS = ("spark", "join", "window", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+MIX_BUCKETS = 100  # house hash_bucket granularity (±1% rate resolution)
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 1, 2  # keep ~half the corpus tokens
+
+REP_NGRAM = 3
+REP_MAX_PCT = 5  # flag docs with >5% repeated 3-grams
+
+
+def word_grams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams of an array<string> column (empty
+    when the doc has fewer than n words). Pure codegen, no UDF.
+
+    Built as a ``zip_with`` chain — gram_k = zip(gram_{k-1},
+    words[k:]) — which is O(n·k) per doc. The obvious
+    ``transform(sequence(...), i -> array_join(slice(words, i, k)))``
+    form re-slices the array per index, O(n·k) ALLOCATIONS of k-element
+    arrays plus per-slice join overhead: measured 6.9 s vs 0.9 s at
+    sf0.1 for the 3-gram repetition scan. ``zip_with`` truncates to
+    the shorter input, which yields exactly len−k+1 grams with no
+    index arithmetic."""
+    grams = words
+    for k in range(1, n):
+        # words shifted left by k, zipped onto the growing prefix gram.
+        # zip_with pads the shorter side with nulls (concat_ws skips
+        # them), so the tail carries partial grams — sliced off below.
+        shifted = F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(
+        F.size(words) >= n, F.slice(grams, 1, F.size(words) - n + 1)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _oracle_words(src: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        f"'{TOKEN_SPLIT_RE}'), x -> x <> '') AS w FROM {src}"
+    )
+
+
+def _oracle_grams(n: int) -> str:
+    """DuckDB twin of :func:`word_grams` + unnest, over CTE ``toks``."""
+    return f"""
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(w) - {n - 1}, 0)),
+                   i -> array_to_string(w[i:i+{n - 1}], ' '))) AS gram
+        FROM toks
+    """
+
+
+# ------------------------------------------------- benchmark decontamination
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+        WITH toks AS MATERIALIZED ({_oracle_words()}),
+        g AS MATERIALIZED ({_oracle_grams(CONTAM_NGRAM)}),
+        probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % {PROBE_MOD} = 0),
+        corpus AS (SELECT DISTINCT doc_id, gram FROM g
+                   WHERE doc_id % {PROBE_MOD} <> 0)
+        SELECT doc_id, count(*) AS n_overlap
+        FROM corpus JOIN probe USING (gram)
+        GROUP BY doc_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing 8-grams with the probe set.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents that share any word 8-gram with a
+    held-out benchmark ("probe") set — the decontamination pass every
+    serious pretraining pipeline runs before training.
+
+    Probe set = every 97th doc (stands in for an eval benchmark);
+    output = every other doc that contains at least one probe
+    8-gram, with the count of distinct overlapping grams.
+
+    Scale shape: the probe side is benchmark-sized (tiny vs the
+    corpus), so its distinct 8-grams BROADCAST; the corpus side is a
+    map-only explode → broadcast hash join → one aggregation keyed
+    by doc_id. The corpus' n-grams are never shuffled — only the
+    matching (doc, gram) rows reach the exchange, and 8-gram
+    collisions are near-nonexistent between genuinely different
+    docs, so the shuffle is a few rows per contaminated doc. At
+    100 TB this is one corpus scan + a benchmark-sized broadcast.
+    """
+    d = tables(spark, sf_dir).documents
+    w = tokens("text")
+    # Stage the exploded gram table once (same persist-as-staging
+    # convention as the MinHash signature table): the probe branch
+    # and the corpus branch both consume it, and left lazy each
+    # would re-run the tokenize + 8-gram build over the full corpus.
+    # Measured 2.7s -> 1.9s at sf0.1. At 100 TB the staged gram
+    # table is ~NGRAM x corpus bytes on executor disks — if that is
+    # too hot, drop the persist and pay the second scan instead; the
+    # plan is correct either way.
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(word_grams(w, CONTAM_NGRAM))).alias("gram")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    probe = grams.filter(F.col("doc_id") % PROBE_MOD == 0).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") % PROBE_MOD != 0)
+    return (
+        corpus.join(F.broadcast(probe), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+# ----------------------------------------------------------- n-gram counts
+
+
+NGRAM_TOPK = 20
+
+
+@register(
+    "q_ngram_counts",
+    oracle=f"""
+        WITH toks AS MATERIALIZED ({_oracle_words()}),
+        g2 AS ({_oracle_grams(2)}),
+        g3 AS ({_oracle_grams(3)}),
+        counts AS (
+            SELECT 2 AS n, gram, count(*) AS cnt FROM g2 GROUP BY gram
+            UNION ALL
+            SELECT 3 AS n, gram, count(*) AS cnt FROM g3 GROUP BY gram
+        ),
+        ranked AS (
+            SELECT n, gram, cnt,
+                   row_number() OVER (PARTITION BY n
+                                      ORDER BY cnt DESC, gram) AS rnk
+            FROM counts
+        )
+        SELECT n, gram, cnt, rnk FROM ranked WHERE rnk <= {NGRAM_TOPK}
+    """,
+    doc="Corpus n-gram LM counts: top-20 word bigrams and trigrams.",
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram statistics (the counting half of a count-
+    based LM / the frequency tables quality heuristics read): top-20
+    bigrams and trigrams by frequency, deterministic (count desc,
+    gram asc) order.
+
+    Scale shape: explode → groupBy(gram) with map-side partial
+    aggregation (the combiner carries one row per distinct gram per
+    partition, not one per occurrence), then a top-k window over the
+    small aggregated side, partitioned by n — two shuffles, both on
+    aggregated data. Natural-language gram distributions are zipfian;
+    the partial agg absorbs the head, and no single reducer key
+    exceeds the most frequent gram's distinct-partition count.
+    """
+    d = tables(spark, sf_dir).documents
+    w = tokens("text")
+    parts = []
+    for n in (2, 3):
+        grams = d.select(F.explode(word_grams(w, n)).alias("gram"))
+        parts.append(
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(n).alias("n"), "gram", "cnt")
+        )
+    counts = parts[0].unionByName(parts[1])
+    rw = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= NGRAM_TOPK)
+        .select("n", "gram", "cnt", "rnk")
+    )
+
+
+# ------------------------------------------------------------------- BM25
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+        WITH toks AS MATERIALIZED ({_oracle_words()}),
+        tf AS MATERIALIZED (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+            WHERE term IN {BM25_TERMS!r}
+            GROUP BY doc_id, term
+        ),
+        dl AS MATERIALIZED (SELECT doc_id, len(w) AS dl FROM toks),
+        stats AS MATERIALIZED (
+            SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS total_dl
+            FROM toks
+        ),
+        idf AS MATERIALIZED (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+                   * (tf.tf * ({BM25_K1} + 1))
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B}
+                      * (dl.dl / (CAST(stats.total_dl AS DOUBLE)
+                                  / stats.n_docs)))) AS score
+            FROM tf
+            JOIN dl ON dl.doc_id = tf.doc_id
+            JOIN idf ON idf.term = tf.term
+            CROSS JOIN stats
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, round(score, 4) AS score,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY round(score, 4) DESC,
+                                               doc_id) AS rnk
+            FROM scored
+        )
+        SELECT term, doc_id, tf, score, rnk
+        FROM ranked WHERE rnk <= {BM25_TOPK}
+    """,
+    doc="BM25 lexical ranking: top-10 docs per query term.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scores (k1=1.2, b=0.75) for a fixed query-term
+    set, top-10 documents per term — the lexical-retrieval primitive
+    of data-curation pipelines (e.g. selecting in-domain documents
+    by query relevance).
+
+    Cross-engine float note: every BM25 input (tf, df, N, dl,
+    total_dl) is an exact integer and both engines evaluate the
+    identical expression tree, so the only nondeterminism source is
+    ``ln``, where JVM ``Math.log`` and libm disagree by 1 ulp on
+    ~25% of inputs (measured). The output rounds to 4 decimals and
+    RANKS ON THE ROUNDED VALUE with a doc_id tiebreak, so a 1-ulp
+    drift changes the result only if a true score sits within ~1e-12
+    of a 0.00005 boundary (probability ~1e-9 per corpus; verified
+    clean at sf 0.001/0.01/0.1).
+
+    Scale shape: term-frequency is a filtered explode (only query
+    terms survive the map side) → groupBy(doc, term); df and corpus
+    stats are tiny aggregates CROSS-JOINED in via broadcast (one row
+    / |terms| rows); the final top-k windows over |terms| small
+    partitions. The corpus is scanned twice (tf pass + dl/stats
+    pass) — at 100 TB fuse them by caching the tokenized projection
+    or precomputing dl at ingest; here the scans are parquet-pruned
+    to (doc_id, text).
+    """
+    d = tables(spark, sf_dir).documents
+    toks = d.select("doc_id", tokens("text").alias("w"))
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = toks.select("doc_id", F.size("w").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).alias("total_dl"),
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    score = (
+        F.ln(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", F.round(score, 4).alias("score"))
+    )
+    rw = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("term", "doc_id", "tf", "score", "rnk")
+    )
+
+
+# -------------------------------------------------------- domain mixture
+
+
+def _mix_weight_sql(src: str) -> str:
+    # weight 1..3 from the numeric suffix of the source name
+    return f"(1 + CAST(substr({src}, 4) AS BIGINT) % 3)"
+
+
+@register(
+    "q_domain_mix",
+    oracle=f"""
+        WITH doc_tok AS MATERIALIZED (
+            SELECT doc_id, source,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS ntok
+            FROM documents
+        ),
+        per_src AS MATERIALIZED (
+            SELECT source, {_mix_weight_sql('source')} AS w,
+                   CAST(sum(ntok) AS BIGINT) AS src_tok
+            FROM doc_tok GROUP BY source
+        ),
+        totals AS MATERIALIZED (
+            SELECT CAST(sum(src_tok) AS BIGINT) AS total_tok,
+                   CAST(sum(w) AS BIGINT) AS sum_w
+            FROM per_src
+        ),
+        kept AS (
+            SELECT d.doc_id, d.source, d.ntok
+            FROM doc_tok d
+            JOIN per_src s ON s.source = d.source
+            CROSS JOIN totals t
+            WHERE {oracle_hash_bucket('d.doc_id', MIX_BUCKETS, 'mix:')}
+                  * s.src_tok * {MIX_BUDGET_DEN} * t.sum_w
+                  < {MIX_BUCKETS} * s.w * t.total_tok * {MIX_BUDGET_NUM}
+        )
+        SELECT source, count(*) AS n_docs_kept,
+               CAST(sum(ntok) AS BIGINT) AS tok_kept
+        FROM kept GROUP BY source
+    """,
+    doc="Domain-mixture sampling: weighted per-source keep-rates hitting a token budget.",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: re-weight the corpus so
+    each source contributes tokens proportional to a target weight
+    (here 1–3×, derived from the source id), under a global budget of
+    half the corpus tokens — the "data mixing" step that turns a raw
+    crawl into a training mixture.
+
+    Per-source keep-rate r_s = min(1, budget_s / tokens_s) with
+    budget_s = w_s · total_tokens · (1/2) / Σw. A document is kept
+    iff its salted hash bucket clears the rate — evaluated as a pure
+    INTEGER cross-multiplication (bucket · tokens_s · 2 · Σw <
+    4096 · w_s · total_tokens), so there is no float threshold to
+    flicker between engines, and assignment is a pure function of
+    doc_id (stable under retries, repartitioning, and subsetting —
+    same discipline as q_sample_split).
+
+    Scale shape: one tiny per-source aggregate (|sources| rows) and
+    its one-row total, both broadcast back; the keep decision is
+    map-only; one final aggregation. Token counts reuse the same
+    integer-exact sums the curation pipeline uses. At 100 TB: two
+    scans of a two-column projection + a |sources|-row broadcast.
+    """
+    d = tables(spark, sf_dir).documents
+    doc_tok = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("ntok"),
+    )
+    per_src = doc_tok.groupBy("source").agg(
+        F.sum("ntok").alias("src_tok")
+    ).withColumn("w", 1 + F.substring("source", 4, 10).cast("long") % 3)
+    totals = per_src.agg(
+        F.sum("src_tok").alias("total_tok"), F.sum("w").alias("sum_w")
+    )
+    kept = (
+        doc_tok.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            hash_bucket(F.col("doc_id"), MIX_BUCKETS, "mix:")
+            * F.col("src_tok") * MIX_BUDGET_DEN * F.col("sum_w")
+            < F.lit(MIX_BUCKETS) * F.col("w") * F.col("total_tok") * MIX_BUDGET_NUM
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("ntok").alias("tok_kept"),
+    )
+
+
+# ---------------------------------------------------- repetition filtering
+
+
+@register(
+    "q_repetition_filter",
+    oracle=f"""
+        WITH toks AS MATERIALIZED ({_oracle_words()}),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(w) - {REP_NGRAM - 1}, 0)),
+                       i -> array_to_string(w[i:i+{REP_NGRAM - 1}], ' ')) AS grams
+            FROM toks
+        )
+        SELECT doc_id,
+               len(grams) AS n_grams,
+               len(list_distinct(grams)) AS n_distinct,
+               CASE WHEN (len(grams) - len(list_distinct(grams))) * 100
+                         > len(grams) * {REP_MAX_PCT}
+                    THEN 1 ELSE 0 END AS repetitive
+        FROM g
+    """,
+    doc="Intra-document repetition filter: repeated-3-gram ratio per doc.",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition scoring (the Gopher/C4-style "repeated
+    n-gram fraction" quality rule): count total vs distinct word
+    3-grams and flag documents whose repeated fraction exceeds 5%.
+
+    The flag is an integer cross-multiplication
+    ((n − d) · 100 > n · 5), not a float ratio — exact in both
+    engines. Entirely map-side: no explode reaches a shuffle, no
+    shuffle at all (the n-gram array lives and dies inside one
+    projection); at 100 TB this runs at scan speed alongside the
+    other per-doc quality signals.
+    """
+    d = tables(spark, sf_dir).documents
+    grams = word_grams(tokens("text"), REP_NGRAM)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return d.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when((n - nd) * 100 > n * REP_MAX_PCT, 1).otherwise(0).alias("repetitive"),
+    )

@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "mapreduceapp_spark.operators.similarity",
     "mapreduceapp_spark.operators.multimodal",
     "mapreduceapp_spark.operators.mapreduce",
+    "mapreduceapp_spark.operators.llmprep",
 )
 
 

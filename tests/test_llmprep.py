@@ -1,0 +1,121 @@
+"""LLM data-prep operators: oracle parity + semantic invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import assert_matches_oracle
+
+QUERIES = [
+    "q_contamination",
+    "q_ngram_counts",
+    "q_bm25",
+    "q_domain_mix",
+    "q_repetition_filter",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_llmprep_oracle(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_contamination_nonvacuous(spark, sf_dir):
+    """The probe density must produce real overlap at test SF —
+    an empty result would make the oracle comparison vacuous."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_contamination").builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    from mapreduceapp_spark.operators.llmprep import PROBE_MOD
+
+    for r in rows:
+        assert r["doc_id"] % PROBE_MOD != 0, "probe docs must not be flagged"
+        assert r["n_overlap"] >= 1
+
+
+def test_ngram_counts_shape(spark, sf_dir):
+    from mapreduceapp_spark.operators.llmprep import NGRAM_TOPK
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_ngram_counts").builder(spark, sf_dir).collect()
+    by_n: dict[int, list] = {}
+    for r in rows:
+        by_n.setdefault(r["n"], []).append(r)
+    assert set(by_n) == {2, 3}
+    for n, grp in by_n.items():
+        assert len(grp) == NGRAM_TOPK
+        ranked = sorted(grp, key=lambda r: r["rnk"])
+        cnts = [r["cnt"] for r in ranked]
+        assert cnts == sorted(cnts, reverse=True), "counts must be non-increasing"
+        for r in ranked:
+            assert len(r["gram"].split(" ")) == n
+
+
+def test_bm25_rank_consistency(spark, sf_dir):
+    """Ranks must follow (score desc, doc_id asc) within each term,
+    and tf must be positive (only matching docs are scored)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_bm25").builder(spark, sf_dir).collect()
+    assert rows
+    by_term: dict[str, list] = {}
+    for r in rows:
+        assert r["tf"] >= 1
+        assert r["score"] > 0
+        by_term.setdefault(r["term"], []).append(r)
+    for term, grp in by_term.items():
+        ranked = sorted(grp, key=lambda r: r["rnk"])
+        keys = [(-r["score"], r["doc_id"]) for r in ranked]
+        assert keys == sorted(keys), f"rank order broken for {term}"
+
+
+def test_domain_mix_budget(spark, sf_dir):
+    """Kept tokens must respect the global budget (keep-rates are
+    min-capped at 1, so kept <= budget + per-source granularity
+    slack) and higher-weight sources must not be sampled DOWN more
+    aggressively than lower-weight ones of similar size."""
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+    from mapreduceapp_spark.functions.text import tokens as tok
+    import pyspark.sql.functions as F
+
+    kept = {
+        r["source"]: r
+        for r in get_query("q_domain_mix").builder(spark, sf_dir).collect()
+    }
+    d = tables(spark, sf_dir).documents
+    totals = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source").agg(F.sum(F.size(tok("text"))).alias("t")).collect()
+    }
+    total_tok = sum(totals.values())
+    kept_tok = sum(r["tok_kept"] for r in kept.values())
+    # budget = half the corpus; hash granularity is 1/100 per source,
+    # so allow one bucket's worth of slack per source
+    slack = sum(totals.values()) // 100 + len(totals)
+    assert kept_tok <= total_tok // 2 + slack
+    # every source keeps something, and no source keeps more than it has
+    for s, r in kept.items():
+        assert 0 < r["tok_kept"] <= totals[s]
+
+
+def test_repetition_filter_flags_planted_doc(spark, tmp_path):
+    """A doc that is one phrase repeated must be flagged; a doc of
+    all-distinct words must not."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox " * 20, "en", "src0", 400),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0", 48),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    from mapreduceapp_spark.plans.registry import get_query
+
+    got = {
+        r["doc_id"]: r["repetitive"]
+        for r in get_query("q_repetition_filter").builder(spark, sf).collect()
+    }
+    assert got == {1: 1, 2: 0}

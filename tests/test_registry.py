@@ -52,7 +52,9 @@ def test_oracle_sql_mentions_known_tables_only():
             if t in {"unnest", "generate_series", "read_parquet"}:
                 continue
             # CTE names are fine; real tables must be known
-            is_cte = re.search(rf"\b{t}\s+AS\s*\(", sql, re.IGNORECASE)
+            is_cte = re.search(
+                rf"\b{t}\s+AS\s*(MATERIALIZED\s*)?\(", sql, re.IGNORECASE
+            )
             assert is_cte or t in TABLE_NAMES, f"{name}: unknown table {t!r}"
 
 
