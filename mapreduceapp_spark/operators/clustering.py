@@ -1,0 +1,200 @@
+"""Embedding-space clustering for corpus curation (SURVEY.md §2.C
+family — the model-based sibling of the C2/C3 vector operators).
+
+Large-scale pipelines cluster document embeddings to balance topical
+coverage, find semantic outliers, and drive cluster-aware sampling
+(e.g. SemDeDup-style pruning). The engine implements Lloyd's k-means
+with a FIXED number of rounds as a single declarative plan — no
+driver loop, no collected model — which keeps the whole algorithm
+lazy, optimizer-visible, and (unusually for an ML op) bit-for-bit
+checkable against a SQL oracle.
+
+Determinism design (see functions/vectors.py conventions):
+- round 1 distances are pure int64: d(x,c) = |x|² − 2⟨x,c⟩ + |c|²
+  over the engine's exact quantized vectors;
+- round 2 centroids are rational means (int sum / int count); the
+  distance fold Σ(x_i − s_i/c)² runs in index order via
+  ``aggregate``/``list_reduce``, so both engines execute the same
+  IEEE operations in the same order — +,−,×,÷ are correctly rounded,
+  hence bit-identical (no transcendentals anywhere);
+- every argmin carries a centroid-id tiebreak.
+
+The reference has no analog (operator surface A1–A9,
+``MapReduceFramework.cpp:1-383``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.functions.vectors import dot, oracle_quantize, quantize, sq_norm
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.sources import tables
+
+EMB_DIM = 64
+# Seeds are a deterministic 1-in-KM_STRIDE sample (the IVF centroid
+# convention, similarity.py): k grows with N, no training job, no
+# stored model, and the seeding is reproducible on any engine.
+KM_STRIDE = 100
+KM_OFFSET = 13
+
+
+def _oracle_fold_dist(x: str, mean_num: str, cnt: str) -> str:
+    """Σ_i (x_i − s_i/c)² folded in index order (DuckDB twin of the
+    Spark ``aggregate(zip_with(...))`` fold)."""
+    term = (
+        f"(({x})[i]::DOUBLE - ({mean_num})[i]::DOUBLE / ({cnt}))"
+        f" * (({x})[i]::DOUBLE - ({mean_num})[i]::DOUBLE / ({cnt}))"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {EMB_DIM}), i -> {term})), "
+        f"(a, b) -> a + b)"
+    )
+
+
+@register(
+    "q_kmeans",
+    oracle=f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id, {oracle_quantize('embedding')} AS x
+            FROM embeddings
+        ),
+        qs AS MATERIALIZED (
+            SELECT vec_id, x,
+                   list_reduce(list_prepend(0::BIGINT,
+                       list_transform(x, v -> v * v)), (a, b) -> a + b) AS sq
+            FROM q
+        ),
+        c0 AS MATERIALIZED (
+            SELECT vec_id AS cid, x AS cx, sq AS csq FROM qs
+            WHERE vec_id % {KM_STRIDE} = {KM_OFFSET}
+        ),
+        d1 AS (
+            SELECT qs.vec_id, qs.x, c0.cid,
+                   qs.sq - 2 * list_reduce(list_prepend(0::BIGINT,
+                       list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> qs.x[i] * c0.cx[i])),
+                       (a, b) -> a + b) + c0.csq AS dist,
+                   row_number() OVER (PARTITION BY qs.vec_id
+                                      ORDER BY qs.sq - 2 * list_reduce(
+                                          list_prepend(0::BIGINT,
+                                          list_transform(generate_series(1, {EMB_DIM}),
+                                                         i -> qs.x[i] * c0.cx[i])),
+                                          (a, b) -> a + b) + c0.csq,
+                                      c0.cid) AS rn
+            FROM qs CROSS JOIN c0
+        ),
+        a1 AS MATERIALIZED (
+            SELECT vec_id, x, cid FROM d1 WHERE rn = 1
+        ),
+        msum AS MATERIALIZED (
+            SELECT cid, i, CAST(sum(x[i]) AS BIGINT) AS s
+            FROM a1 CROSS JOIN generate_series(1, {EMB_DIM}) t(i)
+            GROUP BY cid, i
+        ),
+        m1 AS MATERIALIZED (
+            SELECT msum.cid, cnt.c,
+                   list(msum.s ORDER BY msum.i) AS sx
+            FROM msum
+            JOIN (SELECT cid, count(*) AS c FROM a1 GROUP BY cid) cnt
+              ON cnt.cid = msum.cid
+            GROUP BY msum.cid, cnt.c
+        ),
+        d2 AS (
+            SELECT a1.vec_id, m1.cid,
+                   row_number() OVER (PARTITION BY a1.vec_id
+                                      ORDER BY {_oracle_fold_dist('a1.x', 'm1.sx', 'm1.c')},
+                                               m1.cid) AS rn
+            FROM a1 CROSS JOIN m1
+        ),
+        a2 AS (
+            SELECT vec_id, cid FROM d2 WHERE rn = 1
+        )
+        SELECT cid AS cluster_id,
+               count(*) AS n_members,
+               min(vec_id) AS min_member_id
+        FROM a2 GROUP BY cid
+    """,
+    doc="k-means (2 Lloyd rounds) over embeddings, as one declarative plan.",
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, two rounds, as one lazy DataFrame plan:
+
+    1. *Seed* — centroids are the deterministic 1-in-100 sample.
+    2. *Assign (int)* — broadcast the k seeds; each vector keeps its
+       argmin squared-Euclidean centroid via ``min_by`` on the exact
+       integer distance |x|² − 2⟨x,c⟩ + |c|². The k-way fan-out
+       collapses map-side (the ``q_ann_ivf`` assignment pattern): the
+       one shuffle carries N rows, never N·k.
+    3. *Update* — per-cluster mean as (per-dim int sums, count): 64
+       ``sum`` columns, all partial-aggregated map-side; k rows out.
+    4. *Re-assign (rational)* — broadcast the k (sum, count) rows and
+       fold Σ(x_i − s_i/c)² in index order; argmin with cid tiebreak.
+    5. Emit per-cluster membership stats.
+
+    More rounds = repeat steps 3–4 (each adds one tiny agg + one
+    broadcast join to the plan); two rounds keeps the demo plan
+    readable while exercising both the integer and the rational
+    distance paths. At 100 TB: the only N-sized shuffles are the two
+    assignment aggregates; centroid state (k×64 ints) broadcasts.
+
+    Floats appear only in round 2's distance: means are exact
+    rationals and the fold does identically-ordered IEEE arithmetic
+    on both engines — no transcendentals — so even the argmin over
+    doubles is bit-stable (plus a cid tiebreak for true ties).
+    """
+    e = tables(spark, sf_dir).embeddings
+    qs = e.select(
+        "vec_id", quantize("embedding").alias("x")
+    ).withColumn("sq", sq_norm(F.col("x")))
+    c0 = qs.filter(f"vec_id % {KM_STRIDE} = {KM_OFFSET}").select(
+        F.col("vec_id").alias("cid"),
+        F.col("x").alias("cx"),
+        F.col("sq").alias("csq"),
+    )
+    dist1 = F.col("sq") - 2 * dot(F.col("x"), F.col("cx")) + F.col("csq")
+    a1 = (
+        qs.join(F.broadcast(c0))
+        .withColumn("dist", dist1)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cid", F.struct(F.col("dist").alias("d"), F.col("cid").alias("c"))
+            ).alias("cid"),
+            F.first("x").alias("x"),
+        )
+    )
+    m1 = a1.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.array(
+            *[F.sum(F.element_at("x", i + 1)).alias(f"s{i}") for i in range(EMB_DIM)]
+        ).alias("sx"),
+    )
+    cnt = F.col("c")
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("x"),
+            F.col("sx"),
+            lambda a, b: (a.cast("double") - b.cast("double") / cnt)
+            * (a.cast("double") - b.cast("double") / cnt),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    a2 = (
+        a1.select("vec_id", "x")
+        .join(F.broadcast(m1.select(F.col("cid").alias("mcid"), "c", "sx")))
+        .withColumn("dist", dist2)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "mcid", F.struct(F.col("dist").alias("d"), F.col("mcid").alias("c"))
+            ).alias("cluster_id")
+        )
+    )
+    return a2.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_member_id"),
+    )

@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "mapreduceapp_spark.operators.multimodal",
     "mapreduceapp_spark.operators.mapreduce",
     "mapreduceapp_spark.operators.llmprep",
+    "mapreduceapp_spark.operators.clustering",
 )
 
 
