@@ -63,3 +63,55 @@ def test_exact_dedup_shuffles_hashes_not_bodies(spark, sf_dir):
     # partial agg keys on the 64-hex hash, so 'text' appears in a
     # scan ReadSchema and nowhere in exchange output
     assert f.has_partial_aggregate
+
+
+def test_repetition_filter_is_shuffle_free(spark, sf_dir):
+    """The repetition scan claims scan-speed: the n-gram array must
+    live and die inside one projection — zero exchanges."""
+    f = _facts(spark, sf_dir, "q_repetition_filter")
+    assert f.shuffle_exchanges() == 0, f.text
+    assert f.n_broadcast_exchanges == 0
+
+
+def test_contamination_broadcasts_probe_not_corpus(spark, sf_dir):
+    """Decontamination must broadcast the (benchmark-sized) probe
+    grams and stream the corpus: a SortMergeJoin here would shuffle
+    every corpus n-gram."""
+    f = _facts(spark, sf_dir, "q_contamination")
+    assert set(f.join_strategies) == {"BroadcastHashJoin"}, f.join_strategies
+    # column pruning: only (doc_id, text) may be read
+    assert all("lang" not in s and "n_chars" not in s for s in f.scans_read_schemas)
+
+
+def test_ngram_counts_partial_aggregates(spark, sf_dir):
+    """Zipfian gram heads must collapse map-side before the
+    exchange."""
+    f = _facts(spark, sf_dir, "q_ngram_counts")
+    assert f.has_partial_aggregate
+
+
+def test_bm25_joins_never_sort_merge(spark, sf_dir):
+    """idf/stats are tiny and must broadcast; nothing in the BM25
+    plan justifies a sort-merge shuffle join."""
+    f = _facts(spark, sf_dir, "q_bm25")
+    assert "SortMergeJoin" not in f.join_strategies, f.join_strategies
+    assert f.n_broadcast_exchanges >= 2
+
+
+def test_domain_mix_broadcasts_rates(spark, sf_dir):
+    """Per-source rates (|sources| rows) and the one-row total must
+    broadcast back onto the corpus — the keep decision is map-only."""
+    f = _facts(spark, sf_dir, "q_domain_mix")
+    assert "SortMergeJoin" not in f.join_strategies, f.join_strategies
+    assert f.n_broadcast_exchanges >= 2
+
+
+def test_kmeans_fanout_collapses_map_side(spark, sf_dir):
+    """Both assignment rounds broadcast the centroid state and
+    collapse the k-way fan-out in a partial aggregate; the only
+    N-sized shuffles are the two assignment aggregates (+ 2 tiny
+    centroid/result aggs)."""
+    f = _facts(spark, sf_dir, "q_kmeans")
+    assert "SortMergeJoin" not in f.join_strategies, f.join_strategies
+    assert f.has_partial_aggregate
+    assert f.shuffle_exchanges() <= 4, f.text
