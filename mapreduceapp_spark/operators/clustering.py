@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceapp_spark.functions.vectors import dot, oracle_quantize, quantize, sq_norm
+from mapreduceapp_spark.functions.vectors import (
+    cosine,
+    dot,
+    oracle_cosine,
+    oracle_quantize,
+    quantize,
+    sq_norm,
+)
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.sources import tables
 
@@ -54,10 +61,11 @@ def _oracle_fold_dist(x: str, mean_num: str, cnt: str) -> str:
     )
 
 
-@register(
-    "q_kmeans",
-    oracle=f"""
-        WITH q AS MATERIALIZED (
+# Shared oracle CTE chain ending at a2(vec_id, cid) — the two-round
+# assignment. Reused by q_kmeans (membership stats) and
+# q_semantic_prune (within-cluster dedup).
+ORACLE_ASSIGN_CTES = f"""
+        q AS MATERIALIZED (
             SELECT vec_id, {oracle_quantize('embedding')} AS x
             FROM embeddings
         ),
@@ -109,9 +117,16 @@ def _oracle_fold_dist(x: str, mean_num: str, cnt: str) -> str:
                                                m1.cid) AS rn
             FROM a1 CROSS JOIN m1
         ),
-        a2 AS (
+        a2 AS MATERIALIZED (
             SELECT vec_id, cid FROM d2 WHERE rn = 1
         )
+"""
+
+
+@register(
+    "q_kmeans",
+    oracle=f"""
+        WITH {ORACLE_ASSIGN_CTES}
         SELECT cid AS cluster_id,
                count(*) AS n_members,
                min(vec_id) AS min_member_id
@@ -145,6 +160,16 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines — no transcendentals — so even the argmin over
     doubles is bit-stable (plus a cid tiebreak for true ties).
     """
+    return kmeans_assign(spark, sf_dir).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_member_id"),
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, x, sq, cluster_id) after the two Lloyd rounds — the
+    shared assignment plan behind :func:`q_kmeans` (membership stats)
+    and :func:`q_semantic_prune` (within-cluster dedup)."""
     e = tables(spark, sf_dir).embeddings
     qs = e.select(
         "vec_id", quantize("embedding").alias("x")
@@ -164,6 +189,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cid", F.struct(F.col("dist").alias("d"), F.col("cid").alias("c"))
             ).alias("cid"),
             F.first("x").alias("x"),
+            F.first("sq").alias("sq"),
         )
     )
     m1 = a1.groupBy("cid").agg(
@@ -183,18 +209,90 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    a2 = (
-        a1.select("vec_id", "x")
+    return (
+        a1.select("vec_id", "x", "sq")
         .join(F.broadcast(m1.select(F.col("cid").alias("mcid"), "c", "sx")))
         .withColumn("dist", dist2)
         .groupBy("vec_id")
         .agg(
             F.min_by(
                 "mcid", F.struct(F.col("dist").alias("d"), F.col("mcid").alias("c"))
-            ).alias("cluster_id")
+            ).alias("cluster_id"),
+            F.first("x").alias("x"),
+            F.first("sq").alias("sq"),
         )
     )
-    return a2.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.min("vec_id").alias("min_member_id"),
+
+
+SEM_COS_THRESHOLD = 0.45  # the corpus' measured cosine-gap threshold
+# (same gap q_embedding_neardup uses, operators/similarity.py) so the
+# within-cluster comparisons cannot flicker between engines.
+
+
+@register(
+    "q_semantic_prune",
+    oracle=f"""
+        WITH {ORACLE_ASSIGN_CTES},
+        pruned AS (
+            SELECT DISTINCT a.vec_id
+            FROM a2 a
+            JOIN a2 b ON b.cid = a.cid AND b.vec_id < a.vec_id
+            JOIN qs xa ON xa.vec_id = a.vec_id
+            JOIN qs xb ON xb.vec_id = b.vec_id
+            WHERE {oracle_cosine('list_dot_product(xa.x, xb.x)', 'xa.sq', 'xb.sq')}
+                  >= {SEM_COS_THRESHOLD}
+        )
+        SELECT a.vec_id, a.cid AS cluster_id,
+               CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS pruned
+        FROM a2 a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+    """,
+    doc="SemDeDup-style pruning: within-cluster cosine near-dups dropped to the lowest id.",
+)
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication the SemDeDup way (Abbas et al., 2023):
+    cluster the embedding space, then compare vectors ONLY within
+    their cluster and prune any vector that has a lower-id member
+    above the cosine threshold. The clustering turns the O(N²)
+    all-pairs problem into Σ per-cluster O(n_c²) — the same
+    bucketing idea as LSH, but model/geometry-driven.
+
+    Composition: reuses the :func:`kmeans_assign` plan (so the
+    cluster structure is the oracle-checked one), self-joins within
+    cluster_id, and emits every vector with its cluster and a 0/1
+    pruned flag.
+
+    Scale shape: the self-join shuffles on cluster_id; per-cluster
+    pair work is n_c² with n_c ≈ N/k and k ∝ N, so the per-cluster
+    cost is bounded as the corpus grows. A pathological mega-cluster
+    is the skew risk — production mitigation is sub-bucketing the
+    offender (split clusters above a size cap into hash sub-cells
+    and compare within cells ∪ cross-cell borders), the same salting
+    discipline as functions/skew.py. Cosines are the engine's exact
+    integer quantization (one double division at the end), so the
+    threshold cut is bit-stable cross-engine.
+    """
+    assigned = kmeans_assign(spark, sf_dir)
+    a = assigned.select(
+        "vec_id", "cluster_id", F.col("x").alias("xa"), F.col("sq").alias("sqa")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster_id").alias("cl_b"),
+        F.col("x").alias("xb"),
+        F.col("sq").alias("sqb"),
+    )
+    close = cosine(dot(F.col("xa"), F.col("xb")), F.col("sqa"), F.col("sqb"))
+    pruned = (
+        a.join(b, (F.col("cluster_id") == F.col("cl_b")) & (F.col("vec_b") < F.col("vec_id")))
+        .filter(close >= SEM_COS_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+        .withColumn("pruned", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id", "cluster_id", F.coalesce("pruned", F.lit(0)).alias("pruned")
+        )
     )

@@ -56,3 +56,48 @@ def test_kmeans_round2_reduces_inertia(spark, sf_dir):
     C1 = np.stack([X[lab0 == j].mean(axis=0) for j in range(len(C0))])
     lab1, inertia1 = assign(C1)
     assert inertia1 <= inertia0
+
+
+def test_semantic_prune_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_semantic_prune", sf_dir)
+
+
+def test_semantic_prune_sound_and_nonvacuous(spark, sf_dir):
+    """Soundness: every pruned vector must genuinely have a
+    lower-id cosine-neighbor above the threshold somewhere in the
+    corpus (the cluster restriction can only REMOVE candidate pairs,
+    never invent them). Non-vacuity: something must actually be
+    pruned at test SF. Keep-one: a cluster's lowest id is never
+    pruned."""
+    import numpy as np
+
+    from mapreduceapp_spark.functions.vectors import quantize
+    from mapreduceapp_spark.operators.clustering import SEM_COS_THRESHOLD
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    rows = get_query("q_semantic_prune").builder(spark, sf_dir).collect()
+    pruned_ids = {r["vec_id"] for r in rows if r["pruned"] == 1}
+    assert pruned_ids, "threshold/cluster combination prunes nothing — vacuous"
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cl, members in by_cluster.items():
+        lowest = min(m["vec_id"] for m in members)
+        flag = next(m["pruned"] for m in members if m["vec_id"] == lowest)
+        assert flag == 0, f"cluster {cl}: lowest id {lowest} was pruned"
+
+    e = (
+        tables(spark, sf_dir)
+        .embeddings.select("vec_id", quantize("embedding").alias("x"))
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in e])
+    X = np.array([r["x"] for r in e], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    for v in pruned_ids:
+        i = int(np.where(ids == v)[0][0])
+        close_lower = (cos[i] >= SEM_COS_THRESHOLD) & (ids < v)
+        assert close_lower.any(), f"vec {v} pruned without a close lower-id partner"
