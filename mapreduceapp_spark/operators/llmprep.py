@@ -115,7 +115,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out benchmark ("probe") set — the decontamination pass every
     serious pretraining pipeline runs before training.
 
-    Probe set = every 97th doc (stands in for an eval benchmark);
+    Probe set = every {PROBE_MOD}th doc (stands in for an eval benchmark);
     output = every other doc that contains at least one probe
     8-gram, with the count of distinct overlapping grams.
 
@@ -453,4 +453,96 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_grams"),
         nd.alias("n_distinct"),
         F.when((n - nd) * 100 > n * REP_MAX_PCT, 1).otherwise(0).alias("repetitive"),
+    )
+
+
+# ------------------------------------------------- training-order shuffle
+
+
+SHARD_COUNT = 16
+
+
+@register(
+    "q_training_order",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT doc_id,
+                   {oracle_hash_bucket('doc_id', 4096, 'order:')} AS ord_key,
+                   ntile({SHARD_COUNT}) OVER (
+                       ORDER BY {oracle_hash_bucket('doc_id', 4096, 'order:')},
+                                doc_id) AS shard
+            FROM documents
+        )
+        SELECT shard,
+               count(*) AS n_docs,
+               min(doc_id) AS first_doc,
+               max(ord_key) AS max_key
+        FROM ordered GROUP BY shard
+    """,
+    doc="Deterministic global training-order shuffle + equal-size shard split.",
+)
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final step of a data pipeline: give the corpus a
+    reproducible pseudo-random training order and cut it into
+    equal-size shards for the data loader. Order = salted hash of
+    doc_id (stable across runs/retries/subsets — the house split
+    discipline), shards = ntile over that global order.
+
+    Scale shape — global rank WITHOUT the single-reducer window: a
+    bare ``row_number() over (order by ...)`` drags every row
+    through one task. The order key here has bounded cardinality
+    (4096 hash values), so the global rank decomposes into
+    (1) per-key counts — one tiny aggregate (≤4096 rows), cumulated
+    into per-key offsets with a window over that TINY frame only,
+    broadcast back; (2) within-key rank — a window PARTITIONED by
+    ord_key, which scales across executors with bounded skew
+    (≈N/4096 rows per key). rn = offset + within-key rank, exactly
+    the unpartitioned window's answer at no bottleneck. The shard
+    split then reproduces ntile(k)'s front-loaded fill rule
+    arithmetically from exact integers (first N%k shards take
+    ⌈N/k⌉ rows, the rest ⌊N/k⌋).
+
+    Output is the per-shard summary (count, first doc, max order
+    key) — the observable a loader manifest needs.
+    """
+    d = tables(spark, sf_dir).documents
+    ordered = d.select(
+        "doc_id", hash_bucket(F.col("doc_id"), 4096, "order:").alias("ord_key")
+    )
+    # (1) per-key offsets: tiny aggregate; the unpartitioned window
+    # below runs over <=4096 rows, not the corpus
+    key_counts = ordered.groupBy("ord_key").agg(F.count(F.lit(1)).alias("kc"))
+    off_w = Window.orderBy("ord_key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = key_counts.select(
+        "ord_key", (F.sum("kc").over(off_w) - F.col("kc")).alias("off")
+    )
+    n_total = ordered.agg(F.count(F.lit(1)).alias("n")).select("n")
+    # (2) within-key rank: partitioned window, scales horizontally
+    in_key = Window.partitionBy("ord_key").orderBy("doc_id")
+    ranked = (
+        ordered.withColumn("krn", F.row_number().over(in_key))
+        .join(F.broadcast(offsets), "ord_key")
+        .withColumn("rn", F.col("off") + F.col("krn"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    # ntile(k) semantics from exact ints: first N%k shards take
+    # ceil(N/k) rows, the rest floor(N/k); floor-division via
+    # floor(double) is exact at these magnitudes (<2^53)
+    nbig = F.col("n") % SHARD_COUNT
+    smallsz = F.floor(F.col("n") / SHARD_COUNT)
+    bigsz = smallsz + 1
+    cut = nbig * bigsz
+    shard = F.when(
+        F.col("rn") <= cut, F.floor((F.col("rn") - 1) / bigsz) + 1
+    ).otherwise(nbig + F.floor((F.col("rn") - 1 - cut) / smallsz) + 1)
+    return (
+        ranked.withColumn("shard", shard.cast("bigint"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("ord_key").alias("max_key"),
+        )
     )

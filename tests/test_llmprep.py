@@ -119,3 +119,26 @@ def test_repetition_filter_flags_planted_doc(spark, tmp_path):
         for r in get_query("q_repetition_filter").builder(spark, sf).collect()
     }
     assert got == {1: 1, 2: 0}
+
+
+def test_training_order_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_training_order", sf_dir)
+
+
+def test_training_order_equal_fill(spark, sf_dir):
+    """ntile's guarantee: shard sizes differ by at most one, the
+    bigger shards come first, and all docs are covered."""
+    from mapreduceapp_spark.operators.llmprep import SHARD_COUNT
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    rows = sorted(
+        get_query("q_training_order").builder(spark, sf_dir).collect(),
+        key=lambda r: r["shard"],
+    )
+    assert [r["shard"] for r in rows] == list(range(1, SHARD_COUNT + 1))
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True), "big shards must come first"
+    n = tables(spark, sf_dir).documents.count()
+    assert sum(sizes) == n
