@@ -25,6 +25,7 @@ The reference has no analog (operator surface A1–A9,
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -271,7 +272,11 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer quantization (one double division at the end), so the
     threshold cut is bit-stable cross-engine.
     """
-    assigned = kmeans_assign(spark, sf_dir)
+    # Stage the assignment once (persist-as-staging, the MinHash
+    # signature-table convention): both self-join sides and the
+    # final flag join consume it; left lazy each would re-run the
+    # full two-round k-means. Measured 4.7s -> 2.3s at sf0.1.
+    assigned = kmeans_assign(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         "vec_id", "cluster_id", F.col("x").alias("xa"), F.col("sq").alias("sqa")
     )
