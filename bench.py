@@ -50,6 +50,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # No builder persists anymore (staging is temp-parquet), but
+        # keep the bench hermetic: one query's cache must never feed
+        # or pressure the next one's timing.
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     print(

@@ -25,7 +25,6 @@ The reference has no analog (operator surface A1–A9,
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +37,7 @@ from mapreduceapp_spark.functions.vectors import (
     sq_norm,
 )
 from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.plans.staging import stage
 from mapreduceapp_spark.sources import tables
 
 EMB_DIM = 64
@@ -272,11 +272,13 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer quantization (one double division at the end), so the
     threshold cut is bit-stable cross-engine.
     """
-    # Stage the assignment once (persist-as-staging, the MinHash
+    # Stage the assignment once (temp-parquet stage(), the MinHash
     # signature-table convention): both self-join sides and the
     # final flag join consume it; left lazy each would re-run the
-    # full two-round k-means. Measured 4.7s -> 2.3s at sf0.1.
-    assigned = kmeans_assign(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # full two-round k-means. Staged-not-persisted so the shared
+    # kmeans_assign subtree can never be cache-substituted into
+    # q_kmeans's plan and nothing outlives the builder's slot.
+    assigned = stage(kmeans_assign(spark, sf_dir), "kmeans_assign")
     a = assigned.select(
         "vec_id", "cluster_id", F.col("x").alias("xa"), F.col("sq").alias("sqa")
     )

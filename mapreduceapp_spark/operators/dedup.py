@@ -27,11 +27,11 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.plans.staging import stage
 from mapreduceapp_spark.sources import tables
 
 SHINGLE_K = 5
@@ -64,9 +64,16 @@ def _ensure_checkpoint_dir(spark: SparkSession) -> None:
     """
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
+        import shutil
         import tempfile
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="mrapp_ckpt_"))
+        # cleanCheckpoints defaults to false, so without this every
+        # q_dedup_clusters run would leave its ~20 checkpointed RDD
+        # dirs on disk for the life of the machine.
+        ckpt = tempfile.mkdtemp(prefix="mrapp_ckpt_")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        sc.setCheckpointDir(ckpt)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,18 +312,15 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB note — staged signature table: the shingle+signature
     Arrow pass is consumed by five branches (banding, two prefilter
     sides, two verification sides). Left lazy, each branch re-runs
-    the full corpus scan. The pass is staged ONCE via
-    ``persist(MEMORY_AND_DISK)`` — Spark's native "write once, read
-    N times" materialization: still lazy at build time (no job until
-    the driver acts), populated by the first stage that needs it,
-    served from executor-local storage to the rest, recomputed from
-    lineage on executor loss. At 100 TB this is one corpus scan
-    instead of five; storage cost is the shingle+signature columns
-    on executor disks, the classic materialize-the-derivation trade.
+    the full corpus scan. The pass runs ONCE via temp-parquet
+    ``stage()`` (plans/staging.py): one corpus scan instead of five,
+    a bounded on-disk slot instead of an unreleased session cache,
+    and — unlike MEMORY_AND_DISK persist — no CacheManager plan
+    substitution into unrelated queries. On a cluster the staging
+    dir points at shared storage, so the table also survives
+    executor loss without lineage recompute.
     """
-    sh = _doc_shingles_with_minhash(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
     # band key folds the band index into the hash so one long column
     # keys the shuffle; bucket membership via groupBy + in-bucket
     # pair expansion beats a self-join on the same key (one shuffle

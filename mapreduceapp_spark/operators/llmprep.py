@@ -21,13 +21,13 @@ Shared determinism rules (see memory of functions/numeric.py):
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE, tokens
 from mapreduceapp_spark.operators.curation import hash_bucket, oracle_hash_bucket
 from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.plans.staging import stage
 from mapreduceapp_spark.sources import tables
 
 # ---------------------------------------------------------------- helpers
@@ -130,19 +130,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tables(spark, sf_dir).documents
     w = tokens("text")
-    # Stage the exploded gram table once (same persist-as-staging
-    # convention as the MinHash signature table): the probe branch
-    # and the corpus branch both consume it, and left lazy each
-    # would re-run the tokenize + 8-gram build over the full corpus.
-    # Measured 2.7s -> 1.9s at sf0.1. At 100 TB the staged gram
-    # table is ~NGRAM x corpus bytes on executor disks — if that is
-    # too hot, drop the persist and pay the second scan instead; the
-    # plan is correct either way.
-    grams = d.select(
+    # No staging needed: the probe and corpus branches consume
+    # DISJOINT doc subsets (doc_id % 7), so a shared staged gram
+    # table saves no gram work — each doc's 8-grams are built in
+    # exactly one branch either way. Filtering doc_id BELOW the
+    # gram build pushes the predicate into each branch's parquet
+    # scan; total cost is one corpus's worth of tokenize+gram plus
+    # two pruned scans, with zero session-lifetime state (round 2's
+    # persist here leaked the ~8x-corpus gram table forever).
+    grams = lambda docs: docs.select(  # noqa: E731 — tiny local plan fragment
         "doc_id", F.explode(F.array_distinct(word_grams(w, CONTAM_NGRAM))).alias("gram")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    probe = grams.filter(F.col("doc_id") % PROBE_MOD == 0).select("gram").distinct()
-    corpus = grams.filter(F.col("doc_id") % PROBE_MOD != 0)
+    )
+    probe = grams(d.filter(F.col("doc_id") % PROBE_MOD == 0)).select("gram").distinct()
+    corpus = grams(d.filter(F.col("doc_id") % PROBE_MOD != 0))
     return (
         corpus.join(F.broadcast(probe), "gram")
         .groupBy("doc_id")
@@ -271,27 +271,43 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a 0.00005 boundary (probability ~1e-9 per corpus; verified
     clean at sf 0.001/0.01/0.1).
 
-    Scale shape: term-frequency is a filtered explode (only query
-    terms survive the map side) → groupBy(doc, term); df and corpus
-    stats are tiny aggregates CROSS-JOINED in via broadcast (one row
-    / |terms| rows); the final top-k windows over |terms| small
-    partitions. The corpus is scanned twice (tf pass + dl/stats
-    pass) — at 100 TB fuse them by caching the tokenized projection
-    or precomputing dl at ingest; here the scans are parquet-pruned
-    to (doc_id, text).
+    Scale shape — ONE corpus scan (round 2 had two): a single
+    map-side projection computes per doc both its length and the tf
+    of every query term (``size(filter(w, ...))`` per term — the
+    term set is tiny and fixed, so this is |terms| vectorized array
+    scans, no explode, no doc-keyed shuffle at all). That (doc_id,
+    dl, tfs) projection — integers only, no text — is temp-parquet
+    staged (plans/staging.py) and feeds all three consumers: the tf
+    rows (dl rides along, so the old tf⋈dl join is gone too), the
+    one-row corpus stats, and df per term. idf/stats broadcast; the
+    final top-k windows over |terms| small partitions.
     """
     d = tables(spark, sf_dir).documents
-    toks = d.select("doc_id", tokens("text").alias("w"))
-    tf = (
-        toks.select("doc_id", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    w = tokens("text")
+    per_doc = stage(
+        d.select(
+            "doc_id",
+            F.size(w).alias("dl"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.size(F.filter(w, lambda x: x == t)).alias("tf"),
+                    )
+                    for t in BM25_TERMS
+                ]
+            ).alias("tfs"),
+        ),
+        "bm25_doc_stats",
     )
-    dl = toks.select("doc_id", F.size("w").alias("dl"))
-    stats = toks.agg(
+    tf = (
+        per_doc.select("doc_id", "dl", F.explode("tfs").alias("t"))
+        .select("doc_id", "dl", "t.term", F.col("t.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("w")).alias("total_dl"),
+        F.sum("dl").alias("total_dl"),
     )
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
@@ -304,8 +320,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
+        tf.join(F.broadcast(idf), "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", "tf", F.round(score, 4).alias("score"))
     )
@@ -321,8 +336,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mix_weight_sql(src: str) -> str:
-    # weight 1..3 from the numeric suffix of the source name
-    return f"(1 + CAST(substr({src}, 4) AS BIGINT) % 3)"
+    # weight 1..3 from the numeric suffix of the source name;
+    # TRY_CAST + COALESCE so a non-numeric suffix degrades to
+    # weight 1 on BOTH engines (a plain CAST would error in DuckDB
+    # but yield NULL in Spark — twin divergence)
+    return f"(1 + COALESCE(TRY_CAST(substr({src}, 4) AS BIGINT), 0) % 3)"
 
 
 @register(
@@ -370,7 +388,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget_s = w_s · total_tokens · (1/2) / Σw. A document is kept
     iff its salted hash bucket clears the rate — evaluated as a pure
     INTEGER cross-multiplication (bucket · tokens_s · 2 · Σw <
-    4096 · w_s · total_tokens), so there is no float threshold to
+    MIX_BUCKETS · w_s · total_tokens), so there is no float threshold to
     flicker between engines, and assignment is a pure function of
     doc_id (stable under retries, repartitioning, and subsetting —
     same discipline as q_sample_split).
@@ -389,7 +407,12 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_src = doc_tok.groupBy("source").agg(
         F.sum("ntok").alias("src_tok")
-    ).withColumn("w", 1 + F.substring("source", 4, 10).cast("long") % 3)
+    ).withColumn(
+        "w",
+        # unbounded substring + try_cast: stays aligned with the
+        # oracle twin for arbitrary-length / non-numeric suffixes
+        1 + F.coalesce(F.expr("try_cast(substring(source, 4) as bigint)"), F.lit(0)) % 3,
+    )
     totals = per_src.agg(
         F.sum("src_tok").alias("total_tok"), F.sum("w").alias("sum_w")
     )

@@ -1,0 +1,76 @@
+"""Scoped staging for multiply-consumed intermediates.
+
+Several queries derive an expensive intermediate (an Arrow-pass
+signature table, a two-round k-means assignment) that multiple plan
+branches consume. Left lazy, every branch re-runs the derivation;
+``persist()``-as-staging fixes the recompute but has two lifecycle
+problems the round-2 audit flagged:
+
+- nothing ever unpersists, so executor storage accumulates for the
+  life of the session (the driver runs 70+ queries x 3 builder calls
+  in ONE SparkSession — at 100 TB a leaked corpus-scale cache is a
+  scale-killer);
+- Spark's CacheManager substitutes ``InMemoryTableScan`` into ANY
+  later plan containing an equal subtree, so one query's cache
+  silently rewrites another query's physical plan (the round-2
+  full-suite plan-gate flake).
+
+``stage()`` is the replacement: materialize the intermediate to a
+parquet under a per-process staging root and return a lazy scan over
+it. Properties:
+
+- write once, read N times — same job-count as persist;
+- zero CacheManager involvement — other queries' plans are untouched;
+- bounded footprint — each (query, name) stages to a deterministic
+  path with ``overwrite``, so re-invocations reuse the slot instead
+  of stacking; the root is removed at interpreter exit;
+- cluster story: point ``SPARK_GRAFT_STAGING_DIR`` at durable shared
+  storage (HDFS/object store) and staged tables survive executor
+  loss without lineage recompute — strictly stronger than
+  MEMORY_AND_DISK, which is executor-local.
+
+The reference keeps every intermediate in process memory with no
+lifecycle at all (``MapReduceFramework.cpp:140``); this module is the
+scale-aware analog of its phase-output vectors.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_STAGING_ROOT: str | None = None
+
+
+def staging_root() -> str:
+    """Per-process staging directory, created lazily, removed at exit.
+
+    ``SPARK_GRAFT_STAGING_DIR`` overrides (no auto-cleanup then — a
+    cluster operator pointing this at shared storage owns retention).
+    """
+    global _STAGING_ROOT
+    if _STAGING_ROOT is None:
+        env = os.environ.get("SPARK_GRAFT_STAGING_DIR")
+        if env:
+            _STAGING_ROOT = env
+        else:
+            _STAGING_ROOT = tempfile.mkdtemp(prefix="mrapp_stage_")
+            atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
+    return _STAGING_ROOT
+
+
+def stage(df: DataFrame, name: str) -> DataFrame:
+    """Materialize ``df`` to staged parquet and return a scan over it.
+
+    The write is an eager Spark job (snappy parquet, the engine's
+    shuffle-spill-grade codec); the returned DataFrame is a plain
+    lazy parquet scan, so downstream branches each read the staged
+    bytes instead of re-deriving the lineage.
+    """
+    path = os.path.join(staging_root(), name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -10,12 +10,27 @@ declarations honest.
 
 from __future__ import annotations
 
+import pytest
+
 from mapreduceapp_spark.plans.inspect import inspect_plan
 from mapreduceapp_spark.plans.registry import get_query
 
 
+@pytest.fixture(autouse=True)
+def _no_cache_substitution(spark):
+    """Ordering-independence guard: a cached subtree registered by an
+    earlier test would let the CacheManager rewrite gated plans
+    (InMemoryTableScan replaces scans/joins/aggs), changing shuffle
+    counts with zero correctness signal — the round-2 full-suite
+    flake. Gates must judge the plan as declared."""
+    spark.catalog.clearCache()
+
+
 def _facts(spark, sf_dir, name):
-    return inspect_plan(get_query(name).builder(spark, sf_dir))
+    facts = inspect_plan(get_query(name).builder(spark, sf_dir))
+    # belt-and-braces: no gated plan may contain cache substitutions
+    assert "InMemoryTableScan" not in facts.text, "plan polluted by session cache"
+    return facts
 
 
 def test_filter_and_projection_reach_the_scan(spark, sf_dir):
@@ -96,6 +111,9 @@ def test_bm25_joins_never_sort_merge(spark, sf_dir):
     f = _facts(spark, sf_dir, "q_bm25")
     assert "SortMergeJoin" not in f.join_strategies, f.join_strategies
     assert f.n_broadcast_exchanges >= 2
+    # scan fusion: tf/dl/stats all come off the staged integer
+    # projection — the returned plan must never re-read document text
+    assert all("text" not in s for s in f.scans_read_schemas), f.scans_read_schemas
 
 
 def test_domain_mix_broadcasts_rates(spark, sf_dir):

