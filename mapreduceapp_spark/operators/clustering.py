@@ -229,6 +229,90 @@ SEM_COS_THRESHOLD = 0.45  # the corpus' measured cosine-gap threshold
 # (same gap q_embedding_neardup uses, operators/similarity.py) so the
 # within-cluster comparisons cannot flicker between engines.
 
+# Clusters larger than this are split into hash sub-cells before the
+# within-cluster self-join, bounding any single join key's pair work
+# to ~(2·cap)² regardless of how pathological the cluster is. With
+# k ∝ N (the seed stride) clusters average KM_STRIDE members, so at
+# any SF real clusters stay far below the cap and m=1 — the salting
+# only activates on genuine skew.
+SEM_CLUSTER_CAP = 1024
+
+
+def _replicate_cells(assigned: DataFrame, cap: int) -> DataFrame:
+    """Fragment-replicate expansion for the within-cluster triangle
+    join (the skew mitigation q_semantic_prune's round-2 docstring
+    promised — same salting discipline as AQE's skew-join, but for a
+    self-join's pair space).
+
+    Each member of a cluster of size n_c gets m = ⌈n_c / cap⌉ hash
+    cells; a member in cell i is replicated to the m unordered cell
+    pairs {(min(i,t), max(i,t)) : t < m}. Every unordered member
+    pair with cells (i, j) then co-locates on EXACTLY one join key —
+    (cluster, min(i,j), max(i,j)) for i≠j, (cluster, i, i) for i=j
+    once the consumer filters off-diagonal same-cell rows — so pair
+    work per key is ≤ (2·n_c/m)² ≈ (2·cap)², spread over m(m+1)/2
+    keys. Normal-size clusters (n_c ≤ cap) degenerate to m=1 with a
+    constant (0,0) key: the plan is unchanged where there is no skew.
+    """
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_c"))
+    member = (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .withColumn("m", F.ceil(F.col("n_c") / cap).cast("int"))
+        .withColumn(
+            "cell",
+            F.pmod(F.xxhash64(F.lit("semcell:"), F.col("vec_id")), F.col("m")).cast(
+                "int"
+            ),
+        )
+    )
+    pair_keys = F.transform(
+        F.sequence(F.lit(0), F.col("m") - 1),
+        lambda t: F.struct(
+            F.least(F.col("cell"), t).alias("k1"),
+            F.greatest(F.col("cell"), t).alias("k2"),
+        ),
+    )
+    return member.select(
+        "cluster_id",
+        "vec_id",
+        "cell",
+        "x",
+        "sq",
+        F.explode(pair_keys).alias("k"),
+    ).select("cluster_id", "vec_id", "cell", "x", "sq", "k.k1", "k.k2")
+
+
+def _within_cluster_pruned(assigned: DataFrame, cap: int = SEM_CLUSTER_CAP) -> DataFrame:
+    """Distinct vec_ids with a lower-id same-cluster member at cosine
+    ≥ SEM_COS_THRESHOLD, via the sub-bucketed triangle join."""
+    rep = _replicate_cells(assigned, cap)
+    a = rep.select(
+        "cluster_id", "k1", "k2", "vec_id", "cell",
+        F.col("x").alias("xa"), F.col("sq").alias("sqa"),
+    )
+    b = rep.select(
+        F.col("cluster_id").alias("cl_b"),
+        F.col("k1").alias("k1_b"), F.col("k2").alias("k2_b"),
+        F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b"),
+        F.col("x").alias("xb"), F.col("sq").alias("sqb"),
+    )
+    close = cosine(dot(F.col("xa"), F.col("xb")), F.col("sqa"), F.col("sqb"))
+    return (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cl_b"))
+            & (F.col("k1") == F.col("k1_b"))
+            & (F.col("k2") == F.col("k2_b"))
+            & (F.col("vec_b") < F.col("vec_id")),
+        )
+        # each same-cell pair belongs to its diagonal key only; at an
+        # off-diagonal key it would be a duplicate of that work
+        .filter((F.col("k1") == F.col("k2")) | (F.col("cell") != F.col("cell_b")))
+        .filter(close >= SEM_COS_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+    )
+
 
 @register(
     "q_semantic_prune",
@@ -262,15 +346,17 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id, and emits every vector with its cluster and a 0/1
     pruned flag.
 
-    Scale shape: the self-join shuffles on cluster_id; per-cluster
-    pair work is n_c² with n_c ≈ N/k and k ∝ N, so the per-cluster
-    cost is bounded as the corpus grows. A pathological mega-cluster
-    is the skew risk — production mitigation is sub-bucketing the
-    offender (split clusters above a size cap into hash sub-cells
-    and compare within cells ∪ cross-cell borders), the same salting
-    discipline as functions/skew.py. Cosines are the engine's exact
-    integer quantization (one double division at the end), so the
-    threshold cut is bit-stable cross-engine.
+    Scale shape: the self-join shuffles on (cluster_id, cell pair);
+    per-cluster pair work is n_c² with n_c ≈ N/k and k ∝ N, so the
+    per-cluster cost is bounded as the corpus grows. A pathological
+    mega-cluster is the skew risk — mitigated by
+    :func:`_replicate_cells`: clusters above SEM_CLUSTER_CAP split
+    into hash sub-cells and the triangle join runs per cell pair, so
+    no single join key ever sees more than ~(2·cap)² pair work
+    (tests/test_clustering.py plants a mega-cluster and checks both
+    the bound and result equality with the unbucketed join). Cosines
+    are the engine's exact integer quantization (one double division
+    at the end), so the threshold cut is bit-stable cross-engine.
     """
     # Stage the assignment once (temp-parquet stage(), the MinHash
     # signature-table convention): both self-join sides and the
@@ -279,23 +365,7 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kmeans_assign subtree can never be cache-substituted into
     # q_kmeans's plan and nothing outlives the builder's slot.
     assigned = stage(kmeans_assign(spark, sf_dir), "kmeans_assign")
-    a = assigned.select(
-        "vec_id", "cluster_id", F.col("x").alias("xa"), F.col("sq").alias("sqa")
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cluster_id").alias("cl_b"),
-        F.col("x").alias("xb"),
-        F.col("sq").alias("sqb"),
-    )
-    close = cosine(dot(F.col("xa"), F.col("xb")), F.col("sqa"), F.col("sqb"))
-    pruned = (
-        a.join(b, (F.col("cluster_id") == F.col("cl_b")) & (F.col("vec_b") < F.col("vec_id")))
-        .filter(close >= SEM_COS_THRESHOLD)
-        .select("vec_id")
-        .distinct()
-        .withColumn("pruned", F.lit(1))
-    )
+    pruned = _within_cluster_pruned(assigned).withColumn("pruned", F.lit(1))
     return (
         assigned.select("vec_id", "cluster_id")
         .join(pruned, "vec_id", "left")

@@ -101,3 +101,41 @@ def test_semantic_prune_sound_and_nonvacuous(spark, sf_dir):
         i = int(np.where(ids == v)[0][0])
         close_lower = (cos[i] >= SEM_COS_THRESHOLD) & (ids < v)
         assert close_lower.any(), f"vec {v} pruned without a close lower-id partner"
+
+
+def test_semantic_prune_subbucket_bounds_and_equality(spark):
+    """Planted mega-cluster: the fragment-replicate triangle join must
+    (a) keep every join key's row group bounded by the size cap — the
+    no-single-key-blowup guarantee — and (b) return exactly the
+    unbucketed join's answer."""
+    from mapreduceapp_spark.operators.clustering import (
+        _replicate_cells,
+        _within_cluster_pruned,
+    )
+
+    # one pathological cluster of 3000 vectors in two orthogonal
+    # families: within-family cosine ~1 (prunes to the lowest id),
+    # cross-family ~0.01 (never prunes)
+    n = 3000
+    rows = []
+    for i in range(n):
+        x = [1000 + (i % 7), i % 5] if i % 2 == 0 else [i % 5, 1000 + (i % 7)]
+        rows.append((i, 7, x, x[0] * x[0] + x[1] * x[1]))
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, cluster_id long, x array<long>, sq long"
+    )
+
+    cap = 256
+    m = -(-n // cap)
+    rep = _replicate_cells(assigned, cap)
+    per_key = rep.groupBy("cluster_id", "k1", "k2").count().collect()
+    assert len(per_key) == m * (m + 1) // 2  # full triangle of cell pairs
+    # each key holds members of <=2 cells of ~n/m rows (+ hash slack)
+    assert max(r["count"] for r in per_key) <= 3 * cap
+
+    got = sorted(r["vec_id"] for r in _within_cluster_pruned(assigned, cap).collect())
+    want = sorted(
+        r["vec_id"] for r in _within_cluster_pruned(assigned, 10**9).collect()
+    )
+    assert got == want  # sub-bucketing never changes the answer
+    assert want == sorted(set(range(n)) - {0, 1})  # family minima survive
