@@ -36,38 +36,53 @@ def main() -> None:
 
     names = sys.argv[1:] or None
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in bench_queries().items():
         if names and name not in names:
             continue
-        df = q.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
-        best = float("inf")
-        for _ in range(2):  # best-of-2: steady state, not JIT warmup tails
-            t0 = time.perf_counter()
-            # builder inside the timer: iterative queries (e.g.
-            # fixpoint clustering) do their distributed work there
+        # Per-query isolation: one broken query must never erase the
+        # round's whole perf record (round 3 lost its bench to a
+        # single AnalysisException). Errors are recorded in the JSON
+        # line; the line always prints.
+        try:
             df = q.builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        # No builder persists anymore (staging is temp-parquet), but
-        # keep the bench hermetic: one query's cache must never feed
-        # or pressure the next one's timing.
-        spark.catalog.clearCache()
+            df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: steady state, not JIT warmup tails
+                t0 = time.perf_counter()
+                # builder inside the timer: iterative queries (e.g.
+                # fixpoint clustering) do their distributed work there
+                df = q.builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            # No builder persists anymore (staging is temp-parquet), but
+            # keep the bench hermetic: one query's cache must never feed
+            # or pressure the next one's timing.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    out: dict = {
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    # Exit 0 when at least one query succeeded: the JSON line above is
+    # the round's perf evidence even if some query broke.
+    if not timings:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -55,21 +55,41 @@ def word_grams(words: Column, n: int) -> Column:
     """Space-joined word n-grams of an array<string> column (empty
     when the doc has fewer than n words). Pure codegen, no UDF.
 
-    Built as a ``zip_with`` chain — gram_k = zip(gram_{k-1},
-    words[k:]) — which is O(n·k) per doc. The obvious
-    ``transform(sequence(...), i -> array_join(slice(words, i, k)))``
-    form re-slices the array per index, O(n·k) ALLOCATIONS of k-element
-    arrays plus per-slice join overhead: measured 6.9 s vs 0.9 s at
-    sf0.1 for the 3-gram repetition scan. ``zip_with`` truncates to
-    the shorter input, which yields exactly len−k+1 grams with no
-    index arithmetic."""
-    grams = words
-    for k in range(1, n):
-        # words shifted left by k, zipped onto the growing prefix gram.
-        # zip_with pads the shorter side with nulls (concat_ws skips
-        # them), so the tail carries partial grams — sliced off below.
-        shifted = F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
-        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    Two codegen strategies, picked by n (both measured at sf0.1):
+
+    - n <= 3: a ``zip_with`` chain — gram_k = zip(gram_{k-1},
+      words[k:]). The obvious ``transform(sequence(...), i ->
+      array_join(slice(words, i, k)))`` form re-slices the array per
+      index: measured 6.9 s vs 0.9 s for the 3-gram repetition scan.
+    - n >= 4: one ``arrays_zip`` of the n shifted arrays + a single
+      ``concat_ws`` per gram. The chain copies each growing prefix
+      string at every step (O(n·k) chars per gram); the single-pass
+      form writes each gram's chars exactly once — 1.87 s vs 2.55 s
+      for the 8-gram decontamination scan. At n <= 3 the chain's
+      shorter codegen wins (0.76 vs 0.87 s at n=2); the crossover is
+      where prefix re-copying starts to dominate.
+
+    Both truncate to the shortest shifted input, yielding exactly
+    len−n+1 grams with no index arithmetic; the partial-gram tail is
+    sliced off below."""
+    if n >= 4:
+        shifted = [
+            F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
+            for k in range(n)
+        ]
+        grams = F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+        )
+    else:
+        grams = words
+        for k in range(1, n):
+            # words shifted left by k, zipped onto the growing prefix
+            # gram. zip_with pads the shorter side with nulls
+            # (concat_ws skips them), so the tail carries partial
+            # grams — sliced off below.
+            shifted = F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
+            grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(
         F.size(words) >= n, F.slice(grams, 1, F.size(words) - n + 1)
     ).otherwise(F.array().cast("array<string>"))

@@ -104,23 +104,8 @@ def _load_all() -> None:
 # registry); any newly registered name is by definition never-checked
 # and sorts to the very front automatically.
 _CHECK_ROTATION = [
-    # never driver-checked through round 2 (VERDICT.md "What's missing" #1)
-    "q_semantic_prune", "q_sliding_window", "q_sort_limit", "q_stateful_dedup",
-    "q_stratified_sample", "q_text_stats", "q_token_count", "q_topk_pergroup",
-    "q_training_order", "q_tumbling_window", "q_udf_quality", "q_union_all",
-    "q_unpivot", "q_user_totals", "q_window_range_frame", "q_window_rank",
-    "q_window_running", "q_wordcount",
-    # checked in round 1 only (stale)
-    "q_rollup", "q_sample_split", "q_scalar_funcs", "q_semi_join",
-    "q_session_window", "q_simhash_neardup",
-    # checked in round 2 (freshest — fill the window's remainder)
-    "q_ann_ivf", "q_ann_lsh", "q_anti_join", "q_approx_distinct",
-    "q_array_funcs", "q_asof_join", "q_bm25", "q_broadcast_join",
-    "q_charcount", "q_contamination", "q_corr_subquery", "q_count_distinct",
-    "q_cube", "q_curation_pipeline", "q_dedup_clusters", "q_distinct",
-    "q_domain_mix", "q_embedding_neardup", "q_equijoin", "q_exact_dedup",
-    "q_except", "q_intersect",
-    "q_filter_project", "q_frame_sample", "q_grouping_sets", "q_groupby_agg",
+    # no round-3 driver row (last checked round 1/2) — rotate in first
+    # so every query has an r3-or-r4 row (VERDICT r3 "Next round" #3/#8)
     "q_having", "q_histogram", "q_inverted_index", "q_json_extract",
     "q_kmeans", "q_knn_cosine", "q_lang_id", "q_late_data",
     "q_media_features", "q_media_metadata", "q_minhash_neardup",
@@ -128,6 +113,23 @@ _CHECK_ROTATION = [
     "q_ngram_counts", "q_ngram_jaccard", "q_outer_join", "q_pack_sequences",
     "q_percentiles", "q_pivot", "q_progress", "q_range_join",
     "q_repetition_filter", "q_fingerprint",
+    # checked in round 3 (CORRECTNESS_r03.json order) — the window's
+    # remaining 26 slots re-confirm the round-3 fixes (q_asof_join,
+    # q_window_range_frame) plus the freshest of the r3 set
+    "q_asof_join", "q_window_range_frame",
+    "q_semantic_prune", "q_sliding_window", "q_sort_limit",
+    "q_stateful_dedup", "q_stratified_sample", "q_text_stats",
+    "q_token_count", "q_topk_pergroup", "q_training_order",
+    "q_tumbling_window", "q_udf_quality", "q_union_all", "q_unpivot",
+    "q_user_totals", "q_window_rank", "q_window_running", "q_wordcount",
+    "q_rollup", "q_sample_split", "q_scalar_funcs", "q_semi_join",
+    "q_session_window", "q_simhash_neardup", "q_ann_ivf", "q_ann_lsh",
+    "q_anti_join", "q_approx_distinct", "q_array_funcs", "q_bm25",
+    "q_broadcast_join", "q_charcount", "q_contamination", "q_corr_subquery",
+    "q_count_distinct", "q_cube", "q_curation_pipeline", "q_dedup_clusters",
+    "q_distinct", "q_domain_mix", "q_embedding_neardup", "q_equijoin",
+    "q_exact_dedup", "q_except", "q_intersect", "q_filter_project",
+    "q_frame_sample", "q_grouping_sets", "q_groupby_agg",
 ]
 
 

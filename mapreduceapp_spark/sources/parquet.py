@@ -69,12 +69,26 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table under ``sf_dir``.
 
-    Nanosecond-timestamp columns (e.g. ``events.ts`` in the driver's
-    testdata) are read as int64 nanos and converted to microsecond
-    timestamps JVM-side (``timestamp_micros``), floor-dividing like
-    every micros-capped consumer does — still a narrow, codegen'd
-    projection on top of the pushdown-capable scan.
+    Two timestamp normalizations happen here so every downstream
+    operator sees one canonical type (TIMESTAMP, session tz pinned
+    UTC at session.py:69):
+
+    - Nanosecond-timestamp columns (historical testdata format) are
+      read as int64 nanos and converted to microsecond timestamps
+      JVM-side (``timestamp_micros``), floor-dividing like every
+      micros-capped consumer does.
+    - TIMESTAMP_NTZ columns are cast to TIMESTAMP. The testdata
+      stores tz-naive ``timestamp[us]``, which Spark 4.x may infer
+      as TIMESTAMP_NTZ depending on session/reader settings we do
+      NOT control (the driver hands us its session). NTZ breaks
+      ``unix_micros`` and ``withWatermark`` at analysis time; with
+      the session tz pinned UTC the cast is value-preserving, so
+      normalizing here keeps every consumer agnostic to the
+      inference drift. Both repairs stay narrow, codegen'd
+      projections on top of the pushdown-capable scan.
     """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
@@ -84,6 +98,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, not `/`: float division of int64 nanos loses
         # precision above 2^53 and rounds the last microsecond digit
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz_cols:
+        # The naive wall-clocks in the files are UTC instants (the
+        # oracle's epoch_us assumes exactly that). A bare NTZ->LTZ
+        # cast interprets the wall-clock in the SESSION tz, so it is
+        # only value-preserving when that tz is UTC; for any other
+        # session tz, rebase the wall-clock first so the resulting
+        # instant is still the-naive-time-as-UTC.
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        for c in ntz_cols:
+            col = F.col(c)
+            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+                col = F.convert_timezone(F.lit("UTC"), F.lit(tz), col)
+            df = df.withColumn(c, col.cast(TimestampType()))
     return df
 
 

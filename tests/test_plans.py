@@ -133,3 +133,33 @@ def test_kmeans_fanout_collapses_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in f.join_strategies, f.join_strategies
     assert f.has_partial_aggregate
     assert f.shuffle_exchanges() <= 4, f.text
+
+
+def test_stage_is_idempotent_per_plan(spark, sf_dir, tmp_path, monkeypatch):
+    """Re-staging a semantically-equal plan into the same slot must
+    run ZERO jobs (the bench invokes every staged builder 3x; without
+    reuse the staging write is triple-paid), while a different plan
+    in the same slot must rewrite."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.plans import staging
+    from mapreduceapp_spark.sources import tables
+
+    monkeypatch.setattr(staging, "_STAGING_ROOT", str(tmp_path / "stage"))
+    monkeypatch.setattr(staging, "_STAGED_PLANS", {})
+
+    def jobs() -> int:
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+
+    nat = tables(spark, sf_dir).nation.select("n_nationkey", "n_regionkey")
+    staging.stage(nat, "idem_slot")
+    before = jobs()
+    out = staging.stage(nat, "idem_slot")  # same plan, same slot
+    assert jobs() == before, "idempotent re-stage ran Spark jobs"
+    assert out.count() == nat.count()  # staged bytes still readable
+
+    other = nat.filter(F.col("n_regionkey") == 0)
+    staging.stage(other, "idem_slot")  # different plan: must rewrite
+    assert out.sparkSession.read.parquet(
+        str(tmp_path / "stage" / "idem_slot")
+    ).count() == other.count()

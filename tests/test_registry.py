@@ -80,31 +80,33 @@ def test_check_rotation_covers_registry_exactly():
     assert set(_CHECK_ROTATION) <= qs, set(_CHECK_ROTATION) - qs
 
 
-def test_never_checked_queries_lead_the_window():
-    """Queries without a driver CORRECTNESS row through round 2 must
-    all sit inside the first 50 names handed to the driver."""
+def test_stalest_queries_lead_the_window():
+    """Queries without a round-3 driver CORRECTNESS row (plus the two
+    that ERRed in round 3 and were fixed this round) must all sit
+    inside the first 50 names handed to the driver, so round 4's
+    window gives every one of them a fresh row."""
     order = list(all_queries())
     lead = set(order[:50])
-    never = set(order) - _DRIVER_CHECKED_R1R2
-    assert never <= lead, sorted(never - lead)
+    must_lead = (set(order) - _DRIVER_GREEN_R3) | {
+        "q_asof_join", "q_window_range_frame",  # ERR in r3 -- re-confirm
+    }
+    assert must_lead <= lead, sorted(must_lead - lead)
 
 
-# names with at least one driver CORRECTNESS row in rounds 1-2
-# (union of CORRECTNESS_r01.json / CORRECTNESS_r02.json keys)
-_DRIVER_CHECKED_R1R2 = {
-    "q_ann_ivf", "q_ann_lsh", "q_anti_join", "q_approx_distinct",
-    "q_array_funcs", "q_asof_join", "q_bm25", "q_broadcast_join",
-    "q_charcount", "q_contamination", "q_corr_subquery", "q_count_distinct",
-    "q_cube", "q_curation_pipeline", "q_dedup_clusters", "q_distinct",
-    "q_domain_mix", "q_embedding_neardup", "q_equijoin", "q_exact_dedup",
-    "q_except", "q_filter_project", "q_fingerprint", "q_frame_sample",
-    "q_grouping_sets", "q_groupby_agg", "q_having", "q_histogram",
-    "q_intersect", "q_inverted_index", "q_json_extract", "q_kmeans",
-    "q_knn_cosine", "q_lang_id", "q_late_data", "q_media_features",
-    "q_media_metadata", "q_minhash_neardup", "q_mr_charcount",
-    "q_multimodal_cols", "q_multiway_join", "q_ngram_counts",
-    "q_ngram_jaccard", "q_outer_join", "q_pack_sequences", "q_percentiles",
-    "q_pivot", "q_progress", "q_range_join", "q_repetition_filter",
+# names with a green-or-rows-only driver row in CORRECTNESS_r03.json
+# (its 50 keys minus the 2 that errored)
+_DRIVER_GREEN_R3 = {
+    "q_semantic_prune", "q_sliding_window", "q_sort_limit",
+    "q_stateful_dedup", "q_stratified_sample", "q_text_stats",
+    "q_token_count", "q_topk_pergroup", "q_training_order",
+    "q_tumbling_window", "q_udf_quality", "q_union_all", "q_unpivot",
+    "q_user_totals", "q_window_rank", "q_window_running", "q_wordcount",
     "q_rollup", "q_sample_split", "q_scalar_funcs", "q_semi_join",
-    "q_session_window", "q_simhash_neardup",
+    "q_session_window", "q_simhash_neardup", "q_ann_ivf", "q_ann_lsh",
+    "q_anti_join", "q_approx_distinct", "q_array_funcs", "q_bm25",
+    "q_broadcast_join", "q_charcount", "q_contamination", "q_corr_subquery",
+    "q_count_distinct", "q_cube", "q_curation_pipeline", "q_dedup_clusters",
+    "q_distinct", "q_domain_mix", "q_embedding_neardup", "q_equijoin",
+    "q_exact_dedup", "q_except", "q_intersect", "q_filter_project",
+    "q_frame_sample", "q_grouping_sets", "q_groupby_agg",
 }

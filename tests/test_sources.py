@@ -77,3 +77,99 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
         "PushedFilters"
     )[1][:200], "predicate not pushed to ORC scan"
+
+
+# Canonical post-normalization dtypes for every table column
+# (generated from the loader's output; sf-independent). Pinning the
+# full manifest means the NEXT reader-inference drift (round 3 was
+# TIMESTAMP vs TIMESTAMP_NTZ — see load_table) fails here, in-tree,
+# instead of as driver AnalysisExceptions.
+SCHEMA_MANIFEST = {
+    "region": {
+        "r_regionkey": "int",
+        "r_name": "string",
+    },
+    "nation": {
+        "n_nationkey": "int",
+        "n_name": "string",
+        "n_regionkey": "int",
+    },
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+def test_loader_schema_matches_pinned_manifest(spark, sf_dir):
+    """load_table must present one canonical schema regardless of how
+    the session's parquet reader infers timestamps. In particular no
+    TIMESTAMP_NTZ may ever escape the loader: unix_micros() and
+    withWatermark() both reject it at analysis time."""
+    from mapreduceapp_spark.sources import tables
+    from mapreduceapp_spark.sources.parquet import TABLE_NAMES
+
+    t = tables(spark, sf_dir)
+    for name in TABLE_NAMES:
+        df = getattr(t, name)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert got == SCHEMA_MANIFEST[name], f"{name}: {got}"
+        assert "timestamp_ntz" not in set(got.values()), name
