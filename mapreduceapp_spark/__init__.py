@@ -17,7 +17,21 @@ Design principles (see SURVEY.md):
   express the semantics (MinHash, vector math fallbacks).
 """
 
-from mapreduceapp_spark.session import get_spark  # noqa: F401
+import os as _os
+
+# Pandas-UDF closures reference this package by module name, so
+# forked Python workers must be able to import it regardless of the
+# driver process's cwd. Export the package parent onto PYTHONPATH
+# before any JVM starts; spawned worker daemons inherit the env.
+_pkg_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _pkg_parent not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _pkg_parent + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH")
+        else _pkg_parent
+    )
+
+from mapreduceapp_spark.session import get_spark  # noqa: F401,E402
 from mapreduceapp_spark.plans.registry import (  # noqa: F401
     all_queries,
     all_oracles,

@@ -233,3 +233,66 @@ def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_outlier_events",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, event_type, value,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        st AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(v) AS HUGEINT) AS s,
+                   CAST(sum(v * v) AS HUGEINT) AS q
+            FROM e GROUP BY event_type
+        )
+        SELECT event_id, event_type, value
+        FROM e JOIN st USING (event_type)
+        WHERE (CAST(n AS HUGEINT) * v - s) * (CAST(n AS HUGEINT) * v - s)
+              > 9 * (CAST(n AS HUGEINT) * q - s * s)
+    """,
+    doc="Per-group 3-sigma outliers via exact integer moment arithmetic.",
+)
+def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events more than 3 population standard deviations from their
+    event_type's mean — the anomaly-flagging pass of a metrics
+    pipeline.
+
+    The naive formulation (join per-group avg/stddev, filter |z|>3)
+    is NOT cross-engine exact: engines disagree on stddev algorithms
+    (Welford vs naive) in the last float ulps, and boundary rows flip
+    membership. Instead the predicate |x−μ| > 3σ is cleared of
+    divisions: (n·x − S)² > 9·(n·Q − S²), with x scaled to exact
+    integer centi-units and S=Σx, Q=Σx² exact integer sums — every
+    quantity integral, so both engines evaluate the identical
+    arithmetic (decimal(38,0) here, HUGEINT in the oracle; the
+    squares reach ~1e20, past int64).
+
+    Scale shape: one groupBy(event_type) over integer measures
+    (map-side combine), a broadcast of the tiny stats table back
+    onto the events scan, and a codegen'd filter — the events table
+    is scanned twice but never shuffled. With a handful of types the
+    stats side is O(types) rows at any SF.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — local widener
+    ev = tables(spark, sf_dir).events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    j = ev.join(F.broadcast(st), "event_type")
+    dev = dec(F.col("n") * F.col("v")) - dec(F.col("s"))
+    spread = dec(F.col("n")) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s"))
+    return j.filter((dev * dev) > (F.lit(9).cast("decimal(38,0)") * spread)).select(
+        "event_id", "event_type", "value"
+    )

@@ -210,3 +210,85 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("big_order_total"),
         )
     )
+
+
+Q5_REGION = "ASIA"
+Q5_YEAR_LO, Q5_YEAR_HI = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+        SELECT n.n_name,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                   / 10000.0 AS revenue
+        FROM region r
+        JOIN nation n    ON n.n_regionkey = r.r_regionkey
+        JOIN customer c  ON c.c_nationkey = n.n_nationkey
+        JOIN orders o    ON o.o_custkey = c.c_custkey
+        JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                        AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = '{Q5_REGION}'
+          AND o.o_orderdate >= TIMESTAMP '{Q5_YEAR_LO}'
+          AND o.o_orderdate <  TIMESTAMP '{Q5_YEAR_HI}'
+        GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table star join, local-supplier revenue by nation.",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join with the classic "local supplier" cross-branch
+    condition (s_nationkey = c_nationkey) — the canonical star-join
+    planning benchmark (TPC-H Q5 shape on this schema's columns).
+
+    Scale shape: region→nation prune first (1 region → ~5 nations,
+    broadcast), customers of those nations next (broadcast of the
+    pruned nation list), so the orders scan only shuffles rows whose
+    customer survived, and the date predicate is pushed into the
+    orders scan. The two fact joins (orders⋈lineitem, then supplier)
+    shuffle on their keys; AQE re-plans the supplier side to
+    broadcast at small SF. Revenue is summed as exact scaled int64
+    products (price_x100 · (100 − discount_x100)) widened to
+    decimal(38,0) at the aggregate, so the total is order-independent
+    and engine-exact even at row counts where an int64 sum would
+    overflow (~1e9 per-row units × 1e12 rows at 100 TB).
+    """
+    t = tables(spark, sf_dir)
+    nr = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == Q5_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust = t.customer.join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_YEAR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_YEAR_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    oc = ords.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    li = t.lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_x10000"),
+    )
+    ocl = oc.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        ocl.join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.col("rev_x10000").cast("decimal(38,0)")) / F.lit(10000.0))
+            .alias("revenue")
+        )
+    )

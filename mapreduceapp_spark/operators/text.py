@@ -305,3 +305,66 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred_lang"),
         best.alias("best_score"),
     )
+
+
+@register(
+    "q_vocab_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ),
+        tc AS (
+            SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok
+        ),
+        v AS (
+            SELECT lang,
+                   count(*) AS vocab,
+                   CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                   count(*) FILTER (cnt = 1) AS hapax
+            FROM tc GROUP BY lang
+        ),
+        d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        SELECT d.lang, n_docs, vocab, hapax, total_tokens,
+               vocab / total_tokens AS ttr
+        FROM d JOIN v USING (lang)
+    """,
+    doc="Per-language vocabulary statistics: size, hapax count, type-token ratio.",
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile per language — the lexical-diversity
+    numbers (vocabulary size, hapax legomena, type-token ratio) a
+    data-quality dashboard reads before mixing corpora.
+
+    Scale shape: explode → groupBy(lang, tok) with map-side partial
+    aggregation (zipfian head absorbed by the combiner, same argument
+    as q_ngram_counts), then a per-lang rollup of the already-small
+    distinct-token table and a broadcast join against the per-lang
+    doc counts (one row per language). No token ever crosses the
+    wire more than once, pre-aggregated. The type-token ratio is a
+    single bigint/bigint IEEE division — deterministic across
+    engines, no rounding step to disagree on.
+    """
+    d = tables(spark, sf_dir).documents
+    tc = (
+        d.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v = tc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.when(F.col("cnt") == 1, 1)).alias("hapax"),
+    )
+    docs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return docs.join(v, "lang").select(
+        "lang",
+        "n_docs",
+        "vocab",
+        "hapax",
+        "total_tokens",
+        (F.col("vocab") / F.col("total_tokens")).alias("ttr"),
+    )

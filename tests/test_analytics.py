@@ -64,3 +64,37 @@ def test_corr_subquery_decorrelates(spark, sf_dir):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_outlier_events_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_outlier_events", sf_dir)
+
+
+def test_outlier_events_agrees_with_float_zscore(spark, sf_dir):
+    """The integer-moment predicate must select the same rows as the
+    plain float z-score on this data (no boundary row sits within
+    float error of exactly 3 sigma in the fixtures)."""
+    import math
+
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    got = {
+        r.event_id
+        for r in get_query("q_outlier_events").builder(spark, sf_dir).collect()
+    }
+    ev = tables(spark, sf_dir).events.select("event_id", "event_type", "value")
+    by_type: dict[str, list] = {}
+    for r in ev.collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    want = set()
+    for rows in by_type.values():
+        vals = [round(r.value * 100) for r in rows]
+        n = len(vals)
+        mu = sum(vals) / n
+        var = sum((v - mu) ** 2 for v in vals) / n
+        sd = math.sqrt(var)
+        for r, v in zip(rows, vals):
+            if abs(v - mu) > 3 * sd:
+                want.add(r.event_id)
+    assert got == want

@@ -13,6 +13,7 @@ ORACLE_QUERIES = [
     "q_semi_join",
     "q_anti_join",
     "q_outer_join",
+    "q_tpch_q5",
 ]
 
 
@@ -49,3 +50,18 @@ def test_semi_anti_partition_customers(spark, sf_dir):
     total = tables(spark, sf_dir).customer.count()
     assert semi.isdisjoint(anti)
     assert len(semi) + len(anti) == total
+
+
+def test_tpch_q5_plan_prunes_and_broadcasts(spark, sf_dir):
+    """Q5's scale contract: the region filter must be pushed into a
+    broadcast-side dim scan (never shuffling nation/region), and the
+    orders date range must be pushed to the orders parquet scan."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    df = get_query("q_tpch_q5").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+    pushed = plan.split("PushedFilters")
+    assert any("o_orderdate" in seg[:300] for seg in pushed[1:]), (
+        "orders date predicate not pushed to scan"
+    )

@@ -37,3 +37,18 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"c", "cnt"}
+
+
+def test_vocab_stats_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_vocab_stats", sf_dir)
+
+
+def test_vocab_stats_invariants(spark, sf_dir):
+    """hapax <= vocab <= total_tokens, and ttr is their exact ratio."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_vocab_stats").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hapax <= r.vocab <= r.total_tokens
+        assert r.ttr == r.vocab / r.total_tokens
