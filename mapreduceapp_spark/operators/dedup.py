@@ -494,6 +494,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the pre-round label through the checkpoint so
+        # convergence detection is a filter over the (tiny, already
+        # materialized) checkpoint — not a second join of old vs new
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -501,16 +504,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                F.col("cluster_id").alias("prev_id"),
             )
             .checkpoint()  # fixpoint loop: cut lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("cluster_id") != F.col("prev_id")).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     if changed != 0:
