@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "mapreduceapp_spark.operators.analytics",
     "mapreduceapp_spark.operators.curation",
     "mapreduceapp_spark.streaming.windows",
+    "mapreduceapp_spark.streaming.joins",
     "mapreduceapp_spark.streaming.latedata",
     "mapreduceapp_spark.streaming.stateful",
     "mapreduceapp_spark.plans.progress",

@@ -1,0 +1,117 @@
+"""Stream-stream event-time join (attribution shape).
+
+Completes the Structured Streaming surface next to the windowed
+aggregations (streaming/windows.py): the remaining named streaming
+operator class is the watermarked stream-stream JOIN — two live
+streams matched on key + event-time range, the canonical
+click-to-purchase attribution query.
+
+Declared once as :func:`_click_purchase_join` over two DataFrames and
+run in both worlds, same pattern as the windowed ops:
+
+- the *batch twin* (``q_stream_join``, registered, oracle-checked)
+  applies it to two filtered views of the events table;
+- :func:`click_purchase_stream` applies it to two watermarked
+  ``readStream`` sources (tests/test_streaming.py asserts
+  batch ≡ stream).
+
+Scale notes (100 TB/day posture):
+- The join key includes user_id, so both streams shuffle by user and
+  matching is per-user-partition — no cross-user work.
+- State is bounded by the watermark + the time-range bound: a click
+  can only match purchases in [click_ts, click_ts + WINDOW), so once
+  the purchase watermark passes click_ts + WINDOW the click's state
+  row is dropped (Spark derives this from the range predicate —
+  without the bound, stream-stream inner join state grows forever).
+- The batch twin is a plain equi-join on user_id with the range as a
+  post-join filter; per-user 10-minute activity bounds the fan-out,
+  and AQE handles user skew like any other key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.sources import tables
+
+CLICK_TYPE = "click"
+PURCHASE_TYPE = "purchase"
+JOIN_WINDOW = "10 minutes"
+JOIN_WINDOW_US = 600_000_000
+
+
+def _clicks(events: DataFrame) -> DataFrame:
+    return events.filter(F.col("event_type") == CLICK_TYPE).select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+
+
+def _purchases(events: DataFrame) -> DataFrame:
+    return events.filter(F.col("event_type") == PURCHASE_TYPE).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+
+
+def _click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Purchases within [click_ts, click_ts + JOIN_WINDOW) of a
+    same-user click. The interval is computed in integer microseconds
+    (``unix_micros``) so the bound is exact arithmetic in both
+    engines; the half-open upper bound matches the streaming state
+    expiry rule."""
+    gap = F.expr("unix_micros(purchase_ts) - unix_micros(click_ts)")
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (gap < JOIN_WINDOW_US),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+            ).alias("secs_to_purchase"),
+        )
+    )
+
+
+@register(
+    "q_stream_join",
+    oracle=f"""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_to_purchase
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) < {JOIN_WINDOW_US}
+        WHERE c.event_type = '{CLICK_TYPE}'
+          AND p.event_type = '{PURCHASE_TYPE}'
+    """,
+    doc="Stream-stream join batch twin: purchases within 10 min of a same-user click.",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables(spark, sf_dir).events
+    return _click_purchase_join(_clicks(ev), _purchases(ev))
+
+
+def click_purchase_stream(
+    clicks_stream: DataFrame, purchases_stream: DataFrame
+) -> DataFrame:
+    """The same join over two watermarked streams. Callers build each
+    side with ``events_stream(...)`` (streaming/windows.py) over its
+    own watched directory; the range predicate plus both watermarks
+    give Spark the state-expiry bound."""
+    return _click_purchase_join(
+        _clicks(clicks_stream), _purchases(purchases_stream)
+    )

@@ -82,3 +82,42 @@ def test_stateful_dedup_stream(spark, sf_dir, tmp_path):
     )
     ids = [r["event_id"] for r in stream_rows]
     assert len(ids) == len(set(ids)) == 100
+
+
+def test_stream_join_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_stream_join", sf_dir)
+
+
+def test_stream_stream_join_batch_equals_stream(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream join must reproduce the batch
+    twin exactly once all data is processed (availableNow, append
+    mode — inner time-bound joins emit every match)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.streaming.joins import (
+        CLICK_TYPE,
+        PURCHASE_TYPE,
+        click_purchase_stream,
+    )
+    from mapreduceapp_spark.streaming.windows import events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    click_dir = str(tmp_path / "clicks")
+    purchase_dir = str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == CLICK_TYPE).write.parquet(click_dir)
+    ev.filter(F.col("event_type") == PURCHASE_TYPE).write.parquet(purchase_dir)
+
+    joined = click_purchase_stream(
+        events_stream(spark, sf_dir, click_dir),
+        events_stream(spark, sf_dir, purchase_dir),
+    )
+    stream_rows = _run_stream_to_rows(spark, joined, mode="append")
+    batch_rows = get_query("q_stream_join").builder(spark, sf_dir).collect()
+
+    key = lambda r: (r["click_id"], r["purchase_id"])  # noqa: E731
+    assert sorted(map(key, stream_rows)) == sorted(map(key, batch_rows))
+    assert {key(r): r["secs_to_purchase"] for r in stream_rows} == {
+        key(r): r["secs_to_purchase"] for r in batch_rows
+    }
