@@ -319,3 +319,66 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SAMPLE_K)
         .drop("rn")
     )
+
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
+
+
+def _chunk_oracle() -> str:
+    from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               s // {CHUNK_STRIDE} AS chunk_idx,
+               least({CHUNK_SIZE}, len(w) - s) AS n_chunk_tokens,
+               array_to_string(w[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+        FROM toks,
+             unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS t(s)
+        WHERE len(w) > 0
+    """
+
+
+@register(
+    "q_chunk_documents",
+    oracle=_chunk_oracle(),
+    doc="Overlapping fixed-size token chunks per document (context-window prep).",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-size token windows with
+    overlap (size 64, stride 48) — the chunking pass that precedes
+    embedding or context-window training when documents exceed the
+    model's window. Sibling of q_pack_sequences (which packs SHORT
+    docs up to the window; this splits LONG ones down to it).
+
+    Pure codegen: tokenize once, build the stride-aligned start
+    offsets with ``sequence``, slice each window out of the token
+    array with ``transform`` + ``slice``, and ``posexplode`` so the
+    chunk index falls out of the expansion position. Map-only — no
+    shuffle at any scale; the expansion factor is bounded by
+    ceil(ntok/stride) rows per doc, each carrying only its own
+    window's text.
+    """
+    from mapreduceapp_spark.functions.text import tokens
+
+    d = tables(spark, sf_dir).documents
+    toks = d.select("doc_id", tokens("text").alias("w")).filter(F.size("w") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(F.col("w"), s + 1, CHUNK_SIZE))
+    return toks.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )

@@ -131,3 +131,41 @@ def test_stratified_sample_exact_k_and_stable(spark, sf_dir):
         assert n == min(SAMPLE_K, sizes[lang])
     again = {(r["lang"], r["doc_id"]) for r in q(spark, sf_dir).repartition(5).collect()}
     assert again == {(r["lang"], r["doc_id"]) for r in rows}
+
+
+def test_chunk_documents_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_chunk_documents", sf_dir)
+
+
+def test_chunk_documents_covers_and_overlaps(spark, sf_dir):
+    """Every token position must be covered; consecutive chunks of a
+    doc overlap by exactly CHUNK_SIZE - CHUNK_STRIDE tokens except
+    possibly the last (truncated) one."""
+    from mapreduceapp_spark.operators.curation import CHUNK_SIZE, CHUNK_STRIDE
+    from mapreduceapp_spark.functions.text import tokens
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+    from pyspark.sql import functions as F
+
+    rows = get_query("q_chunk_documents").builder(spark, sf_dir).collect()
+    ntok = {
+        r.doc_id: r.n
+        for r in tables(spark, sf_dir)
+        .documents.select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c.chunk_idx * CHUNK_STRIDE
+            assert c.n_chunk_tokens == min(CHUNK_SIZE, ntok[doc_id] - start)
+        # full coverage: the last chunk reaches the final token
+        last_start = chunks[-1].chunk_idx * CHUNK_STRIDE
+        assert last_start + chunks[-1].n_chunk_tokens == ntok[doc_id]
+        assert last_start < ntok[doc_id] <= last_start + CHUNK_STRIDE or len(
+            chunks
+        ) * CHUNK_STRIDE >= ntok[doc_id]
