@@ -588,7 +588,14 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tokens = d.select(
         "doc_id", F.explode(tokens("text")).alias("tok"), F.lit(1).alias("cnt")
     )
-    fp = _simhash(doc_tokens)
+    # stage the fingerprints: both sides of the banded self-join
+    # consume them, and without materialization Spark computes the
+    # full token-vote aggregation once PER SIDE (verified: 0
+    # ReusedExchange in the executed plan — the band projections
+    # differ per side, so the exchanges aren't equal subtrees). The
+    # staged table is N rows of (doc_id, int64) — trivial to write,
+    # and the corpus-scan-sized vote aggregation runs exactly once.
+    fp = stage(_simhash(doc_tokens), "simhash_fp")
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     bands = fp.select(
         "doc_id",

@@ -9,11 +9,13 @@ input" (the reference accepts arbitrary client-built vectors,
 """
 
 from mapreduceapp_spark.sources.formats import (  # noqa: F401
+    compact_parquet,
     from_rows,
     read_csv,
     read_jsonl,
     write_csv,
     write_parquet,
+    write_sorted_parquet,
 )
 from mapreduceapp_spark.sources.parquet import (  # noqa: F401
     TABLE_NAMES,

@@ -138,3 +138,81 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with clustered layout for data skipping.
+
+    Range-partition by ``sort_cols`` then sort within each partition
+    before writing, so every output file — and every row group inside
+    it — covers a narrow, non-overlapping range of the sort key.
+    Parquet stores per-row-group min/max statistics; a reader's
+    predicate on the sort key then skips whole row groups/files
+    instead of scanning them. At 100 TB this is the difference
+    between a point-lookup reading ~one row group and reading the
+    table: the same trick as Z-ordering for the single-key case.
+
+    ``repartitionByRange`` samples the key distribution, so files are
+    balanced even under skew (a plain hash repartition would destroy
+    the clustering this sink exists to create).
+    """
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    clustered = df.repartitionByRange(parts, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    clustered.write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into few, large, optionally
+    clustered files; returns the output file count.
+
+    The small-files problem is operational, not theoretical: a
+    streaming or per-batch writer leaves thousands of KB-scale files,
+    and every later scan pays per-file open/footer/metadata cost
+    (plus object-store request charges). Compaction = read → size the
+    output file count from the actual input bytes → one shuffle →
+    write. With ``sort_cols`` the rewrite also clusters (see
+    :func:`write_sorted_parquet`), folding two maintenance passes
+    into one.
+
+    The file count is derived from input bytes on the driver via the
+    filesystem — no data pass — so compaction cost is exactly one
+    read + one shuffle + one write of the table.
+    """
+    import os as _os
+
+    total_bytes = 0
+    for root, _dirs, files in _os.walk(in_path):
+        total_bytes += sum(
+            _os.path.getsize(_os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return sum(
+        1
+        for _root, _dirs, files in _os.walk(out_path)
+        for f in files
+        if f.endswith(".parquet")
+    )

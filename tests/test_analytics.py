@@ -98,3 +98,14 @@ def test_outlier_events_agrees_with_float_zscore(spark, sf_dir):
             if abs(v - mu) > 3 * sd:
                 want.add(r.event_id)
     assert got == want
+
+
+def test_outlier_events_plan_broadcasts_stats(spark, sf_dir):
+    """The per-type stats side must reach the join as a broadcast
+    (events are never shuffled for this query at any scale)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    df = get_query("q_outlier_events").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+    assert "SortMergeJoin" not in plan

@@ -173,3 +173,61 @@ def test_loader_schema_matches_pinned_manifest(spark, sf_dir):
         got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         assert got == SCHEMA_MANIFEST[name], f"{name}: {got}"
         assert "timestamp_ntz" not in set(got.values()), name
+
+
+def test_write_sorted_parquet_clusters_rowgroups(spark, sf_dir, tmp_path):
+    """Sorted writes must yield non-overlapping sort-key ranges
+    across files (footer min/max stats), which is what lets a reader
+    skip row groups on a sort-key predicate."""
+    import pyarrow.parquet as pq
+
+    from mapreduceapp_spark.sources import load_table, write_sorted_parquet
+
+    out = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    write_sorted_parquet(orders, out, sort_cols=["o_totalprice"], num_files=4)
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col = idx["o_totalprice"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2 or abs(hi1 - lo2) < 1e-9, (
+            f"overlapping row-group ranges ({hi1} > {lo2}) — clustering lost"
+        )
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """Compaction must collapse a many-small-files directory into few
+    files with identical content."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.sources import compact_parquet, load_table
+
+    small = str(tmp_path / "fragmented")
+    compacted = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(37).write.parquet(small)  # simulate streaming debris
+    n_small = sum(1 for f in os.listdir(small) if f.endswith(".parquet"))
+    assert n_small >= 37
+
+    n_out = compact_parquet(spark, small, compacted, target_file_mb=512)
+    assert n_out < n_small
+    a = orders.agg(
+        F.count(F.lit(1)), F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).first()
+    b = spark.read.parquet(compacted).agg(
+        F.count(F.lit(1)), F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).first()
+    assert tuple(a) == tuple(b)
