@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.numeric import oracle_exact_decimal_sum
@@ -295,4 +295,83 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = dec(F.col("n")) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s"))
     return j.filter((dev * dev) > (F.lit(9).cast("decimal(38,0)") * spread)).select(
         "event_id", "event_type", "value"
+    )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "q_funnel",
+    oracle=f"""
+        WITH s1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), s2 AS (
+            SELECT user_id, ts, event_type, t1,
+                   min(CASE WHEN event_type = '{FUNNEL_STAGES[1]}'
+                             AND ts >= t1 THEN ts END)
+                       OVER (PARTITION BY user_id) AS t2
+            FROM s1
+        ), s3 AS (
+            SELECT user_id, t1, t2,
+                   min(CASE WHEN event_type = '{FUNNEL_STAGES[2]}'
+                             AND ts >= t2 THEN ts END)
+                       OVER (PARTITION BY user_id) AS t3
+            FROM s2
+        )
+        SELECT DISTINCT user_id,
+               CASE WHEN t1 IS NULL THEN 0
+                    WHEN t2 IS NULL THEN 1
+                    WHEN t3 IS NULL THEN 2
+                    ELSE 3 END AS funnel_depth,
+               t1 AS first_view_ts
+        FROM s3
+    """,
+    doc="3-stage ordered funnel (view -> click -> purchase) per user.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how deep each user gets through
+    view → click-after-view → purchase-after-click. The ordering
+    constraint (each stage's timestamp must be at-or-after the
+    previous stage's) is what makes this a *sequence* operator — the
+    reference's ordered-K2 reduce construction
+    (``MapReduceClient.h:22-26``) is the MapReduce way to express it;
+    here it is three chained per-user window minima.
+
+    Plan shape: Spark plans all three window operators over ONE
+    exchange on user_id (equal partitioning, no re-shuffle between
+    stages — the window chain is pipelined within the partition),
+    then a per-user aggregate on the same layout. Adding stages
+    extends the chain, never the shuffle count. Ties: a stage-k event
+    at exactly the stage-(k-1) timestamp counts (>=), so concurrent
+    events resolve identically in both engines — no order-of-equals
+    dependence.
+    """
+    ev = tables(spark, sf_dir).events.select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    stage_min = lambda typ, after: F.min(  # noqa: E731 — local helper
+        F.when(
+            (F.col("event_type") == typ)
+            & (F.lit(True) if after is None else F.col("ts") >= F.col(after)),
+            F.col("ts"),
+        )
+    ).over(w)
+    s1 = ev.withColumn("t1", stage_min(FUNNEL_STAGES[0], None))
+    s2 = s1.withColumn("t2", stage_min(FUNNEL_STAGES[1], "t1"))
+    s3 = s2.withColumn("t3", stage_min(FUNNEL_STAGES[2], "t2"))
+    depth = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        s3.groupBy("user_id")
+        .agg(
+            F.first(depth).alias("funnel_depth"),
+            F.first("t1").alias("first_view_ts"),
+        )
     )

@@ -109,3 +109,58 @@ def test_outlier_events_plan_broadcasts_stats(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_funnel", sf_dir)
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """All three stage windows and the final aggregate must share one
+    exchange on user_id — adding funnel stages extends the window
+    chain, never the shuffle count."""
+    import re
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    plan = (
+        get_query("q_funnel")
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hash", plan)) == 1
+
+
+def test_funnel_depth_semantics(spark, sf_dir):
+    """Depth-k users must have a valid ordered chain; depth-0 users
+    must have no view events at all."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    rows = {r.user_id: r for r in get_query("q_funnel").builder(spark, sf_dir).collect()}
+    ev = tables(spark, sf_dir).events.collect()
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    assert set(rows) == set(by_user)
+    for uid, events in by_user.items():
+        views = [e.ts for e in events if e.event_type == "view"]
+        r = rows[uid]
+        if not views:
+            assert r.funnel_depth == 0 and r.first_view_ts is None
+            continue
+        t1 = min(views)
+        assert r.first_view_ts == t1 and r.funnel_depth >= 1
+        clicks = [e.ts for e in events if e.event_type == "click" and e.ts >= t1]
+        if not clicks:
+            assert r.funnel_depth == 1
+            continue
+        t2 = min(clicks)
+        purchases = [
+            e.ts for e in events if e.event_type == "purchase" and e.ts >= t2
+        ]
+        assert r.funnel_depth == (3 if purchases else 2)
