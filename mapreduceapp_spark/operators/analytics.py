@@ -375,3 +375,77 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("t1").alias("first_view_ts"),
         )
     )
+
+
+COHORT_UNIT = "week"
+
+
+@register(
+    "q_cohort_retention",
+    oracle=f"""
+        WITH cohorts AS (
+            -- CAST: DuckDB's date_trunc('week') yields DATE; Spark's
+            -- yields TIMESTAMP — align the hash representation
+            SELECT user_id,
+                   CAST(min(date_trunc('{COHORT_UNIT}', ts)) AS TIMESTAMP)
+                       AS cohort
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id,
+                   c.cohort,
+                   CAST(date_diff('{COHORT_UNIT}',
+                        c.cohort, date_trunc('{COHORT_UNIT}', e.ts)) AS BIGINT)
+                       AS week_offset
+            FROM events e JOIN cohorts c USING (user_id)
+            WHERE e.ts >= c.cohort
+        )
+        SELECT cohort, week_offset, count(*) AS n_active
+        FROM activity
+        GROUP BY cohort, week_offset
+    """,
+    doc="Cohort retention: users active k weeks after their signup week.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the table behind every retention
+    curve: users grouped by signup week, counted once per later week
+    in which they were active at all.
+
+    Plan shape: the cohort table is one aggregate over the signup
+    slice (predicate pushed to the scan), then a broadcast-friendly
+    join back onto events (cohorts ≤ users, and only two columns
+    wide), a per-(user, cohort, offset) dedup that Spark folds into
+    the counting aggregate's partial phase, and the final rollup.
+    Two shuffles total — the dedup-and-count shares one. week_offset
+    is integer arithmetic on date_trunc'd timestamps (micros div
+    week), identical in both engines; DuckDB's ``date_diff('week')``
+    counts week-boundary crossings, which for week-truncated operands
+    is exactly the same number.
+    """
+    ev = tables(spark, sf_dir).events
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc(COHORT_UNIT, F.min("ts")).alias("cohort"))
+    )
+    wk = 7 * 24 * 3600 * 1_000_000  # one week in microseconds
+    activity = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .filter(F.col("ts") >= F.col("cohort"))
+        .select(
+            "user_id",
+            "cohort",
+            (
+                (
+                    F.unix_micros(F.date_trunc(COHORT_UNIT, F.col("ts")))
+                    - F.unix_micros(F.col("cohort"))
+                )
+                / F.lit(wk)
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

@@ -164,3 +164,29 @@ def test_funnel_depth_semantics(spark, sf_dir):
             e.ts for e in events if e.event_type == "purchase" and e.ts >= t2
         ]
         assert r.funnel_depth == (3 if purchases else 2)
+
+
+def test_cohort_retention_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_cohort_retention", sf_dir)
+
+
+def test_cohort_retention_week0_counts_all_cohort_members(spark, sf_dir):
+    """Every signup user is active in their own signup week (the
+    signup event itself), so week_offset=0 rows must sum to the
+    number of distinct signup users, and offsets are non-negative."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    rows = get_query("q_cohort_retention").builder(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    week0 = sum(r.n_active for r in rows if r.week_offset == 0)
+    signups = (
+        tables(spark, sf_dir)
+        .events.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert week0 == signups
