@@ -171,13 +171,13 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = F.percentile(
         "l_extendedprice", F.array(*[F.lit(q) for q in _QUANTILES])
     )
-    agg = t.lineitem.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
-        qvec.alias("_qv"),
-    )
+    agg = t.lineitem.groupBy("l_returnflag").agg(qvec.alias("_qv"))
+    # median = the 0.5 element of the SAME percentile vector — a
+    # second percentile aggregate would gather+sort every group's
+    # values a second time for a value already computed
     return agg.select(
         "l_returnflag",
-        "median_price",
+        F.round(F.col("_qv")[_QUANTILES.index(0.5)], 4).alias("median_price"),
         *[
             F.round(F.col("_qv")[i], 4).alias(f"q{int(q * 100)}")
             for i, q in enumerate(_QUANTILES)
