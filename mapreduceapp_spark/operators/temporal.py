@@ -246,3 +246,59 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "q_resample_fill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ), spans AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1
+            FROM hourly GROUP BY 1
+        ), grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM spans
+        )
+        SELECT g.event_type, g.h AS hour_start, coalesce(cnt, 0) AS cnt
+        FROM grid g LEFT JOIN hourly USING (event_type, h)
+    """,
+    doc="Time-series resampling: dense hourly grid per event type with zero-filled gaps.",
+)
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling — the densification step before
+    any time-series model or chart: hours with no events must appear
+    as explicit zeros, not silent holes.
+
+    Plan shape: one aggregation produces the sparse hourly counts
+    (partial-agg shuffle over (type, hour) — the only pass that sees
+    raw events); the span table is a per-type min/max over that
+    already-small result; the dense grid is generated JVM-side with
+    ``sequence(h0, h1, interval 1 hour)`` (one row per type — the
+    explode fans out to #hours rows, data-free); the final left join
+    runs grid ⋈ hourly on aggregated data only. At 100 TB of events
+    the grid and hourly tables are both #types × #hours regardless of
+    row count.
+    """
+    ev = tables(spark, sf_dir).events
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )

@@ -368,3 +368,64 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         (F.col("vocab") / F.col("total_tokens")).alias("ttr"),
     )
+
+
+FUZZY_MAX_DIST = 2
+
+
+def _del1(col_name: str) -> "F.Column":
+    """All single-character deletions of a string column (SQL lambda,
+    pure codegen)."""
+    return F.expr(
+        f"transform(sequence(1, length({col_name})), "
+        f"i -> concat(substr({col_name}, 1, i-1), substr({col_name}, i+1)))"
+    )
+
+
+@register(
+    "q_fuzzy_match",
+    oracle=f"""
+        WITH d AS (SELECT DISTINCT p_name AS nm FROM part)
+        SELECT a.nm AS name_a, b.nm AS name_b,
+               levenshtein(a.nm, b.nm) AS dist
+        FROM d a JOIN d b
+          ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= {FUZZY_MAX_DIST}
+    """,
+    doc="Fuzzy self-join on part names (edit distance <= 2) via deletion-neighborhood blocking.",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join without the O(D²) cross product — the
+    FastSS construction: if levenshtein(a, b) ≤ k then deleting at
+    most k characters from each side can align them (substitutions
+    delete on both sides, insertions on one), so the ≤k-deletion
+    neighborhoods of a and b intersect. Candidates = name pairs
+    sharing ANY deletion variant (an equi-join on the variant
+    string); the exact levenshtein filter then removes the false
+    positives — a superset-then-verify pattern, provably complete.
+
+    Scale shape: the join runs over the DISTINCT name dictionary (one
+    aggregation over the corpus — the only part that sees N rows), so
+    the neighborhood explosion (1 + L + L·(L−1)/2 variants per name,
+    ~50 for these names) applies to dictionary entries, not rows.
+    Per-variant fan-out is names-per-variant², naturally small for
+    text dictionaries (a variant key is nearly as specific as the
+    name); nothing is ever all-pairs.
+    """
+    d = tables(spark, sf_dir).part.select(
+        F.col("p_name").alias("nm")
+    ).distinct()
+    v0 = d.select("nm", F.col("nm").alias("v"))
+    d1 = d.select("nm", F.explode(_del1("nm")).alias("v"))
+    d2 = d1.select("nm", F.explode(_del1("v")).alias("v"))
+    variants = v0.unionByName(d1).unionByName(d2).distinct()
+    cand = (
+        variants.alias("a")
+        .join(variants.alias("b"), "v")
+        .select(F.col("a.nm").alias("name_a"), F.col("b.nm").alias("name_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )

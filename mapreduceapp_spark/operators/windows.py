@@ -194,3 +194,35 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+@register(
+    "q_window_leadlag",
+    oracle="""
+        SELECT event_id, user_id, value,
+               lag(value)  OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               ntile(4)    OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Offset window functions: lag/lead neighbors + ntile quartiles per user (B14/B15 completion).",
+)
+def q_window_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offset/distribution window functions the ranking and frame
+    queries don't cover: previous/next event value per user timeline
+    and NTILE position quartiles. One window spec shared by all three
+    expressions → a single shuffle + per-partition sort in the plan;
+    the (ts, event_id) ordering key is unique, so lag/lead/ntile are
+    all deterministic and both engines agree on ties.
+    """
+    ev = tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

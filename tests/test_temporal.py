@@ -51,3 +51,23 @@ def test_asof_join_semantics_handmade(spark, tmp_path):
         3: ("2024-01-01 11:00:00", 0),
         4: ("2024-01-01 11:00:00", 2700),
     }
+
+
+def test_resample_fill_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_resample_fill", sf_dir)
+
+
+def test_resample_fill_is_dense(spark, sf_dir):
+    """Per event type the hourly grid must be contiguous (no holes,
+    one row per hour from first to last active hour)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_resample_fill").builder(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.hour_start)
+    for typ, hours in by_type.items():
+        hours.sort()
+        span_hours = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
+        assert len(hours) == span_hours, f"{typ}: grid has holes"
+        assert len(set(hours)) == len(hours), f"{typ}: duplicate hours"

@@ -52,3 +52,45 @@ def test_vocab_stats_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.hapax <= r.vocab <= r.total_tokens
         assert r.ttr == r.vocab / r.total_tokens
+
+
+def test_fuzzy_match_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_fuzzy_match", sf_dir)
+
+
+def test_fuzzy_match_blocking_is_complete(spark, sf_dir):
+    """The deletion-neighborhood candidates must contain every true
+    pair: compare against brute-force levenshtein over the distinct
+    name dictionary."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.operators.text import FUZZY_MAX_DIST
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    got = {
+        (r.name_a, r.name_b)
+        for r in get_query("q_fuzzy_match").builder(spark, sf_dir).collect()
+    }
+    names = sorted(
+        r.p_name
+        for r in tables(spark, sf_dir).part.select("p_name").distinct().collect()
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b) for a, b in combinations(names, 2) if lev(a, b) <= FUZZY_MAX_DIST
+    }
+    assert got == want

@@ -30,3 +30,7 @@ def test_shared_window_spec_single_shuffle(spark, sf_dir):
     df = get_query("q_window_rank").builder(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_window_leadlag_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_window_leadlag", sf_dir)
