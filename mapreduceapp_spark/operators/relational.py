@@ -371,3 +371,81 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
     )
+
+
+@register(
+    "q_data_audit",
+    oracle="""
+        SELECT 'lineitem_null_shipdate' AS check_name,
+               count(*) FILTER (l_shipdate IS NULL) AS violations,
+               count(*) AS checked
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               count(*) FILTER (l_discount < 0 OR l_discount > 1),
+               count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_quantity_positive',
+               count(*) FILTER (l_quantity <= 0),
+               count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               count(*) FILTER (c_custkey IS NULL),
+               count(*)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'events_value_nonnegative',
+               count(*) FILTER (value < 0),
+               count(*)
+        FROM events
+    """,
+    doc="Data-quality audit: null/range/referential checks as one result table.",
+)
+def q_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validation pass a production pipeline runs before
+    publishing a table: per-check violation counts over nulls, value
+    ranges, and referential integrity, emitted as one (check_name,
+    violations, checked) table a scheduler can gate on.
+
+    Plan shape: each single-table check is ONE conditional aggregate
+    over its scan — violations and checked counted in the same pass,
+    no second scan per check, and same-table checks could further
+    share a scan if co-located (kept separate here to mirror the
+    oracle's per-check rows). The referential check is a left join
+    against the (broadcastable) parent keyed table counting orphans —
+    the standard anti-join cardinality, expressed as count(parent IS
+    NULL) so it shares the join with any other parent-side checks. No
+    driver-side logic: the audit result is itself a DataFrame.
+    """
+    t = tables(spark, sf_dir)
+
+    def check(name: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.when(bad, 1)).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        )
+
+    li = t.lineitem
+    orphan = t.orders.join(
+        F.broadcast(t.customer.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    return (
+        check("lineitem_null_shipdate", li, F.col("l_shipdate").isNull())
+        .unionByName(
+            check(
+                "lineitem_discount_range",
+                li,
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            )
+        )
+        .unionByName(
+            check("lineitem_quantity_positive", li, F.col("l_quantity") <= 0)
+        )
+        .unionByName(check("orders_fk_customer", orphan, F.col("c_custkey").isNull()))
+        .unionByName(check("events_value_nonnegative", t.events, F.col("value") < 0))
+    )

@@ -60,3 +60,26 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_comment" not in read_schema  # pruned
     assert "l_partkey" not in read_schema  # pruned
+
+
+def test_data_audit_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_data_audit", sf_dir)
+
+
+def test_data_audit_clean_fixtures(spark, sf_dir):
+    """The generated fixtures are clean, so every check must report
+    zero violations with a positive checked count — and the audit
+    must cover all five declared checks."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = {r.check_name: r for r in get_query("q_data_audit").builder(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "lineitem_null_shipdate",
+        "lineitem_discount_range",
+        "lineitem_quantity_positive",
+        "orders_fk_customer",
+        "events_value_nonnegative",
+    }
+    for name, r in rows.items():
+        assert r.checked > 0, name
+        assert r.violations == 0, f"{name}: fixtures should be clean"
