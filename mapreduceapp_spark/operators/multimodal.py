@@ -134,8 +134,29 @@ _FEATURE_SCHEMA = (
 
 @register(
     "q_media_features",
-    oracle=None,  # decode is a stub (no codecs in container) — the
-    # Arrow plumbing is pinned by tests/test_multimodal.py instead.
+    # The decode step is a stub (no codecs in container), but the
+    # FAKE is deterministic arithmetic over the payload bytes — so
+    # the whole mapInPandas pipeline is oracle-checkable: every
+    # feature re-derives in SQL from octet_length and the byte sum
+    # (the corpus is ASCII, so ascii(char) == byte; asserted by the
+    # oracle-match itself — a multibyte char would break equality).
+    # A real codec changes decode_media's body and drops this oracle,
+    # nothing else.
+    oracle="""
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               CAST(16 + (octet_length(CAST(text AS BLOB)) * 7919) % 1024
+                    AS INTEGER) AS width,
+               CAST(16 + (octet_length(CAST(text AS BLOB)) * 104729) % 1024
+                    AS INTEGER) AS height,
+               CAST(1 + octet_length(CAST(text AS BLOB)) % 7
+                    AS INTEGER) AS n_frames,
+               list_sum(list_transform(
+                   generate_series(1, length(text)),
+                   i -> ascii(substr(text, i, 1))))
+                   / octet_length(CAST(text AS BLOB)) AS mean_byte
+        FROM documents
+    """,
     doc="Arrow-batched media feature extraction over binary payloads (mapInPandas).",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
