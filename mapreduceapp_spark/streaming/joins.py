@@ -115,3 +115,18 @@ def click_purchase_stream(
     return _click_purchase_join(
         _clicks(clicks_stream), _purchases(purchases_stream)
     )
+
+
+def enrich_stream(stream: DataFrame, static_dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: enrich each live event with a static
+    (batch) dimension — the third Structured Streaming join class
+    next to the windowed aggregations and the stream-stream join.
+
+    Stateless by construction: the static side is broadcast to every
+    task and each micro-batch probes it map-side, so there is no join
+    state to water-mark or expire — at 100 TB/day the stream side
+    never shuffles for this join. Spark re-plans the static side per
+    micro-batch, so a dim refreshed in place (e.g. a daily snapshot
+    directory) is picked up without restarting the query.
+    """
+    return stream.join(F.broadcast(static_dim), key, "left")

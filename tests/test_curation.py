@@ -169,3 +169,20 @@ def test_chunk_documents_covers_and_overlaps(spark, sf_dir):
         assert last_start < ntok[doc_id] <= last_start + CHUNK_STRIDE or len(
             chunks
         ) * CHUNK_STRIDE >= ntok[doc_id]
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Chunking must not shuffle — the token array lives and dies
+    inside one projection + generator."""
+    import re
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    plan = (
+        get_query("q_chunk_documents")
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 0

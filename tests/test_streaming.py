@@ -121,3 +121,28 @@ def test_stream_stream_join_batch_equals_stream(spark, sf_dir, tmp_path):
     assert {key(r): r["secs_to_purchase"] for r in stream_rows} == {
         key(r): r["secs_to_purchase"] for r in batch_rows
     }
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: every streamed event must carry its
+    user's (batch-computed) historical event count, with no rows
+    dropped by the enrichment."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.streaming.joins import enrich_stream
+    from mapreduceapp_spark.streaming.windows import events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "enrich_stream")
+    ev.write.parquet(stream_dir)
+
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("hist_events"))
+    enriched = enrich_stream(
+        events_stream(spark, sf_dir, stream_dir), dim, "user_id"
+    )
+    rows = _run_stream_to_rows(spark, enriched, mode="append")
+
+    assert len(rows) == ev.count()  # left join drops nothing
+    want = {r.user_id: r.hist_events for r in dim.collect()}
+    assert all(r.hist_events == want[r.user_id] for r in rows)

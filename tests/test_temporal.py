@@ -71,3 +71,22 @@ def test_resample_fill_is_dense(spark, sf_dir):
         span_hours = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
         assert len(hours) == span_hours, f"{typ}: grid has holes"
         assert len(set(hours)) == len(hours), f"{typ}: duplicate hours"
+
+
+def test_resample_fill_shuffles_only_aggregates(spark, sf_dir):
+    """Raw events cross the wire once (the sparse (type, hour)
+    partial agg); the grid join must be broadcast, never a third
+    event-sized shuffle."""
+    import re
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    plan = (
+        get_query("q_resample_fill")
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange (hash|range)", plan)) <= 2
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
