@@ -288,7 +288,9 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("q"),
+        # square in decimal BEFORE summing: v^2 ~ 1e8 per row, so an
+        # int64 sum overflows past ~1e11 rows/group — real at 100 TB
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,0)")).alias("q"),
     )
     j = ev.join(F.broadcast(st), "event_type")
     dev = dec(F.col("n") * F.col("v")) - dec(F.col("s"))
@@ -413,11 +415,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     in which they were active at all.
 
     Plan shape: the cohort table is one aggregate over the signup
-    slice (predicate pushed to the scan), then a broadcast-friendly
-    join back onto events (cohorts ≤ users, and only two columns
-    wide), a per-(user, cohort, offset) dedup that Spark folds into
-    the counting aggregate's partial phase, and the final rollup.
-    Two shuffles total — the dedup-and-count shares one. week_offset
+    slice (predicate pushed to the scan), then a join back onto
+    events on user_id — user-cardinality on the build side, so it is
+    deliberately NOT broadcast-hinted (AQE broadcasts it when small,
+    sort-merges when not), a per-(user, cohort, offset) dedup that
+    Spark folds into the counting aggregate's partial phase, and the
+    final rollup. week_offset
     is integer arithmetic on date_trunc'd timestamps (micros div
     week), identical in both engines; DuckDB's ``date_diff('week')``
     counts week-boundary crossings, which for week-truncated operands
@@ -430,8 +433,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.date_trunc(COHORT_UNIT, F.min("ts")).alias("cohort"))
     )
     wk = 7 * 24 * 3600 * 1_000_000  # one week in microseconds
+    # no broadcast hint: cohorts is USER-cardinality, which is only
+    # broadcastable at toy SF — at 100 TB this is a fact-fact join on
+    # user_id (sort-merge / shuffled-hash); AQE still converts it to
+    # broadcast automatically when the cohort side is actually small
     activity = (
-        ev.join(F.broadcast(cohorts), "user_id")
+        ev.join(cohorts, "user_id")
         .filter(F.col("ts") >= F.col("cohort"))
         .select(
             "user_id",

@@ -97,7 +97,15 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     # ("hdfs://...", "s3a://...") the process-local map alone decides
     # — it is only populated after a successful write.
     slot_ok = "://" in path or os.path.exists(path)
-    if cached is not None and cached[0] == plan_hash and slot_ok:
+    if (
+        cached is not None
+        and cached[0] == plan_hash
+        # same-session only: semanticHash is plan-structural, so an
+        # equal plan built on a NEW session would otherwise hit a
+        # cached scan bound to the old (possibly stopped) session
+        and cached[1].sparkSession is df.sparkSession
+        and slot_ok
+    ):
         return cached[1]
     df.write.mode("overwrite").parquet(path)
     scan = df.sparkSession.read.parquet(path)
