@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from mapreduceapp_spark.operators.text import BPE_TOKEN_RE
 from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.plans.staging import stage
 from mapreduceapp_spark.sources import tables
 
 # Split fractions in bucket points (out of 100): train 80 / val 10 / test 10.
@@ -252,7 +253,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", token_count("text").alias("ntok")
     ).filter(F.col("ntok") >= MIN_TOKENS)
 
-    pairs = q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    # same stage slot+plan as q_dedup_clusters: whichever runs first
+    # materializes the LSH pair detection; the other reads it
+    pairs = stage(
+        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+        "minhash_pairs",
+    )
     # a pair only kills doc_b if its earlier endpoint survived quality
     live_a = filtered.select(F.col("doc_id").alias("doc_a"))
     drop = (

@@ -469,8 +469,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut it provides is the same one that took the sf0.1 run from
     # 23 s to 6 s when first introduced.
     _ensure_checkpoint_dir(spark)
-    pairs = (
-        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").checkpoint()
+    # staged, not checkpointed: the SAME pair slot feeds
+    # q_curation_pipeline (identical plan → identical stage() key),
+    # so LSH detection runs once per process for all its consumers,
+    # and the fixpoint's fan-out reads parquet instead of re-deriving
+    # the detection per branch (same lineage-cut effect as the old
+    # checkpoint, plus cross-query reuse).
+    pairs = stage(
+        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+        "minhash_pairs",
     )
     edges = pairs.unionByName(
         pairs.select(
