@@ -161,9 +161,15 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines — no transcendentals — so even the argmin over
     doubles is bit-stable (plus a cid tiebreak for true ties).
     """
-    return kmeans_assign(spark, sf_dir).groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.min("vec_id").alias("min_member_id"),
+    # same stage slot+plan as q_semantic_prune: the two Lloyd rounds
+    # run once per process, whichever consumer executes first
+    return (
+        stage(kmeans_assign(spark, sf_dir), "kmeans_assign")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_member_id"),
+        )
     )
 
 
