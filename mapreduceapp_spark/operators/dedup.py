@@ -10,7 +10,7 @@ Four operators, smallest to largest hammer:
                           inverted-index self-join (no cross join).
 - ``q_minhash_neardup`` — MinHash signatures + banded LSH candidate
                           generation, then exact-Jaccard verification.
-- ``q_simhash_neardup`` — 64-bit SimHash + pigeonhole band join for
+- ``q_simhash_neardup`` — 60-bit SimHash + pigeonhole band join for
                           hamming-distance ≤ 3 pairs.
 
 Scale posture (100 TB):
@@ -48,7 +48,11 @@ MINHASH_PERMS = 64
 LSH_BANDS = 16
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 
-SIMHASH_BITS = 64
+# 60 bits (not 64): the per-token hash is the first 15 hex chars of
+# sha256, which (a) fits signed int64 with no sign gymnastics and
+# (b) has an exact DuckDB twin — making the whole SimHash path
+# SQL-oracle-checkable. 60 = 4 bands x 15 bits for the pigeonhole.
+SIMHASH_BITS = 60
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: ≥1 band equal
 
@@ -530,11 +534,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash(doc_tokens: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from token multiset.
+    """60-bit SimHash per doc from token multiset.
 
     Classic Charikar scheme: each token votes ±1 on each bit of its
-    64-bit hash; the fingerprint's bit b is 1 iff the vote sum is
-    positive. Implemented as 64 conditional-sum aggregate columns
+    60-bit hash; the fingerprint's bit b is 1 iff the vote sum is
+    positive. Implemented as 60 conditional-sum aggregate columns
     over (doc, token, cnt) rows — no row fan-out at all, and every
     sum partial-aggregates map-side, so the shuffle carries one
     64-column row per (partition, doc). (A first cut posexploded to
@@ -542,8 +546,17 @@ def _simhash(doc_tokens: DataFrame) -> DataFrame:
     answer — measurably slower at bench scale and strictly worse at
     100 TB.)
     """
+    # sha256-derived 60-bit token hash (first 15 hex chars): ~2x the
+    # per-token cost of xxhash64, but bit-identically reproducible in
+    # DuckDB — which is what buys the SQL oracle on the whole SimHash
+    # path. A throughput-critical deployment swaps this one line back
+    # to xxhash64 and drops the oracle; everything else is unchanged.
     tok_hash = doc_tokens.select(
-        "doc_id", F.col("cnt"), F.xxhash64("tok").alias("h")
+        "doc_id",
+        F.col("cnt"),
+        F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     bit_votes = [
         F.sum(
@@ -571,9 +584,49 @@ def _simhash(doc_tokens: DataFrame) -> DataFrame:
 
 @register(
     "q_simhash_neardup",
-    oracle=None,  # xxhash64-dependent fingerprints — not SQL-reproducible;
-    # correctness pinned by tests/test_dedup.py (dup docs ⇒ hamming 0,
-    # banded join ≡ brute-force hamming scan).
+    # The oracle recomputes the SimHash fingerprints from scratch in
+    # SQL (same sha256-hex token hash, same ±1 votes, same >0 tie
+    # rule) and brute-forces ALL pairs — the exact ground truth the
+    # engine's banded join must reproduce. The banded-join ≡
+    # brute-force equivalence is additionally pinned Spark-side in
+    # tests/test_dedup.py.
+    oracle=f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, 15),
+                           i -> CAST(instr('0123456789abcdef',
+                                           substr(sha256(tok), i, 1)) - 1
+                                AS BIGINT)),
+                       (a, b) -> a * 16 + b) AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS t(b)
+            GROUP BY doc_id, b
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                                 THEN (CAST(1 AS BIGINT) << b)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
     doc="SimHash near-dup pairs (hamming ≤ 3) via pigeonhole band join (C2).",
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
