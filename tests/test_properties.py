@@ -178,3 +178,27 @@ def test_pack_bins_monotone_law(spark, toks):
         assert r["bin"] >= prev_bin
         prev_bin = r["bin"]
         offset += r["ntok"]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4), max_size=12
+    ),
+    n=st.integers(min_value=2, max_value=8),
+)
+@SETTINGS
+def test_word_grams_strategies_agree(spark, words, n):
+    """word_grams picks one of two codegen strategies by n (zip_with
+    chain vs arrays_zip single pass); both must equal the Python
+    sliding-window definition on arbitrary token arrays — guarding
+    the dual-strategy split at its semantic boundary."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.operators.llmprep import word_grams
+
+    df = spark.createDataFrame([(words,)], "w array<string>")
+    got = df.select(word_grams(F.col("w"), n).alias("g")).first()["g"]
+    want = [
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    ] if len(words) >= n else []
+    assert got == want
