@@ -25,7 +25,7 @@ The reference has no analog (operator surface A1–A9,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.vectors import (
@@ -378,4 +378,68 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "cluster_id", F.coalesce("pruned", F.lit(0)).alias("pruned")
         )
+    )
+
+
+@register(
+    "q_cluster_purity",
+    oracle=f"""
+        WITH {ORACLE_ASSIGN_CTES},
+        ct AS (
+            SELECT a2.cid AS cluster_id, e.label, count(*) AS n
+            FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id
+            GROUP BY 1, 2
+        ),
+        maj AS (
+            SELECT cluster_id, label AS majority_label, n AS n_majority,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n DESC, label) AS rn
+            FROM ct
+        )
+        SELECT t.cluster_id,
+               CAST(t.n_members AS BIGINT) AS n_members,
+               m.majority_label,
+               CAST(m.n_majority AS BIGINT) AS n_majority
+        FROM (SELECT cluster_id, sum(n) AS n_members FROM ct
+              GROUP BY cluster_id) t
+        JOIN maj m ON m.cluster_id = t.cluster_id AND m.rn = 1
+    """,
+    doc="Clustering evaluation: per-cluster label contingency + majority (purity numerator).",
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation against the embeddings table's
+    ground-truth ``label`` column: per k-means cluster, its size and
+    its majority label with count — sum(n_majority)/sum(n_members)
+    is the standard purity score, left to the consumer so the result
+    stays integer-exact per row.
+
+    Composition: reads the SAME staged assignment slot as q_kmeans
+    and q_semantic_prune (the Lloyd rounds never re-run), joins the
+    label column (N-row equi-join on vec_id), and reduces to a
+    #clusters × #labels contingency — everything after the join is
+    aggregated-small. Majority ties break on the smaller label, so
+    both engines agree deterministically.
+    """
+    assigned = stage(kmeans_assign(spark, sf_dir), "kmeans_assign").select(
+        "vec_id", "cluster_id"
+    )
+    lab = tables(spark, sf_dir).embeddings.select("vec_id", "label")
+    ct = (
+        assigned.join(lab, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    maj = (
+        ct.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    tot = ct.groupBy("cluster_id").agg(F.sum("n").alias("n_members"))
+    return tot.join(maj, "cluster_id").select(
+        "cluster_id", "n_members", "majority_label", "n_majority"
     )

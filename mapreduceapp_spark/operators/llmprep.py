@@ -594,3 +594,58 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ord_key").alias("max_key"),
         )
     )
+
+
+@register(
+    "q_source_gini",
+    oracle="""
+        WITH s AS (SELECT source, count(*) AS x FROM documents GROUP BY source),
+        r AS (
+            SELECT x,
+                   row_number() OVER (ORDER BY x, source) AS i,
+                   count(*) OVER () AS n,
+                   sum(x) OVER () AS tot
+            FROM s
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_sources,
+               CAST(max(tot) AS BIGINT) AS total_docs,
+               CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
+               CAST(max(n) * max(tot) AS BIGINT) AS gini_den,
+               sum((2 * i - n - 1) * x) / (max(n) * max(tot)) AS gini
+    FROM r
+    """,
+    doc="Source-concentration Gini index of the corpus (data-mixing balance metric).",
+)
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated the corpus is across sources — the Gini
+    index over per-source document counts, the balance number a
+    data-mixing dashboard watches (0 = perfectly uniform, →1 = one
+    source dominates).
+
+    Uses the mean-absolute-difference form on rank-sorted counts,
+    G = Σ(2i − n − 1)·x_i / (n·Σx), which is INTEGER arithmetic up
+    to one final division — no float accumulation order to disagree
+    on (the numerator/denominator are also emitted as exact ints).
+    Rank ties break on source name, so both engines sort
+    identically. One aggregation over the corpus produces the
+    per-source counts; everything after runs on #sources rows.
+    """
+    d = tables(spark, sf_dir).documents
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("x"))
+    wall = Window.partitionBy()
+    r = s.select(
+        "x",
+        F.row_number().over(Window.partitionBy().orderBy("x", "source")).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").alias("n_sources"),
+        F.max("tot").alias("total_docs"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).alias("gini_num"),
+        (F.max("n") * F.max("tot")).alias("gini_den"),
+        (
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
+            / (F.max("n") * F.max("tot"))
+        ).alias("gini"),
+    )

@@ -139,3 +139,26 @@ def test_semantic_prune_subbucket_bounds_and_equality(spark):
     )
     assert got == want  # sub-bucketing never changes the answer
     assert want == sorted(set(range(n)) - {0, 1})  # family minima survive
+
+
+def test_cluster_purity_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_cluster_purity", sf_dir)
+
+
+def test_cluster_purity_consistent_with_kmeans(spark, sf_dir):
+    """Purity rows must cover exactly the k-means clusters with the
+    same member counts, and the majority can never exceed the size."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    purity = {
+        r.cluster_id: r
+        for r in get_query("q_cluster_purity").builder(spark, sf_dir).collect()
+    }
+    km = {
+        r.cluster_id: r.n_members
+        for r in get_query("q_kmeans").builder(spark, sf_dir).collect()
+    }
+    assert set(purity) == set(km)
+    for cid, r in purity.items():
+        assert r.n_members == km[cid]
+        assert 1 <= r.n_majority <= r.n_members

@@ -142,3 +142,31 @@ def test_training_order_equal_fill(spark, sf_dir):
     assert sizes == sorted(sizes, reverse=True), "big shards must come first"
     n = tables(spark, sf_dir).documents.count()
     assert sum(sizes) == n
+
+
+def test_source_gini_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_source_gini", sf_dir)
+
+
+def test_source_gini_bounds_and_python_agreement(spark, sf_dir):
+    """Gini must be in [0, 1) and equal the textbook mean-absolute-
+    difference computation in Python."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    row = get_query("q_source_gini").builder(spark, sf_dir).first()
+    counts = sorted(
+        r.x
+        for r in tables(spark, sf_dir)
+        .documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    n, tot = len(counts), sum(counts)
+    want_num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(counts))
+    assert row.n_sources == n and row.total_docs == tot
+    assert row.gini_num == want_num and row.gini_den == n * tot
+    assert 0 <= row.gini < 1
+    assert row.gini == want_num / (n * tot)
