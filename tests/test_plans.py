@@ -163,3 +163,32 @@ def test_stage_is_idempotent_per_plan(spark, sf_dir, tmp_path, monkeypatch):
     assert out.sparkSession.read.parquet(
         str(tmp_path / "stage" / "idem_slot")
     ).count() == other.count()
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Global anti-pattern gate over the ENTIRE registered surface:
+    no query may plan a CartesianProduct, and BroadcastNestedLoopJoin
+    may appear only in the allowlisted queries that join a 1-row /
+    broadcast stats side by design (documented in each). A new query
+    that accidentally cross-joins fails here, not at 100 TB."""
+    from mapreduceapp_spark.plans.registry import all_queries
+
+    # executed demos run jobs at build; exclude from the plan sweep
+    skip = {"q_late_data", "q_progress"}
+    # conditionless 1-row/stat broadcast joins, by design:
+    bnlj_ok = {
+        "q_knn_cosine",      # plan-level budget-guard join
+        "q_training_order",  # global count broadcast
+        "q_ann_ivf",         # corpus stats broadcast
+        "q_bm25",            # idf/length stats broadcast
+        "q_domain_mix",      # token budget broadcast
+    }
+    for name, builder in all_queries().items():
+        if name in skip:
+            continue
+        plan = (
+            builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in bnlj_ok, f"{name} plans an unexpected BNLJ"
