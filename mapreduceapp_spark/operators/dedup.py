@@ -691,3 +691,49 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "q_dup_degree",
+    oracle=f"""
+        WITH {ORACLE_JACCARD_PAIR_CTES},
+        deg AS (
+            SELECT doc_id, count(*) AS degree FROM (
+                SELECT doc_a AS doc_id FROM jpairs
+                UNION ALL
+                SELECT doc_b FROM jpairs
+            ) GROUP BY doc_id
+        )
+        SELECT degree, count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS example_doc
+        FROM deg GROUP BY degree
+    """,
+    doc="Near-dup graph degree distribution: how many docs have k near-dup partners.",
+)
+def q_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph — the shape
+    diagnostic a dedup pipeline checks before clustering: a long
+    degree tail means template/boilerplate families (and motivates
+    the mega-cluster sub-bucketing q_semantic_prune carries), while
+    degree ≈ 1 means simple pair dedup suffices.
+
+    Composes the SAME staged LSH pair slot as q_dedup_clusters and
+    q_curation_pipeline (pair detection runs once per process; this
+    query adds only #pairs-sized work): explode both endpoints,
+    count per doc, histogram the counts. The oracle recomputes the
+    pairs exactly (shared Jaccard CTEs) and takes the same
+    distribution — LSH-vs-exact equality is inherited from the
+    verified pair detection.
+    """
+    pairs = stage(
+        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+        "minhash_pairs",
+    )
+    both = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = both.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("example_doc"),
+    )

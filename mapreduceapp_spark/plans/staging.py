@@ -45,14 +45,13 @@ from pyspark.sql import DataFrame
 
 _STAGING_ROOT: str | None = None
 
-# name -> (semantic hash of the staged logical plan, lazy scan over
-# the slot) for slots written by THIS process. Lets stage() skip both
-# the rewrite AND the re-read's schema-inference job when re-invoked
-# with an equivalent plan (bench re-invokes every builder 3x;
-# pipelines may call a staged builder twice). Process-local by
-# construction: a slot inherited from a previous process is never
-# trusted.
-_STAGED_PLANS: dict[str, tuple[int, DataFrame]] = {}
+# (name, plan semanticHash) -> lazy scan over that plan's slot, for
+# slots written by THIS process. Lets stage() skip both the rewrite
+# AND the re-read's schema-inference job when re-invoked with an
+# equivalent plan (bench re-invokes every builder 3x; pipelines may
+# call a staged builder twice). Process-local by construction: a slot
+# inherited from a previous process is never trusted.
+_STAGED_PLANS: dict[tuple[str, int], DataFrame] = {}
 
 
 def staging_root() -> str:
@@ -81,33 +80,45 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     bytes instead of re-deriving the lineage.
 
     Idempotent per plan: if this process already staged a
-    semantically-equal plan into the same slot, the write is skipped
-    and the existing bytes are re-scanned (zero jobs). Equality is
+    semantically-equal plan under this name, the write is skipped and
+    the existing bytes are re-scanned (zero jobs). Equality is
     Catalyst's ``semanticHash`` of the analyzed plan, so a builder
     re-invoked with the same (query, sf_dir) reuses its slot while
     any change to the lineage — different sf_dir, different params —
-    forces a rewrite. Staged inputs are engine intermediates (not
+    forces a fresh slot. Staged inputs are engine intermediates (not
     user tables that can mutate mid-process), so plan equality is the
     correct reuse key.
+
+    The slot PATH embeds the plan hash. This is load-bearing, not
+    cosmetic: a staged scan's logical plan is just "read <path>", so
+    if two different upstream plans wrote to one recycled path, every
+    DOWNSTREAM stage() built over that scan would carry the same
+    semanticHash for genuinely different data and reuse stale bytes
+    (observed: a two-sf process returning sf0.001 pairs for an sf0.01
+    query). With per-plan paths, data identity always flows through
+    the path, so equal downstream hashes imply equal upstream data —
+    inductively, through any depth of stage() composition.
     """
-    path = os.path.join(staging_root(), name)
     plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
-    cached = _STAGED_PLANS.get(name)
+    path = os.path.join(
+        staging_root(), f"{name}_{plan_hash & 0xFFFFFFFFFFFFFFFF:016x}"
+    )
+    key = (name, plan_hash)
+    cached = _STAGED_PLANS.get(key)
     # existence re-check is local-fs only; for a remote staging root
     # ("hdfs://...", "s3a://...") the process-local map alone decides
     # — it is only populated after a successful write.
     slot_ok = "://" in path or os.path.exists(path)
     if (
         cached is not None
-        and cached[0] == plan_hash
         # same-session only: semanticHash is plan-structural, so an
         # equal plan built on a NEW session would otherwise hit a
         # cached scan bound to the old (possibly stopped) session
-        and cached[1].sparkSession is df.sparkSession
+        and cached.sparkSession is df.sparkSession
         and slot_ok
     ):
-        return cached[1]
+        return cached
     df.write.mode("overwrite").parquet(path)
     scan = df.sparkSession.read.parquet(path)
-    _STAGED_PLANS[name] = (plan_hash, scan)
+    _STAGED_PLANS[key] = scan
     return scan

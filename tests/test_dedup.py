@@ -94,3 +94,20 @@ def test_dedup_clusters_are_closed(spark, sf_dir):
         members.setdefault(c, []).append(doc)
     for c, docs in members.items():
         assert c == min(docs)
+
+
+def test_dup_degree_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_dup_degree", sf_dir)
+
+
+def test_dup_degree_across_scale_factors_in_one_process(spark, sf_dir):
+    """Regression: recycled stage-slot paths once returned the
+    PREVIOUS scale factor's pairs when two sf_dirs ran in one process
+    (plan hashes collided through the shared slot path). Running the
+    degree query on both fixtures back-to-back must match each
+    fixture's own oracle."""
+    from tests.conftest import SF_DIR_MID
+
+    assert_matches_oracle(spark, "q_dup_degree", sf_dir)
+    assert_matches_oracle(spark, "q_dup_degree", SF_DIR_MID)
+    assert_matches_oracle(spark, "q_dup_degree", sf_dir)

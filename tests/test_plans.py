@@ -151,18 +151,26 @@ def test_stage_is_idempotent_per_plan(spark, sf_dir, tmp_path, monkeypatch):
     def jobs() -> int:
         return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
 
+    import os
+
     nat = tables(spark, sf_dir).nation.select("n_nationkey", "n_regionkey")
     staging.stage(nat, "idem_slot")
     before = jobs()
-    out = staging.stage(nat, "idem_slot")  # same plan, same slot
+    out = staging.stage(nat, "idem_slot")  # same plan, same name
     assert jobs() == before, "idempotent re-stage ran Spark jobs"
     assert out.count() == nat.count()  # staged bytes still readable
 
+    # a different plan under the same name must land in its OWN slot
+    # (path embeds the plan hash — stale-data guard for recycled
+    # names), leaving the first slot intact
     other = nat.filter(F.col("n_regionkey") == 0)
-    staging.stage(other, "idem_slot")  # different plan: must rewrite
-    assert out.sparkSession.read.parquet(
-        str(tmp_path / "stage" / "idem_slot")
-    ).count() == other.count()
+    other_scan = staging.stage(other, "idem_slot")
+    slots = [
+        d for d in os.listdir(tmp_path / "stage") if d.startswith("idem_slot_")
+    ]
+    assert len(slots) == 2, slots
+    assert other_scan.count() == other.count()
+    assert out.count() == nat.count()  # first slot unharmed
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
