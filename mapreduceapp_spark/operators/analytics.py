@@ -456,3 +456,93 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+AB_ARM_A, AB_ARM_B = "click", "view"
+
+
+@register(
+    "q_abtest",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IN ('{AB_ARM_A}', '{AB_ARM_B}')
+        ),
+        st AS (
+            SELECT
+                count(*) FILTER (event_type = '{AB_ARM_A}') AS n_a,
+                CAST(sum(v) FILTER (event_type = '{AB_ARM_A}') AS HUGEINT) AS s_a,
+                CAST(sum(CAST(v AS HUGEINT) * v)
+                     FILTER (event_type = '{AB_ARM_A}') AS HUGEINT) AS q_a,
+                count(*) FILTER (event_type = '{AB_ARM_B}') AS n_b,
+                CAST(sum(v) FILTER (event_type = '{AB_ARM_B}') AS HUGEINT) AS s_b,
+                CAST(sum(CAST(v AS HUGEINT) * v)
+                     FILTER (event_type = '{AB_ARM_B}') AS HUGEINT) AS q_b
+            FROM e
+        )
+        SELECT '{AB_ARM_A}' AS arm_a, '{AB_ARM_B}' AS arm_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(s_a AS BIGINT) AS sum_a_x100,
+               CAST(s_b AS BIGINT) AS sum_b_x100,
+               CAST(s_a AS DOUBLE) / n_a AS mean_a_x100,
+               CAST(s_b AS DOUBLE) / n_b AS mean_b_x100,
+               (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+               / sqrt(
+                   (CAST(n_a * q_a - s_a * s_a AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * n_a)) / n_a
+                 + (CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+                    / (CAST(n_b AS DOUBLE) * n_b)) / n_b
+               ) AS z_score
+        FROM st
+    """,
+    doc="A/B experiment readout: two-sample z statistic from exact integer moments.",
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout (arm A = click value vs arm B =
+    view value): per-arm counts, exact scaled-integer sums, means,
+    and the two-sample z statistic — the numbers an experimentation
+    dashboard publishes.
+
+    Determinism by construction, same discipline as
+    q_outlier_events: every moment (n, Σv, Σv²) is an exact integer
+    (v in centi-units, squares widened past int64), and the float
+    chain — two divisions, a subtraction, two variance ratios, one
+    sqrt — is written in the IDENTICAL operation order in the oracle,
+    so every intermediate double is bit-equal across engines
+    (+,−,×,÷,sqrt are all correctly rounded; no transcendentals).
+    One conditional-aggregate scan over the filtered events; output
+    is a single row. z is scale-invariant, so the centi-unit scaling
+    cancels exactly like it would in real units.
+    """
+    dec = lambda c: c.cast("decimal(30,0)")  # noqa: E731 — local widener
+    ev = tables(spark, sf_dir).events.filter(
+        F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+    ).select("event_type", F.round(F.col("value") * 100).cast("long").alias("v"))
+
+    def arm(t: str, suffix: str):
+        is_t = F.col("event_type") == t
+        return [
+            F.count(F.when(is_t, 1)).alias(f"n_{suffix}"),
+            F.sum(F.when(is_t, F.col("v"))).alias(f"s_{suffix}"),
+            F.sum(F.when(is_t, dec(F.col("v") * F.col("v")))).alias(f"q_{suffix}"),
+        ]
+
+    st = ev.agg(*arm(AB_ARM_A, "a"), *arm(AB_ARM_B, "b"))
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    var = lambda n, s, q: (  # noqa: E731 — population variance
+        (dec(F.col(n)) * F.col(q) - dec(F.col(s)) * dec(F.col(s))).cast("double")
+        / (F.col(n).cast("double") * F.col(n))
+    )
+    se = F.sqrt(var("n_a", "s_a", "q_a") / F.col("n_a") + var("n_b", "s_b", "q_b") / F.col("n_b"))
+    return st.select(
+        F.lit(AB_ARM_A).alias("arm_a"),
+        F.lit(AB_ARM_B).alias("arm_b"),
+        "n_a",
+        "n_b",
+        F.col("s_a").alias("sum_a_x100"),
+        F.col("s_b").alias("sum_b_x100"),
+        mean("s_a", "n_a").alias("mean_a_x100"),
+        mean("s_b", "n_b").alias("mean_b_x100"),
+        ((mean("s_a", "n_a") - mean("s_b", "n_b")) / se).alias("z_score"),
+    )

@@ -190,3 +190,43 @@ def test_cohort_retention_week0_counts_all_cohort_members(spark, sf_dir):
         .count()
     )
     assert week0 == signups
+
+
+def test_abtest_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_abtest", sf_dir)
+
+
+def test_abtest_agrees_with_python_statistics(spark, sf_dir):
+    """The z statistic must equal the textbook two-sample computation
+    from the raw values (population variances)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.operators.analytics import AB_ARM_A, AB_ARM_B
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    row = get_query("q_abtest").builder(spark, sf_dir).first()
+    ev = (
+        tables(spark, sf_dir)
+        .events.filter(F.col("event_type").isin(AB_ARM_A, AB_ARM_B))
+        .select("event_type", "value")
+        .collect()
+    )
+    arms = {AB_ARM_A: [], AB_ARM_B: []}
+    for r in ev:
+        arms[r.event_type].append(round(r.value * 100))
+
+    def stats(vals):
+        n = len(vals)
+        mu = sum(vals) / n
+        var = sum((v - mu) ** 2 for v in vals) / n
+        return n, mu, var
+
+    na, ma, va = stats(arms[AB_ARM_A])
+    nb, mb, vb = stats(arms[AB_ARM_B])
+    assert (row.n_a, row.n_b) == (na, nb)
+    z = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert abs(row.z_score - z) < 1e-9
+    assert abs(row.mean_a_x100 - ma) < 1e-9

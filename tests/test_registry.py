@@ -25,7 +25,8 @@ def test_every_query_builds_lazily(spark, sf_dir):
     # temp parquet at build time (plans/staging.py) — bounded job
     # count, but above the lazy-builder cap
     staged = {"q_minhash_neardup", "q_bm25", "q_semantic_prune",
-              "q_curation_pipeline", "q_kmeans", "q_contamination"}
+              "q_curation_pipeline", "q_kmeans", "q_contamination",
+              "q_cluster_purity", "q_dup_degree"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():
