@@ -68,46 +68,57 @@ def test_bench_subset_is_registered():
     assert set(bench_queries()) <= set(all_queries())
 
 
+# Queries registered AFTER the rotation was last regenerated. They are
+# allowed to be absent from _CHECK_ROTATION (they sort to the front as
+# brand-new by design); every other registered name MUST appear in the
+# rotation, or a typo'd rotation entry would silently promote the real
+# query to "brand new" while the typo'd name errors nowhere.
+_NEW_SINCE_ROTATION: set[str] = set()
+
+
 def test_check_rotation_covers_registry_exactly():
     """The driver-visibility rotation (plans/registry.py) must track
-    the registry: a stale entry would silently shift which queries
-    make the driver's 50-entry CORRECTNESS window. Brand-new names
-    are allowed to be absent (they sort to the front by design) but
-    the rotation must never reference a nonexistent query."""
+    the registry in BOTH directions: a nonexistent name in the
+    rotation is a typo (forward check), and a registered query missing
+    from the rotation — unless declared brand-new above — is the
+    silent flip side of that same typo (inverse check, VERDICT r4
+    ask #8)."""
     from mapreduceapp_spark.plans.registry import _CHECK_ROTATION
 
     qs = set(all_queries())
     assert len(_CHECK_ROTATION) == len(set(_CHECK_ROTATION)), "duplicate entries"
     assert set(_CHECK_ROTATION) <= qs, set(_CHECK_ROTATION) - qs
+    missing = qs - set(_CHECK_ROTATION) - _NEW_SINCE_ROTATION
+    assert not missing, f"registered but not in rotation (typo?): {sorted(missing)}"
 
 
 def test_stalest_queries_lead_the_window():
-    """Queries without a round-3 driver CORRECTNESS row (plus the two
-    that ERRed in round 3 and were fixed this round) must all sit
-    inside the first 50 names handed to the driver, so round 4's
-    window gives every one of them a fresh row."""
+    """Queries without a round-4 driver CORRECTNESS row must all sit
+    inside the first 50 names handed to the driver, so round 5's
+    window gives every one of them a fresh row and cumulative r04∪r05
+    covers the whole registry. q_simhash_neardup must lead outright:
+    its sha256 SQL oracle has never been driver-run."""
     order = list(all_queries())
     lead = set(order[:50])
-    must_lead = (set(order) - _DRIVER_GREEN_R3) | {
-        "q_asof_join", "q_window_range_frame",  # ERR in r3 -- re-confirm
-    }
+    must_lead = set(order) - _DRIVER_CHECKED_R4
     assert must_lead <= lead, sorted(must_lead - lead)
+    assert order[0] == "q_simhash_neardup"
 
 
-# names with a green-or-rows-only driver row in CORRECTNESS_r03.json
-# (its 50 keys minus the 2 that errored)
-_DRIVER_GREEN_R3 = {
-    "q_semantic_prune", "q_sliding_window", "q_sort_limit",
-    "q_stateful_dedup", "q_stratified_sample", "q_text_stats",
-    "q_token_count", "q_topk_pergroup", "q_training_order",
-    "q_tumbling_window", "q_udf_quality", "q_union_all", "q_unpivot",
-    "q_user_totals", "q_window_rank", "q_window_running", "q_wordcount",
-    "q_rollup", "q_sample_split", "q_scalar_funcs", "q_semi_join",
-    "q_session_window", "q_simhash_neardup", "q_ann_ivf", "q_ann_lsh",
-    "q_anti_join", "q_approx_distinct", "q_array_funcs", "q_bm25",
-    "q_broadcast_join", "q_charcount", "q_contamination", "q_corr_subquery",
-    "q_count_distinct", "q_cube", "q_curation_pipeline", "q_dedup_clusters",
-    "q_distinct", "q_domain_mix", "q_embedding_neardup", "q_equijoin",
-    "q_exact_dedup", "q_except", "q_intersect", "q_filter_project",
-    "q_frame_sample", "q_grouping_sets", "q_groupby_agg",
+# names with a driver row in CORRECTNESS_r04.json (all 50 green)
+_DRIVER_CHECKED_R4 = {
+    "q_abtest", "q_chunk_documents", "q_cluster_purity",
+    "q_cohort_retention", "q_data_audit", "q_dup_degree", "q_fingerprint",
+    "q_funnel", "q_fuzzy_match", "q_having", "q_histogram",
+    "q_inverted_index", "q_json_extract", "q_kmeans", "q_knn_cosine",
+    "q_lang_id", "q_late_data", "q_media_features", "q_media_metadata",
+    "q_minhash_neardup", "q_mr_charcount", "q_multimodal_cols",
+    "q_multiway_join", "q_ngram_counts", "q_ngram_jaccard", "q_outer_join",
+    "q_outlier_events", "q_pack_sequences", "q_percentiles", "q_pivot",
+    "q_progress", "q_range_join", "q_repetition_filter", "q_resample_fill",
+    "q_semantic_prune", "q_sliding_window", "q_sort_limit", "q_source_gini",
+    "q_stateful_dedup", "q_stratified_sample", "q_stream_join",
+    "q_text_stats", "q_token_count", "q_topk_pergroup", "q_tpch_q5",
+    "q_training_order", "q_vocab_stats", "q_window_leadlag",
+    "q_window_range_frame", "q_asof_join",
 }
