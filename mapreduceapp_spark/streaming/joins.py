@@ -38,8 +38,9 @@ from mapreduceapp_spark.sources import tables
 
 CLICK_TYPE = "click"
 PURCHASE_TYPE = "purchase"
-JOIN_WINDOW = "10 minutes"
-JOIN_WINDOW_US = 600_000_000
+JOIN_WINDOW_MINUTES = 10
+JOIN_WINDOW = f"{JOIN_WINDOW_MINUTES} minutes"
+JOIN_WINDOW_US = JOIN_WINDOW_MINUTES * 60 * 1_000_000
 
 
 def _clicks(events: DataFrame) -> DataFrame:
@@ -58,19 +59,32 @@ def _purchases(events: DataFrame) -> DataFrame:
     )
 
 
-def _click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+def _click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Purchases within [click_ts, click_ts + JOIN_WINDOW) of a
-    same-user click. The interval is computed in integer microseconds
-    (``unix_micros``) so the bound is exact arithmetic in both
-    engines; the half-open upper bound matches the streaming state
-    expiry rule."""
-    gap = F.expr("unix_micros(purchase_ts) - unix_micros(click_ts)")
+    same-user click.
+
+    The range bound is written as direct timestamp-interval arithmetic
+    (``purchase_ts < click_ts + INTERVAL 10 minutes``) and NOT as a
+    ``unix_micros`` difference: Spark's ``StreamingJoinHelper`` can
+    only derive a state watermark from predicates that are linear in
+    the raw timestamp columns, so the arithmetically identical
+    ``unix_micros(purchase_ts) - unix_micros(click_ts) < 6e8`` form
+    silently disables state expiry (the inner join's click state then
+    grows without bound, and outer variants are rejected outright).
+    Both forms are exact at microsecond precision, so the batch twin
+    and its microsecond-arithmetic SQL oracle are unchanged."""
     return (
         clicks.join(
             purchases,
             (F.col("user_id") == F.col("p_user_id"))
             & (F.col("purchase_ts") >= F.col("click_ts"))
-            & (gap < JOIN_WINDOW_US),
+            & (
+                F.col("purchase_ts")
+                < F.col("click_ts") + F.expr(f"INTERVAL {JOIN_WINDOW}")
+            ),
+            how,
         )
         .select(
             "user_id",
@@ -106,14 +120,23 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def click_purchase_stream(
-    clicks_stream: DataFrame, purchases_stream: DataFrame
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    how: str = "inner",
 ) -> DataFrame:
     """The same join over two watermarked streams. Callers build each
     side with ``events_stream(...)`` (streaming/windows.py) over its
     own watched directory; the range predicate plus both watermarks
-    give Spark the state-expiry bound."""
+    give Spark the state-expiry bound.
+
+    ``how="left_outer"`` emits unmatched clicks (null purchase cols)
+    once the purchase watermark passes ``click_ts + JOIN_WINDOW`` —
+    Spark only *accepts* the outer form at all when the state
+    watermark is derivable from the range predicate, which makes the
+    outer variant a live probe that the interval-form bound (see
+    ``_click_purchase_join``) keeps state expiry working."""
     return _click_purchase_join(
-        _clicks(clicks_stream), _purchases(purchases_stream)
+        _clicks(clicks_stream), _purchases(purchases_stream), how
     )
 
 

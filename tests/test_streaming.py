@@ -123,6 +123,81 @@ def test_stream_stream_join_batch_equals_stream(spark, sf_dir, tmp_path):
     }
 
 
+def test_stream_join_state_watermark_derivable(spark, sf_dir, tmp_path):
+    """Spark must be able to derive the join's state-expiry watermark
+    from the range predicate. The sharpest live probe is the OUTER
+    variant: Spark rejects a left-outer stream-stream join outright
+    (AnalysisException at start) when no state watermark is derivable
+    — which is exactly what happened when the bound was written as a
+    ``unix_micros`` difference instead of timestamp ± INTERVAL. A
+    completing left-outer run therefore proves the inner join's click
+    state is dropped once the purchase watermark passes
+    ``click_ts + JOIN_WINDOW``, i.e. state is bounded in a continuous
+    deployment."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.streaming.joins import (
+        CLICK_TYPE,
+        PURCHASE_TYPE,
+        click_purchase_stream,
+    )
+    from mapreduceapp_spark.streaming.windows import events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    click_dir = str(tmp_path / "clicks_outer")
+    purchase_dir = str(tmp_path / "purchases_outer")
+    ev.filter(F.col("event_type") == CLICK_TYPE).write.parquet(click_dir)
+    ev.filter(F.col("event_type") == PURCHASE_TYPE).write.parquet(purchase_dir)
+
+    joined = click_purchase_stream(
+        events_stream(spark, sf_dir, click_dir),
+        events_stream(spark, sf_dir, purchase_dir),
+        how="left_outer",
+    )
+    stream_rows = _run_stream_to_rows(spark, joined, mode="append")
+
+    matched = [r for r in stream_rows if r["purchase_id"] is not None]
+    batch_rows = get_query("q_stream_join").builder(spark, sf_dir).collect()
+    key = lambda r: (r["click_id"], r["purchase_id"])  # noqa: E731
+    assert sorted(map(key, matched)) == sorted(map(key, batch_rows))
+
+    # Null-padded rows emit only once the global watermark passes the
+    # click's expiry (click_ts + JOIN_WINDOW). After the final data
+    # batch the watermark is min(max ts per stream) - WATERMARK delay,
+    # so clicks in the last ~20 min of event time legitimately never
+    # emit. Every click expired before that watermark MUST appear.
+    from datetime import timedelta
+
+    from mapreduceapp_spark.streaming.joins import JOIN_WINDOW_MINUTES
+    from mapreduceapp_spark.streaming.windows import WATERMARK
+
+    wm_delay = timedelta(minutes=int(WATERMARK.split()[0]))
+    clicks = ev.filter(F.col("event_type") == CLICK_TYPE).select(
+        "event_id", "ts"
+    ).collect()
+    purchases_max = ev.filter(
+        F.col("event_type") == PURCHASE_TYPE
+    ).agg(F.max("ts")).collect()[0][0]
+    clicks_max = max(r["ts"] for r in clicks)
+    final_wm = min(clicks_max, purchases_max) - wm_delay
+    must_emit = {
+        r["event_id"]
+        for r in clicks
+        if r["ts"] + timedelta(minutes=JOIN_WINDOW_MINUTES) < final_wm
+    }
+    emitted = {r["click_id"] for r in stream_rows}
+    assert must_emit <= emitted
+    # and a null-padded click is precisely one the batch join can't match
+    batch_matched_clicks = {r["click_id"] for r in batch_rows}
+    null_clicks = {
+        r["click_id"] for r in stream_rows if r["purchase_id"] is None
+    }
+    assert null_clicks.isdisjoint(batch_matched_clicks)
+    assert null_clicks  # expiry really emitted unmatched clicks
+
+
 def test_stream_static_enrichment(spark, sf_dir, tmp_path):
     """Stream-static join: every streamed event must carry its
     user's (batch-computed) historical event count, with no rows
