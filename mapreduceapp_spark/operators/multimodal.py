@@ -7,11 +7,14 @@ metadata columns, processed by Arrow-batched Pandas functions via
 objects (``MapReduceClient.h:15-18``); binary payloads are the same
 idea with Spark-native types.
 
-The container has no image/audio codecs, so the *decode* step is
-stubbed (``decode_media``): it tries real decoders and falls back to
-a clearly-marked deterministic fake. Everything around it — schema,
-binary plumbing, Arrow batch shape, partitioning — is real and
-tested; swapping in a real codec changes one function body.
+The decode step is *pluggable* (``decode_media``): a sniffing chain
+tries PIL when importable, then real stdlib decoders (PNG via
+struct+zlib with scanline unfiltering, WAV via the ``wave`` module),
+and falls back to a clearly-marked deterministic fake for payloads no
+codec recognizes. The synthetic corpus' ASCII payloads always take
+the fake branch — that determinism is what keeps the registered
+queries SQL-oracle-checkable — while tests drive generated PNG/WAV
+bytes through the real branch of the same pipeline.
 
 Scale posture:
 - payloads stay in executors end-to-end (no collect, no driver I/O);
@@ -107,17 +110,153 @@ class MediaDecodeUnavailable(NotImplementedError):
     """Raised when a real media codec is required but not installed."""
 
 
-def decode_media(payload: bytes, *, strict: bool = False) -> dict:
-    """Decode one media payload → {width, height, n_frames, mean_byte}.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_RIFF_MAGIC = b"RIFF"
 
-    STUB: real decoding needs PIL/ffmpeg, absent from this container.
-    With ``strict=True`` raises :class:`MediaDecodeUnavailable` (the
-    honest production behavior). Otherwise returns a deterministic
-    fake derived from the bytes themselves, so the distributed
-    pipeline around the decoder is fully exercised and reproducible.
-    """
-    if strict:
-        raise MediaDecodeUnavailable("no media codec installed in this container")
+
+def _decode_pil(payload: bytes) -> dict | None:
+    """Real decode via PIL when importable (JPEG/PNG/GIF/...). Returns
+    None when PIL is absent or doesn't recognize the payload."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            n_frames = getattr(im, "n_frames", 1)
+            px = im.convert("L").tobytes()
+            mean = float(sum(px) / len(px)) if px else 0.0
+            return {
+                "width": w, "height": h,
+                "n_frames": int(n_frames), "mean_byte": mean,
+            }
+    except Exception:
+        return None
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filters (types 0-4) — the actual decode
+    step, not a header peek. ``bpp`` = bytes per pixel."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out += line
+        prev = line
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> channels
+
+
+def _decode_png(payload: bytes) -> dict | None:
+    """Real stdlib PNG decode (struct + zlib): parse IHDR, inflate the
+    IDAT stream, reverse the scanline filters, average the samples.
+    Handles non-interlaced 8-bit gray/RGB/gray+alpha/RGBA — returns
+    None for other PNG variants (caller falls through)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        return None
+    try:
+        pos, idat = len(_PNG_MAGIC), b""
+        width = height = None
+        bit_depth = color_type = interlace = None
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+                pos + 4 : pos + 8
+            ]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if (
+            width is None
+            or bit_depth != 8
+            or color_type not in _PNG_CHANNELS
+            or interlace != 0
+        ):
+            return None
+        bpp = _PNG_CHANNELS[color_type]
+        pixels = _png_unfilter(zlib.decompress(idat), width, height, bpp)
+        mean = float(sum(pixels) / len(pixels)) if pixels else 0.0
+        return {
+            "width": width, "height": height,
+            "n_frames": 1, "mean_byte": mean,
+        }
+    except Exception:
+        return None
+
+
+def _decode_wav(payload: bytes) -> dict | None:
+    """Real stdlib WAV decode: ``wave`` parses the RIFF container and
+    yields raw sample frames. Feature mapping for the audio modality:
+    width = bits per sample, height = channel count, n_frames = audio
+    frame count, mean_byte = mean over raw sample bytes."""
+    import io
+    import wave
+
+    if not payload.startswith(_RIFF_MAGIC):
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            raw = w.readframes(n)
+            return {
+                "width": w.getsampwidth() * 8,
+                "height": w.getnchannels(),
+                "n_frames": n,
+                "mean_byte": float(sum(raw) / len(raw)) if raw else 0.0,
+            }
+    except Exception:
+        return None
+
+
+# Decoder chain, first recognizer wins. PIL leads when installed
+# (broadest format coverage); the stdlib PNG/WAV decoders make the
+# real-decode branch exercisable in codec-less containers too.
+_DECODERS = (_decode_pil, _decode_png, _decode_wav)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic fake decode — arithmetic over the payload bytes.
+    This is the oracle twin: the corpus' ASCII payloads never match a
+    real container magic, so registered queries always land here and
+    stay SQL-checkable."""
     n = len(payload)
     return {
         "width": 16 + (n * 7919) % 1024,
@@ -127,9 +266,46 @@ def decode_media(payload: bytes, *, strict: bool = False) -> dict:
     }
 
 
+def decode_media(payload: bytes, *, strict: bool = False) -> dict:
+    """Decode one media payload → {width, height, n_frames, mean_byte}.
+
+    Pluggable: tries the real decoder chain (PIL when importable,
+    stdlib PNG, stdlib WAV — each sniffs the container magic), then
+    falls back to the deterministic :func:`fake_decode`. With
+    ``strict=True`` an unrecognized payload raises
+    :class:`MediaDecodeUnavailable` instead of faking — the honest
+    production behavior for bytes that claim to be media.
+    """
+    for dec in _DECODERS:
+        out = dec(payload)
+        if out is not None:
+            return out
+    if strict:
+        raise MediaDecodeUnavailable(
+            "payload not decodable by any installed codec "
+            "(PIL missing; not an 8-bit PNG or RIFF/WAV)"
+        )
+    return fake_decode(payload)
+
+
 _FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, n_frames int, mean_byte double"
 )
+
+
+def media_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batch feature extraction over (doc_id, payload) frames —
+    the ``mapInPandas`` body of :func:`q_media_features`, exposed so
+    payload sources other than the documents table (real PNG/WAV
+    bytes included) run the identical distributed pipeline."""
+    for pdf in batches:
+        feats = [decode_media(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out.insert(1, "n_bytes", pdf["payload"].map(len).astype("int32"))
+        yield out
 
 
 @register(
@@ -163,23 +339,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over the binary modality via ``mapInPandas``.
 
     Batch shape: each Arrow batch arrives as a pandas DataFrame with
-    the payload as ``bytes``; the decoder runs per payload; output is
-    a narrow fixed-width feature frame. This is the real production
-    topology (decode where the bytes live, ship features not media);
-    only ``decode_media``'s body is fake.
+    the payload as ``bytes``; the decoder chain runs per payload
+    (real codec when the container magic matches, deterministic fake
+    otherwise); output is a narrow fixed-width feature frame. This is
+    the real production topology: decode where the bytes live, ship
+    features not media. The corpus' ASCII payloads always take the
+    fake branch, which is what keeps this query SQL-oracle-checkable;
+    the real branch is exercised by tests on generated PNG/WAV bytes
+    through the same :func:`media_feature_batches` pipeline.
     """
     d = tables(spark, sf_dir).documents
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [decode_media(p) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            out.insert(1, "n_bytes", pdf["payload"].map(len).astype("int32"))
-            yield out
-
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    return payloads.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+    return payloads.mapInPandas(media_feature_batches, schema=_FEATURE_SCHEMA)
 
 
 FRAME_STRIDE = 2  # keep every 2nd frame

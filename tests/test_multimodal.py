@@ -50,6 +50,134 @@ def test_decode_stub_is_honest():
     assert set(fake) == {"width", "height", "n_frames", "mean_byte"}
 
 
+def _png_bytes(pixels, color_type, filters=None):
+    """Minimal stdlib PNG encoder for tests: 8-bit, non-interlaced.
+    ``pixels`` is rows × width × channels nested lists. ``filters``
+    optionally gives a per-row filter type (0=None, 1=Sub, 2=Up) so
+    the decoder's unfiltering paths are genuinely exercised."""
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    height, width = len(pixels), len(pixels[0])
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y, row in enumerate(pixels):
+        flat = bytes(
+            c for px in row for c in (px if isinstance(px, (list, tuple)) else [px])
+        )
+        ftype = (filters or [0] * height)[y]
+        raw.append(ftype)
+        if ftype == 0:
+            raw += flat
+        elif ftype == 1:  # Sub: x - left
+            raw += bytes(
+                (flat[i] - (flat[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(flat))
+            )
+        elif ftype == 2:  # Up: x - above
+            raw += bytes((flat[i] - prev[i]) & 0xFF for i in range(len(flat)))
+        prev = flat
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(samples):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def test_real_png_decode_branch():
+    """The pluggable decoder must REALLY decode a generated PNG —
+    exact dimensions and exact mean over the unfiltered samples, for
+    gray/RGB/RGBA and for Sub/Up filtered scanlines."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+
+    gray = [[10, 20, 30], [40, 50, 60]]  # 3×2 grayscale
+    png = _png_bytes(gray, color_type=0, filters=[1, 2])
+    out = decode_media(png, strict=True)  # strict: fake would raise
+    assert (out["width"], out["height"], out["n_frames"]) == (3, 2, 1)
+    assert out["mean_byte"] == sum(sum(r) for r in gray) / 6
+
+    rgb = [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]]  # 2×2
+    out = decode_media(_png_bytes(rgb, color_type=2, filters=[0, 1]), strict=True)
+    flat = [c for row in rgb for px in row for c in px]
+    assert (out["width"], out["height"]) == (2, 2)
+    assert out["mean_byte"] == sum(flat) / len(flat)
+
+    rgba = [[[1, 2, 3, 4], [5, 6, 7, 8]]]  # 2×1
+    out = decode_media(_png_bytes(rgba, color_type=6), strict=True)
+    assert (out["width"], out["height"]) == (2, 1)
+    assert out["mean_byte"] == 36 / 8
+
+
+def test_real_wav_decode_branch():
+    from mapreduceapp_spark.operators.multimodal import decode_media
+
+    samples = list(range(16))  # 4 stereo 16-bit frames
+    out = decode_media(_wav_bytes(samples), strict=True)
+    assert out == {
+        "width": 16,  # bits per sample
+        "height": 2,  # channels
+        "n_frames": 4,
+        "mean_byte": sum(samples) / len(samples),
+    }
+
+
+def test_media_pipeline_mixes_real_and_fake(spark):
+    """The full mapInPandas pipeline must route each payload through
+    the right decoder: generated PNG/WAV bytes take the real branch,
+    ASCII text takes the deterministic fake — in one DataFrame."""
+    from mapreduceapp_spark.operators.multimodal import (
+        _FEATURE_SCHEMA,
+        fake_decode,
+        media_feature_batches,
+    )
+
+    png = _png_bytes([[100, 200], [50, 150]], color_type=0)
+    wav = _wav_bytes(list(range(8)))
+    txt = b"just some ascii document text"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(txt))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in df.mapInPandas(
+            media_feature_batches, schema=_FEATURE_SCHEMA
+        ).collect()
+    }
+    assert rows[1]["width"] == 2 and rows[1]["height"] == 2
+    assert rows[1]["mean_byte"] == (100 + 200 + 50 + 150) / 4
+    assert rows[2]["n_frames"] == 2 and rows[2]["height"] == 2
+    fake = fake_decode(txt)
+    assert rows[3]["width"] == fake["width"]
+    assert rows[3]["mean_byte"] == fake["mean_byte"]
+    assert all(r["n_bytes"] > 0 for r in rows.values())
+
+
 def test_frame_sample_oracle(spark, sf_dir):
     assert_matches_oracle(spark, "q_frame_sample", sf_dir)
 
