@@ -69,9 +69,11 @@ def word_grams(words: Column, n: int) -> Column:
       shorter codegen wins (0.76 vs 0.87 s at n=2); the crossover is
       where prefix re-copying starts to dominate.
 
-    Both truncate to the shortest shifted input, yielding exactly
-    len−n+1 grams with no index arithmetic; the partial-gram tail is
-    sliced off below."""
+    Both ``zip_with`` and ``arrays_zip`` pad to the LONGEST input
+    with nulls (``concat_ws`` skips them), so the tail of the zipped
+    array carries partial grams — correctness relies on the final
+    ``slice(grams, 1, size − n + 1)`` below trimming that tail to
+    exactly the len−n+1 full grams."""
     if n >= 4:
         shifted = [
             F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))

@@ -190,17 +190,12 @@ def compact_parquet(
 
     The file count is derived from input bytes on the driver via the
     filesystem — no data pass — so compaction cost is exactly one
-    read + one shuffle + one write of the table.
+    read + one shuffle + one write of the table. Remote URIs
+    (hdfs://, s3a://, file://) are sized through the Hadoop
+    FileSystem API; a plain local walk would silently report 0 bytes
+    for them and funnel the whole table through one partition.
     """
-    import os as _os
-
-    total_bytes = 0
-    for root, _dirs, files in _os.walk(in_path):
-        total_bytes += sum(
-            _os.path.getsize(_os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
+    total_bytes, _ = _parquet_tree_stats(spark, in_path)
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(in_path)
     if sort_cols:
@@ -210,9 +205,32 @@ def compact_parquet(
     else:
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(out_path)
-    return sum(
-        1
-        for _root, _dirs, files in _os.walk(out_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return _parquet_tree_stats(spark, out_path)[1]
+
+
+def _parquet_tree_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, file_count) over ``*.parquet`` files under
+    ``path``. Schemed URIs go through the Hadoop FileSystem API —
+    the same client Spark's scan uses, so hdfs:///s3a:// trees size
+    correctly; bare paths use the local filesystem directly."""
+    if "://" in path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        files = fs.listFiles(hpath, True)
+        total = count = 0
+        while files.hasNext():
+            st = files.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+                count += 1
+        return total, count
+    import os as _os
+
+    total = count = 0
+    for root, _dirs, names in _os.walk(path):
+        for f in names:
+            if f.endswith(".parquet"):
+                total += _os.path.getsize(_os.path.join(root, f))
+                count += 1
+    return total, count

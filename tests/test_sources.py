@@ -231,3 +231,27 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
         F.count(F.lit(1)), F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     ).first()
     assert tuple(a) == tuple(b)
+
+
+def test_compact_parquet_sizes_schemed_uris(spark, sf_dir, tmp_path):
+    """A schemed URI (here file://, standing in for hdfs://s3a://)
+    must be sized through the Hadoop FileSystem API — the local-walk
+    fallback would see 0 bytes, collapse n_files to 1, and funnel a
+    large table through a single-partition write."""
+    from mapreduceapp_spark.sources import compact_parquet, load_table
+    from mapreduceapp_spark.sources.formats import _parquet_tree_stats
+
+    small = str(tmp_path / "remote_fragmented")
+    load_table(spark, sf_dir, "orders").repartition(9).write.parquet(small)
+
+    uri = f"file://{small}"
+    by_uri = _parquet_tree_stats(spark, uri)
+    by_walk = _parquet_tree_stats(spark, small)
+    assert by_uri == by_walk and by_uri[0] > 0 and by_uri[1] >= 9
+
+    compacted = f"file://{tmp_path / 'remote_compacted'}"
+    n_out = compact_parquet(spark, uri, compacted, target_file_mb=512)
+    assert 1 <= n_out < 9
+    assert spark.read.parquet(compacted).count() == load_table(
+        spark, sf_dir, "orders"
+    ).count()
