@@ -175,6 +175,112 @@ def test_loader_schema_matches_pinned_manifest(spark, sf_dir):
         assert "timestamp_ntz" not in set(got.values()), name
 
 
+# Canonical post-round-trip dtypes for every stage() slot (the scan
+# over the written staged parquet, i.e. what downstream consumers
+# actually see). A write-codec or type drift in staged intermediates
+# fails here in-tree instead of as a wrong-schema consumer plan.
+STAGE_SCHEMA_MANIFEST = {
+    "bm25_doc_stats": {
+        "doc_id": "bigint",
+        "dl": "int",
+        "tfs": "array<struct<term:string,tf:int>>",
+    },
+    "contam_probe_grams": {"gram": "string"},
+    "kmeans_assign": {
+        "vec_id": "bigint",
+        "cluster_id": "bigint",
+        "x": "array<bigint>",
+        "sq": "bigint",
+    },
+    "minhash_pairs": {"doc_a": "bigint", "doc_b": "bigint"},
+    "minhash_signatures": {
+        "doc_id": "bigint",
+        "sh": "array<string>",
+        "sig": "array<bigint>",
+    },
+    "simhash_fp": {"doc_id": "bigint", "simhash": "bigint"},
+}
+
+# one consumer query per slot — running these drives every stage()
+# call site with its real producer plan
+_STAGE_CONSUMERS = (
+    "q_bm25",
+    "q_contamination",
+    "q_kmeans",
+    "q_minhash_neardup",
+    "q_dedup_clusters",
+    "q_simhash_neardup",
+)
+
+
+def test_stage_slots_match_pinned_manifest(spark, sf_dir, monkeypatch):
+    """Every stage() slot's written-and-rescanned schema must match
+    the pinned manifest exactly — the staging analog of the table
+    manifest above. Instrumented by wrapping stage() in place in
+    every operator module (they bind the name at import)."""
+    import sys
+
+    import mapreduceapp_spark.plans.staging as staging
+    from mapreduceapp_spark.plans.registry import get_query
+
+    recorded: dict[str, dict[str, str]] = {}
+    orig = staging.stage
+
+    def recording_stage(df, name):
+        scan = orig(df, name)
+        recorded[name] = {
+            f.name: f.dataType.simpleString() for f in scan.schema.fields
+        }
+        return scan
+
+    get_query(_STAGE_CONSUMERS[0])  # force-load all operator modules
+    for mod in list(sys.modules.values()):
+        if getattr(mod, "__name__", "").startswith(
+            "mapreduceapp_spark"
+        ) and getattr(mod, "stage", None) is orig:
+            monkeypatch.setattr(mod, "stage", recording_stage)
+
+    for q in _STAGE_CONSUMERS:
+        get_query(q).builder(spark, sf_dir).collect()
+
+    assert recorded == STAGE_SCHEMA_MANIFEST
+
+
+def test_sink_written_schemas_match_loader(spark, sf_dir, tmp_path):
+    """Both sinks must write byte-faithful schemas: reading back what
+    write_sorted_parquet / compact_parquet wrote must reproduce the
+    loader's canonical dtypes exactly — in particular the events
+    table's `timestamp` must survive the round trip as `timestamp`
+    (the round-3 NTZ incident class), and no column may be widened,
+    narrowed, or reordered by the rewrite."""
+    from mapreduceapp_spark.sources import (
+        compact_parquet,
+        load_table,
+        write_sorted_parquet,
+    )
+
+    for table, sort_col in (("events", "ts"), ("orders", "o_totalprice")):
+        src = load_table(spark, sf_dir, table)
+        want = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+        assert want == SCHEMA_MANIFEST[table]  # precondition, not the test
+
+        sorted_out = str(tmp_path / f"{table}_sorted")
+        write_sorted_parquet(src, sorted_out, sort_cols=[sort_col], num_files=2)
+        got = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(sorted_out).schema.fields
+        }
+        assert got == want, f"write_sorted_parquet drifted {table}: {got}"
+
+        compact_out = str(tmp_path / f"{table}_compact")
+        compact_parquet(spark, sorted_out, compact_out)
+        got = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(compact_out).schema.fields
+        }
+        assert got == want, f"compact_parquet drifted {table}: {got}"
+
+
 def test_write_sorted_parquet_clusters_rowgroups(spark, sf_dir, tmp_path):
     """Sorted writes must yield non-overlapping sort-key ranges
     across files (footer min/max stats), which is what lets a reader
