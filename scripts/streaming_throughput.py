@@ -1,0 +1,183 @@
+"""Streaming throughput evidence at bench scale (sf0.1 by default).
+
+The streaming runners are correctness-tested at fixture scale in
+tests/test_streaming*.py; this script is the scale evidence: it
+drives each runner over the full events table through the real
+file-source path in multiple micro-batches (maxFilesPerTrigger) and
+records rows/sec, batch counts, and state-store row counts from the
+StreamingQuery progress metrics.
+
+Usage: ``python scripts/streaming_throughput.py [sf_dir]``
+Prints one JSON object; also written to ``streaming_bench_r{N}.json``
+next to bench.py (same round-numbering rule as bench_full).
+
+What each runner proves at scale:
+- enrich_stream: stream-static broadcast join is stateless — no
+  state operator appears in progress metrics at all.
+- user_totals_stream (applyInPandasWithState): state rows must equal
+  the table's distinct user count after the drain — per-user
+  fixed-width state, no growth with event count.
+- click_purchase_stream: state rows stay bounded by the watermark +
+  interval-form range bound (the r5 fix); without the derivable
+  state watermark this number would equal ALL buffered click rows
+  and grow with every batch.
+- late-data demo: the two-run watermark drop at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+# runnable from anywhere: the engine package lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _drain(query) -> dict:
+    query.awaitTermination()
+    progress = query.recentProgress
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    state_rows = None
+    for p in reversed(progress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = sum(op["numRowsTotal"] for op in ops)
+            break
+    return {
+        "batches": len(batches),
+        "input_rows": sum(p["numInputRows"] for p in batches),
+        "state_rows": state_rows,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.session import get_spark
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.streaming.joins import (
+        CLICK_TYPE,
+        PURCHASE_TYPE,
+        click_purchase_stream,
+        enrich_stream,
+    )
+    from mapreduceapp_spark.streaming.latedata import run_late_data_demo
+    from mapreduceapp_spark.streaming.stateful import user_totals_stream
+    from mapreduceapp_spark.streaming.windows import WATERMARK
+
+    spark = get_spark(
+        app_name="mapreduceapp-spark-streaming-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    results: dict[str, dict] = {}
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        schema = ev.schema
+
+        # stage the table as many files so maxFilesPerTrigger yields
+        # a real multi-batch run (the production shape: files arrive
+        # over time), clicks/purchases into their own directories
+        dirs = {
+            "all": f"{work}/all",
+            "clicks": f"{work}/clicks",
+            "purchases": f"{work}/purchases",
+        }
+        ev.repartition(16).write.parquet(dirs["all"])
+        ev.filter(F.col("event_type") == CLICK_TYPE).repartition(8).write.parquet(
+            dirs["clicks"]
+        )
+        ev.filter(F.col("event_type") == PURCHASE_TYPE).repartition(
+            8
+        ).write.parquet(dirs["purchases"])
+
+        def stream_of(d: str, files_per_trigger: int):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(d)
+                .withWatermark("ts", WATERMARK)
+            )
+
+        def run(name: str, df, extra: dict | None = None) -> None:
+            out_rows = {"n": 0}
+            t0 = time.perf_counter()
+            q = (
+                df.writeStream.outputMode("update" if name == "user_totals" else "append")
+                .foreachBatch(
+                    lambda bdf, _e: out_rows.__setitem__(
+                        "n", out_rows["n"] + bdf.count()
+                    )
+                )
+                .option("checkpointLocation", f"{work}/ckpt_{name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            stats = _drain(q)
+            wall = time.perf_counter() - t0
+            results[name] = {
+                **stats,
+                "output_rows": out_rows["n"],
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(stats["input_rows"] / wall),
+                **(extra or {}),
+            }
+
+        dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("hist_events"))
+        run("enrich_static_join", enrich_stream(stream_of(dirs["all"], 4), dim, "user_id"))
+        run(
+            "user_totals",
+            user_totals_stream(stream_of(dirs["all"], 4)),
+            {"distinct_users": n_users},
+        )
+        run(
+            "stream_stream_join",
+            click_purchase_stream(
+                stream_of(dirs["clicks"], 2), stream_of(dirs["purchases"], 2)
+            ),
+        )
+
+        t0 = time.perf_counter()
+        late = run_late_data_demo(spark, sf_dir)
+        results["late_data_demo"] = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "result_rows": len(late),
+        }
+        results["_table"] = {"sf_dir": sf_dir, "events": n_events, "users": n_users}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
+        if not os.path.basename(p).startswith(("bench_full", "streaming_bench"))
+        and (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    n = max(rounds, default=0) + 1
+    with open(os.path.join(here, f"streaming_bench_r{n:02d}.json"), "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps(results, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
