@@ -20,6 +20,34 @@ import time
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 
+def _dump_full_record(out: dict) -> None:
+    """Persist the complete per-query map in-repo as
+    ``bench_full_r{N}.json``: the driver's BENCH_r{N}.json artifact
+    keeps only a 2000-char tail of stdout, which truncated the head
+    of round 4's per-query map — this file is the durable record that
+    makes round-over-round per-query deltas reconstructable. N is the
+    round in progress: one past the newest driver artifact."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
+        # driver artifacts only — our own bench_full files must not
+        # bump the round between a local run and the driver's run
+        if not os.path.basename(p).startswith("bench_full")
+        and (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    n = max(rounds, default=0) + 1
+    path = os.path.join(here, f"bench_full_r{n:02d}.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError as e:  # never let bookkeeping kill the bench line
+        print(f"bench_full dump failed: {e}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -77,6 +105,8 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if names is None:
+        _dump_full_record(out)
     print(json.dumps(out))
     spark.stop()
     # Exit 0 when at least one query succeeded: the JSON line above is
