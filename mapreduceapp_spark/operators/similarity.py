@@ -70,9 +70,23 @@ NEARDUP_TILE_ROWS = 32_768
 GEMM_CHUNK = 256
 
 
-def _neardup_blocks(n_rows: int) -> int:
-    """Block count so one tile side ≤ NEARDUP_TILE_ROWS rows."""
-    return max(1, -(-n_rows // NEARDUP_TILE_ROWS))
+def _neardup_blocks(n_rows: int, parallelism: int = 64) -> int:
+    """Block count for the exact GEMM's (ba ≤ bb) tiling.
+
+    Two constraints, take the binding one:
+    - memory ceiling: a tile side ≤ NEARDUP_TILE_ROWS rows;
+    - parallelism floor: ~nb²/2 tiles should cover the cluster's
+      cores, or a mid-size table degenerates to one serial task
+      (measured in the r5 sf1 rehearsal: 20k vectors → nb=1 → a
+      53 s single-task GEMM that 36 tiles run in a few seconds).
+
+    Never exceeds n_rows blocks (a block must hold ≥ 1 row).
+    """
+    import math
+
+    mem_floor = -(-n_rows // NEARDUP_TILE_ROWS)
+    par_floor = math.ceil(math.sqrt(2 * max(1, parallelism)))
+    return max(1, min(max(mem_floor, par_floor), n_rows))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,9 +221,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude (measured: 24.9s → ~1s at sf0.1). Shape:
 
     1. derive the block count from the table's row count (a
-       metadata-cheap parquet count) so a tile side is at most
-       ``NEARDUP_TILE_ROWS`` rows, then assign each vector a block id
-       (vec_id % NB);
+       metadata-cheap parquet count) and the cluster parallelism —
+       a tile side is at most ``NEARDUP_TILE_ROWS`` rows AND the
+       tile count covers the cores (see :func:`_neardup_blocks`) —
+       then assign each vector a block id (vec_id % NB);
     2. replicate rows to their (block_a ≤ block_b) tiles via a
        broadcast join against the tiny tile list — shuffle volume is
        N·(NB+1) small rows, never N² pairs;
@@ -235,7 +250,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n_rows = tables(spark, sf_dir).embeddings.count()
-    nb = _neardup_blocks(n_rows)
+    nb = _neardup_blocks(n_rows, spark.sparkContext.defaultParallelism)
     e = _quantized(spark, sf_dir).withColumn(
         "bid", (F.col("vec_id") % nb).cast("int")
     )

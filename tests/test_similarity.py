@@ -20,20 +20,24 @@ def test_embedding_neardup_lsh_oracle(spark, sf_dir):
 
 
 def test_neardup_tiling_derives_from_row_count():
-    """The exact path's block count must scale with N so a tile side
-    never exceeds NEARDUP_TILE_ROWS rows — the r4 verdict's
-    memory-grows-with-N finding."""
+    """The exact path's block count must respect both constraints:
+    a tile side never exceeds NEARDUP_TILE_ROWS rows (the r4
+    memory-grows-with-N finding) and the tile count covers the
+    available cores (the r5 sf1 rehearsal's serial-GEMM finding)."""
+    import math
+
     from mapreduceapp_spark.operators.similarity import (
         NEARDUP_TILE_ROWS,
         _neardup_blocks,
     )
 
-    assert _neardup_blocks(0) == 1
-    assert _neardup_blocks(NEARDUP_TILE_ROWS) == 1
-    assert _neardup_blocks(NEARDUP_TILE_ROWS + 1) == 2
-    for n in (500, 10**6, 10**9):
-        nb = _neardup_blocks(n)
-        assert -(-n // nb) <= NEARDUP_TILE_ROWS or nb * NEARDUP_TILE_ROWS >= n
+    assert _neardup_blocks(0, 8) == 1  # degenerate: never > n_rows
+    assert _neardup_blocks(3, 64) == 3
+    for n, p in ((500, 8), (20_000, 32), (10**6, 32), (10**9, 1000)):
+        nb = _neardup_blocks(n, p)
+        assert -(-n // nb) <= NEARDUP_TILE_ROWS  # memory ceiling
+        assert nb * (nb + 1) // 2 >= p or nb == n  # parallelism floor
+        assert nb >= math.ceil(n / NEARDUP_TILE_ROWS)
 
 
 def test_emb_lsh_rows_derivation():
