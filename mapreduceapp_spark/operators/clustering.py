@@ -139,22 +139,28 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means, two rounds, as one lazy DataFrame plan:
 
     1. *Seed* — centroids are the deterministic 1-in-100 sample.
-    2. *Assign (int)* — broadcast the k seeds; each vector keeps its
-       argmin squared-Euclidean centroid via ``min_by`` on the exact
-       integer distance |x|² − 2⟨x,c⟩ + |c|². The k-way fan-out
-       collapses map-side (the ``q_ann_ivf`` assignment pattern): the
-       one shuffle carries N rows, never N·k.
+    2. *Assign (int)* — fragment-replicate Arrow GEMM
+       (:func:`_gemm_assign`): each vector keeps its argmin
+       squared-Euclidean centroid on the exact integer distance
+       |x|² − 2⟨x,c⟩ + |c|². No N·k row set ever materializes — the
+       r5 rehearsal measured the old broadcast-join fan-out as 32 s
+       at 10× data (k ∝ N makes N·k rows quadratic), vs ~6 s
+       vectorized.
     3. *Update* — per-cluster mean as (per-dim int sums, count): 64
        ``sum`` columns, all partial-aggregated map-side; k rows out.
-    4. *Re-assign (rational)* — broadcast the k (sum, count) rows and
-       fold Σ(x_i − s_i/c)² in index order; argmin with cid tiebreak.
+    4. *Re-assign (rational)* — the same GEMM with the exact-rational
+       distance Σ(x_i − s_i/c)², folded in index order for
+       bit-parity with the SQL oracle; argmin with cid tiebreak.
     5. Emit per-cluster membership stats.
 
-    More rounds = repeat steps 3–4 (each adds one tiny agg + one
-    broadcast join to the plan); two rounds keeps the demo plan
+    More rounds = repeat steps 3–4; two rounds keeps the demo plan
     readable while exercising both the integer and the rational
     distance paths. At 100 TB: the only N-sized shuffles are the two
-    assignment aggregates; centroid state (k×64 ints) broadcasts.
+    assignment hashes (N + P·k rows each); centroid state (k×64
+    ints) replicates per fragment. k ∝ N keeps cluster sizes
+    constant for SemDeDup, at the price of N·k assign COMPUTE — past
+    ~10⁷ centroids the honest next rung is hierarchical (coarse→fine)
+    assignment, which changes only ``_gemm_assign``'s centroid input.
 
     Floats appear only in round 2's distance: means are exact
     rationals and the fold does identically-ordered IEEE arithmetic
@@ -173,10 +179,141 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fragment-replicate partition count for the GEMM assign: vectors
+# hash into at most this many groups, centroids replicate to each.
+KM_ASSIGN_PARTS = 32
+
+
+def _gemm_assign(
+    vectors: DataFrame, centroids: DataFrame, mode: str
+) -> DataFrame:
+    """Argmin-centroid assignment as a fragment-replicate Arrow GEMM.
+
+    The r5 sf1 rehearsal measured the old broadcast-join form — N·k
+    joined rows each evaluating a 64-term expression fold — at 32 s
+    for 20k vectors × 200 centroids (k ∝ N makes that row volume
+    quadratic in N). Dense argmin is the same regime every other
+    vector operator here vectorizes: vectors hash into
+    ≤ KM_ASSIGN_PARTS groups, the (small: k×(64+2) ints) centroid
+    table replicates to each group via a range cross join, and one
+    ``applyInPandas`` per group runs the distance matmul. Shuffle is
+    N + P·k rows; no N·k row set ever exists.
+
+    Bit-parity with the expression form it replaced (and with the
+    unchanged SQL oracles) is engineered per mode:
+
+    - ``mode="int"``: d = |x|² − 2⟨x,c⟩ + |c|² in exact int64 matmul.
+    - ``mode="rational"``: per element the SAME IEEE ops in the SAME
+      order as the old ``F.aggregate`` fold — (x_double − s/c)²
+      elementwise, then a LEFT-TO-RIGHT running sum (``np.cumsum`` is
+      sequential; ``np.sum``'s pairwise reassociation would round
+      differently) — so even near-tie argmins agree.
+    - ties: centroid columns iterate in ascending cid with strict-<
+      updates, reproducing ``min_by``'s lexicographic (dist, cid).
+
+    ``vectors`` carries (vec_id, x, sq); ``centroids`` carries
+    (cid, cx, csq) for "int" or (cid, c, sx) for "rational".
+    Returns (vec_id, x, sq, cid).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    p = KM_ASSIGN_PARTS
+    v = vectors.select(
+        F.lit(0).alias("side"),
+        F.pmod(F.xxhash64(F.lit("kmassign:"), F.col("vec_id")), F.lit(p)).alias(
+            "pid"
+        ),
+        "vec_id",
+        "x",
+        "sq",
+        F.lit(None).cast("long").alias("cid"),
+        F.lit(None).cast("array<long>").alias("cv"),
+        F.lit(None).cast("long").alias("cs"),
+    )
+    c = centroids.crossJoin(spark.range(p).select(F.col("id").alias("pid")))
+    if mode == "int":
+        c = c.select(
+            F.lit(1).alias("side"), "pid",
+            F.lit(None).cast("long").alias("vec_id"),
+            F.lit(None).cast("array<long>").alias("x"),
+            F.lit(None).cast("long").alias("sq"),
+            "cid", F.col("cx").alias("cv"), F.col("csq").alias("cs"),
+        )
+    else:
+        c = c.select(
+            F.lit(1).alias("side"), "pid",
+            F.lit(None).cast("long").alias("vec_id"),
+            F.lit(None).cast("array<long>").alias("x"),
+            F.lit(None).cast("long").alias("sq"),
+            "cid", F.col("sx").alias("cv"), F.col("c").alias("cs"),
+        )
+
+    def assign_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        vec = pdf[pdf["side"] == 0]
+        cen = pdf[pdf["side"] == 1].sort_values("cid")  # ascending: tie rule
+        empty = pd.DataFrame(
+            {"vec_id": [], "x": [], "sq": [], "cid": []}
+        ).astype({"vec_id": "int64", "sq": "int64", "cid": "int64"})
+        if not len(vec) or not len(cen):
+            return empty
+        X = np.stack(vec["x"].values).astype(np.int64)  # n × 64
+        sq = vec["sq"].to_numpy(np.int64)
+        cids = cen["cid"].to_numpy(np.int64)
+        C = np.stack(cen["cv"].values).astype(np.int64)  # k × 64
+        cs = cen["cs"].to_numpy(np.int64)
+        best_d = None
+        best_c = np.zeros(len(X), dtype=np.int64)
+        if mode == "int":
+            # chunk centroids so the distance block stays small
+            for s in range(0, len(C), 4096):
+                t = min(s + 4096, len(C))
+                d = (
+                    sq[:, None] - 2 * (X @ C[s:t].T) + cs[None, s:t]
+                )  # exact int64
+                jmin = d.argmin(axis=1)  # first min = lowest cid ✓
+                dmin = d[np.arange(len(X)), jmin]
+                if best_d is None:
+                    best_d, best_c = dmin, cids[s + jmin]
+                else:
+                    upd = dmin < best_d  # strict: earlier cid wins ties
+                    best_d[upd] = dmin[upd]
+                    best_c[upd] = cids[s + jmin][upd]
+        else:
+            Xf = X.astype(np.float64)
+            for j in range(len(C)):
+                # same IEEE ops, same order as the old F.aggregate
+                # fold: (x - s/c)² per element, then sequential sum
+                term = Xf - C[j].astype(np.float64) / np.float64(cs[j])
+                d = np.cumsum(term * term, axis=1)[:, -1]
+                if best_d is None:
+                    best_d = d
+                    best_c = np.full(len(X), cids[j], dtype=np.int64)
+                else:
+                    upd = d < best_d
+                    best_d[upd] = d[upd]
+                    best_c[upd] = cids[j]
+        return pd.DataFrame(
+            {
+                "vec_id": vec["vec_id"].to_numpy(np.int64),
+                "x": vec["x"].values,
+                "sq": sq,
+                "cid": best_c,
+            }
+        )
+
+    return v.unionByName(c).groupBy("pid").applyInPandas(
+        assign_group, "vec_id long, x array<long>, sq long, cid long"
+    )
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, x, sq, cluster_id) after the two Lloyd rounds — the
     shared assignment plan behind :func:`q_kmeans` (membership stats)
-    and :func:`q_semantic_prune` (within-cluster dedup)."""
+    and :func:`q_semantic_prune` (within-cluster dedup). Both rounds'
+    argmins run as fragment-replicate GEMMs (:func:`_gemm_assign`);
+    the centroid-update aggregate stays a JVM map-side partial agg."""
     e = tables(spark, sf_dir).embeddings
     qs = e.select(
         "vec_id", quantize("embedding").alias("x")
@@ -186,49 +323,16 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("cx"),
         F.col("sq").alias("csq"),
     )
-    dist1 = F.col("sq") - 2 * dot(F.col("x"), F.col("cx")) + F.col("csq")
-    a1 = (
-        qs.join(F.broadcast(c0))
-        .withColumn("dist", dist1)
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                "cid", F.struct(F.col("dist").alias("d"), F.col("cid").alias("c"))
-            ).alias("cid"),
-            F.first("x").alias("x"),
-            F.first("sq").alias("sq"),
-        )
-    )
+    a1 = _gemm_assign(qs, c0, "int")
     m1 = a1.groupBy("cid").agg(
         F.count(F.lit(1)).alias("c"),
         F.array(
             *[F.sum(F.element_at("x", i + 1)).alias(f"s{i}") for i in range(EMB_DIM)]
         ).alias("sx"),
     )
-    cnt = F.col("c")
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("x"),
-            F.col("sx"),
-            lambda a, b: (a.cast("double") - b.cast("double") / cnt)
-            * (a.cast("double") - b.cast("double") / cnt),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        a1.select("vec_id", "x", "sq")
-        .join(F.broadcast(m1.select(F.col("cid").alias("mcid"), "c", "sx")))
-        .withColumn("dist", dist2)
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                "mcid", F.struct(F.col("dist").alias("d"), F.col("mcid").alias("c"))
-            ).alias("cluster_id"),
-            F.first("x").alias("x"),
-            F.first("sq").alias("sq"),
-        )
-    )
+    return _gemm_assign(
+        a1.select("vec_id", "x", "sq"), m1, "rational"
+    ).withColumnRenamed("cid", "cluster_id")
 
 
 SEM_COS_THRESHOLD = 0.45  # the corpus' measured cosine-gap threshold
@@ -290,32 +394,58 @@ def _replicate_cells(assigned: DataFrame, cap: int) -> DataFrame:
 
 def _within_cluster_pruned(assigned: DataFrame, cap: int = SEM_CLUSTER_CAP) -> DataFrame:
     """Distinct vec_ids with a lower-id same-cluster member at cosine
-    ≥ SEM_COS_THRESHOLD, via the sub-bucketed triangle join."""
+    ≥ SEM_COS_THRESHOLD, via the sub-bucketed triangle GEMM.
+
+    The pair space is identical to the former self-join on
+    (cluster, k1, k2) keys, but scoring runs as one Arrow GEMM per
+    key instead of a 64-term expression fold per joined row — the r5
+    sf1 rehearsal measured the join form as roughly half of
+    q_semantic_prune's 35× growth at 10× data. Per-key work is still
+    bounded at ~(2·cap)² by :func:`_replicate_cells`, and the cosine
+    is the same exact-int64-dot / √(sq·sq) double the SQL oracle
+    computes, so results are bit-identical.
+    """
+    import numpy as np
+    import pandas as pd
+
     rep = _replicate_cells(assigned, cap)
-    a = rep.select(
-        "cluster_id", "k1", "k2", "vec_id", "cell",
-        F.col("x").alias("xa"), F.col("sq").alias("sqa"),
-    )
-    b = rep.select(
-        F.col("cluster_id").alias("cl_b"),
-        F.col("k1").alias("k1_b"), F.col("k2").alias("k2_b"),
-        F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b"),
-        F.col("x").alias("xb"), F.col("sq").alias("sqb"),
-    )
-    close = cosine(dot(F.col("xa"), F.col("xb")), F.col("sqa"), F.col("sqb"))
-    return (
-        a.join(
-            b,
-            (F.col("cluster_id") == F.col("cl_b"))
-            & (F.col("k1") == F.col("k1_b"))
-            & (F.col("k2") == F.col("k2_b"))
-            & (F.col("vec_b") < F.col("vec_id")),
+    thr = SEM_COS_THRESHOLD
+
+    def prune_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _cl, k1, k2 = key
+        empty = pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        if len(pdf) < 2:
+            return empty
+        X = np.stack(pdf["x"].values).astype(np.int64)
+        sq = pdf["sq"].to_numpy(np.float64)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        cell = pdf["cell"].to_numpy(np.int64)
+        pos = np.arange(len(X))
+        pruned: list[np.ndarray] = []
+        for s in range(0, len(X), 256):
+            t = min(s + 256, len(X))
+            cos = (X[s:t] @ X.T).astype(np.float64) / np.sqrt(
+                sq[s:t, None] * sq[None, :]
+            )
+            # each unordered pair once (positional triangle)
+            mask = (cos >= thr) & (pos[s:t, None] < pos[None, :])
+            if k1 != k2:
+                # off-diagonal key: same-cell pairs belong to their
+                # diagonal key — scoring them here would double-count
+                mask &= cell[s:t, None] != cell[None, :]
+            ra, rb = np.nonzero(mask)
+            if len(ra):
+                # prune the HIGHER id of each close pair
+                pruned.append(np.maximum(ids[s + ra], ids[rb]))
+        if not pruned:
+            return empty
+        return pd.DataFrame(
+            {"vec_id": np.unique(np.concatenate(pruned)).astype(np.int64)}
         )
-        # each same-cell pair belongs to its diagonal key only; at an
-        # off-diagonal key it would be a duplicate of that work
-        .filter((F.col("k1") == F.col("k2")) | (F.col("cell") != F.col("cell_b")))
-        .filter(close >= SEM_COS_THRESHOLD)
-        .select("vec_id")
+
+    return (
+        rep.groupBy("cluster_id", "k1", "k2")
+        .applyInPandas(prune_cell, "vec_id long")
         .distinct()
     )
 
@@ -348,19 +478,20 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing idea as LSH, but model/geometry-driven.
 
     Composition: reuses the :func:`kmeans_assign` plan (so the
-    cluster structure is the oracle-checked one), self-joins within
-    cluster_id, and emits every vector with its cluster and a 0/1
-    pruned flag.
+    cluster structure is the oracle-checked one), scores pairs
+    within cluster_id, and emits every vector with its cluster and a
+    0/1 pruned flag.
 
-    Scale shape: the self-join shuffles on (cluster_id, cell pair);
-    per-cluster pair work is n_c² with n_c ≈ N/k and k ∝ N, so the
-    per-cluster cost is bounded as the corpus grows. A pathological
-    mega-cluster is the skew risk — mitigated by
-    :func:`_replicate_cells`: clusters above SEM_CLUSTER_CAP split
-    into hash sub-cells and the triangle join runs per cell pair, so
-    no single join key ever sees more than ~(2·cap)² pair work
+    Scale shape: rows shuffle once on (cluster_id, cell pair), then
+    each key's pairs are scored by one in-task Arrow GEMM
+    (:func:`_within_cluster_pruned`); per-cluster pair work is n_c²
+    with n_c ≈ N/k and k ∝ N, so the per-cluster cost is bounded as
+    the corpus grows. A pathological mega-cluster is the skew risk —
+    mitigated by :func:`_replicate_cells`: clusters above
+    SEM_CLUSTER_CAP split into hash sub-cells scored per cell pair,
+    so no single key ever sees more than ~(2·cap)² pair work
     (tests/test_clustering.py plants a mega-cluster and checks both
-    the bound and result equality with the unbucketed join). Cosines
+    the bound and result equality with the uncapped path). Cosines
     are the engine's exact integer quantization (one double division
     at the end), so the threshold cut is bit-stable cross-engine.
     """

@@ -20,7 +20,11 @@ def test_every_query_builds_lazily(spark, sf_dir):
     # executed-demo queries: their OUTPUT is a record of a run they
     # perform (streaming watermark demo, job-progress poll), so they
     # necessarily run jobs at build time — the documented exceptions
-    executed_demos = {"q_late_data", "q_progress", "q_dedup_clusters"}
+    executed_demos = {
+        "q_late_data", "q_progress", "q_dedup_clusters",
+        # runs the clustering fixpoint (shares its staged pair slot)
+        "q_dedup_survivors",
+    }
     # staged queries materialize a multiply-consumed intermediate to
     # temp parquet at build time (plans/staging.py) — bounded job
     # count, but above the lazy-builder cap
@@ -73,7 +77,10 @@ def test_bench_subset_is_registered():
 # brand-new by design); every other registered name MUST appear in the
 # rotation, or a typo'd rotation entry would silently promote the real
 # query to "brand new" while the typo'd name errors nowhere.
-_NEW_SINCE_ROTATION: set[str] = {"q_embedding_neardup_lsh"}
+_NEW_SINCE_ROTATION: set[str] = {
+    "q_embedding_neardup_lsh",
+    "q_dedup_survivors",
+}
 
 
 def test_check_rotation_covers_registry_exactly():
