@@ -411,8 +411,9 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MATERIALIZED pair CTEs are essential here: inside WITH RECURSIVE a
 # plain CTE would be re-evaluated on every iteration of ``reach``
 # (measured 71 s -> 0.7 s at sf0.01 after materializing).
-_ORACLE_DEDUP_CLUSTERS = f"""
-        WITH RECURSIVE {ORACLE_JACCARD_PAIR_CTES},
+# The component computation is shared verbatim by the clusters and
+# survivors oracles (comp = per-doc min-reachable-id).
+_ORACLE_COMPONENT_CTES = f"""{ORACLE_JACCARD_PAIR_CTES},
         edges AS MATERIALIZED (
             SELECT doc_a AS s, doc_b AS t FROM jpairs
             UNION ALL
@@ -421,8 +422,13 @@ _ORACLE_DEDUP_CLUSTERS = f"""
             SELECT s AS doc_id, s AS r FROM edges
             UNION
             SELECT re.doc_id, e.t FROM reach re JOIN edges e ON e.s = re.r
-        )
-        SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        ), comp AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        )"""
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+        WITH RECURSIVE {_ORACLE_COMPONENT_CTES}
+        SELECT doc_id, cluster_id FROM comp
 """
 
 
@@ -531,6 +537,58 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{max_rounds} — raise the bound for this corpus"
         )
     return labels.select("doc_id", "cluster_id")
+
+
+@register(
+    "q_dedup_survivors",
+    oracle=f"""
+        WITH RECURSIVE {_ORACLE_COMPONENT_CTES},
+        sizes AS (
+            SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id
+        )
+        SELECT d.doc_id, coalesce(s.n - 1, 0) AS n_dups
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+        WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    doc="Canonical-survivor selection after near-dup clustering: one doc "
+    "per family plus all singletons, with the removed-duplicate count.",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step a real dedup pipeline actually ships: the kept corpus.
+
+    detect (q_minhash_neardup) → cluster (q_dedup_clusters) →
+    **select survivors**: each near-dup family keeps its minimum
+    doc_id (= the component label, since min-label propagation starts
+    from own ids), every unpaired doc keeps itself, and each survivor
+    carries ``n_dups`` — how many documents it displaced — the
+    number curation reports aggregate.
+
+    Scale shape: everything after clustering is linear — one
+    (cluster_id) count aggregate over the (small) clustered set, a
+    broadcast-size filter for survivors, and an anti-join of the
+    corpus against clustered doc_ids (N rows shuffled by id once).
+    The pair slot and the fixpoint are shared with
+    q_dedup_clusters / q_curation_pipeline via stage(), so in a
+    multi-query run survivor selection adds only the linear tail.
+
+    Reference anchor: the reference's contract ends at a grouped fold
+    (MapReduceClient.h:61-64); survivor selection is the LLM-pipeline
+    composition of its group-and-reduce with the clustering fixpoint.
+    """
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    kept_clustered = (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", (F.col("n") - 1).alias("n_dups"))
+    )
+    d = tables(spark, sf_dir).documents
+    singletons = d.join(
+        clusters.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.lit(0).cast("long").alias("n_dups"))
+    return kept_clustered.unionByName(singletons)
 
 
 def _simhash(doc_tokens: DataFrame) -> DataFrame:

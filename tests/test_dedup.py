@@ -72,6 +72,33 @@ def test_dedup_clusters_oracle(spark, sf_dir):
     assert_matches_oracle(spark, "q_dedup_clusters", sf_dir)
 
 
+def test_dedup_survivors_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_dedup_survivors", sf_dir)
+
+
+def test_dedup_survivors_partition_the_corpus(spark, sf_dir):
+    """Survivors + displaced duplicates must exactly tile the corpus:
+    sum(n_dups) + |survivors| == |documents|, every survivor is its
+    own cluster minimum, and no displaced doc survives."""
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    surv = {
+        r["doc_id"]: r["n_dups"]
+        for r in get_query("q_dedup_survivors").builder(spark, sf_dir).collect()
+    }
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in get_query("q_dedup_clusters").builder(spark, sf_dir).collect()
+    }
+    n_docs = tables(spark, sf_dir).documents.count()
+    assert len(surv) + sum(surv.values()) == n_docs
+    displaced = {d for d, c in clusters.items() if d != c}
+    assert displaced.isdisjoint(surv)
+    assert {d for d, c in clusters.items() if d == c} <= set(surv)
+    assert any(n > 0 for n in surv.values())  # corpus really has dups
+
+
 def test_dedup_clusters_are_closed(spark, sf_dir):
     """Every near-dup pair must land in the same cluster, and labels
     must be the component minimum (canonical doc)."""
