@@ -1,0 +1,172 @@
+"""One-off sf1 scale rehearsal (VERDICT r4 ask #7).
+
+Builds a 10× scale-up of sf0.1 under /tmp and times the heaviest
+queries against it, to surface superlinear growth locally before it
+would surface on a cluster. This data is a REHEARSAL ARTIFACT, not
+test input: correctness oracles still run only against the driver's
+/root/testdata tables.
+
+Scale-up construction (deterministic, documented so the timings are
+interpretable):
+- 10 replicas of every fact table, all id-carrying columns shifted by
+  k·1e9 per replica so intra-replica foreign keys stay valid and
+  replicas never join to each other; region/nation stay fixed (real
+  dimension-table behavior).
+- documents: every second token is salted with the replica index, so
+  a replica is NOT a near-duplicate of its base (Jaccard ≈ 1/3).
+  Replicating text verbatim would plant 45·N cross-replica near-dup
+  pairs and turn the dedup queries into output-volume benchmarks of
+  data that can't exist under the engine's own exact-dedup step.
+- embeddings: regenerated per id from xxhash64 (uniform[-2,2] per
+  dim, matching the observed iid/symmetric per-dim distribution), for
+  the same reason: verbatim or lightly-perturbed replicas sit above
+  the 0.45 cosine threshold (cos ≈ 1/√(1+r²) stays > 0.45 until the
+  noise dwarfs the signal), so any faithful replication explodes the
+  threshold join's OUTPUT quadratically instead of scaling its input.
+
+Usage: python scripts/sf1_rehearsal.py [n_replicas] [query ...]
+Prints one JSON line; writes sf1_rehearsal_r{N}.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+OUT_DIR = "/tmp/sf1_rehearsal_data"
+OFFSET = 1_000_000_000
+
+# id-carrying columns to shift per replica, by table
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED_TABLES = ["region", "nation"]
+
+DEFAULT_QUERIES = [
+    "q_knn_cosine", "q_semantic_prune", "q_minhash_neardup",
+    "q_simhash_neardup", "q_repetition_filter", "q_contamination",
+    "q_embedding_neardup", "q_embedding_neardup_lsh", "q_ann_ivf",
+    "q_dedup_clusters", "q_curation_pipeline", "q_tpch_q5",
+]
+
+
+def build_sf1(spark, n_replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.sources.parquet import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        out = f"{OUT_DIR}/{t}.parquet"
+        if os.path.exists(out):
+            continue
+        base = load_table(spark, BASE_SF, t)
+        if t in FIXED_TABLES:
+            base.write.mode("overwrite").parquet(out)
+            continue
+        reps = []
+        for k in range(n_replicas):
+            df = base
+            for c in SHIFT_COLS.get(t, []):
+                df = df.withColumn(c, F.col(c) + F.lit(k * OFFSET))
+            if t == "documents":
+                toks = F.split(F.col("text"), " ")
+                salted = F.transform(
+                    toks,
+                    lambda x, i: F.when(
+                        (i + F.lit(k)) % 2 == 0, F.concat(x, F.lit(f"_{k}"))
+                    ).otherwise(x),
+                )
+                df = df.withColumn("text", F.array_join(salted, " "))
+            if t == "embeddings":
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(63)),
+                        lambda i: (
+                            (
+                                F.xxhash64(F.col("vec_id"), i, F.lit(41))
+                                % 2001
+                            ).cast("double")
+                            / 500.0
+                        ).cast("float"),
+                    ),
+                )
+            reps.append(df)
+        merged = reps[0]
+        for df in reps[1:]:
+            merged = merged.unionByName(df)
+        # many files on purpose: these tables are byte-small but
+        # row-heavy, and a single-file write = a single row group =
+        # ONE input split — the first rehearsal run measured serial
+        # scans, not the operators (q_repetition_filter 29.9 s
+        # single-task vs ~3 s once splittable)
+        merged.repartition(48).write.mode("overwrite").parquet(out)
+        print(f"built {t}", file=sys.stderr)
+
+
+def main() -> None:
+    n_replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mapreduceapp-spark-sf1-rehearsal",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    build_sf1(spark, n_replicas)
+
+    timings: dict[str, float | str] = {}
+    for name in names:
+        try:
+            q = get_query(name)
+            t0 = time.perf_counter()
+            q.builder(spark, OUT_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            timings[name] = f"{type(e).__name__}: {e}"[:200]
+        print(f"{name}: {timings[name]}", file=sys.stderr)
+
+    out = {"sf": f"{n_replicas}x sf0.1 synthetic", "queries": timings}
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
+        if not os.path.basename(p).startswith(
+            ("bench_full", "streaming_bench", "sf1_rehearsal")
+        )
+        and (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    n = max(rounds, default=0) + 1
+    with open(os.path.join(here, f"sf1_rehearsal_r{n:02d}.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
