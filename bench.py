@@ -31,13 +31,17 @@ def _dump_full_record(out: dict) -> None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # DRIVER artifact families only — any builder-written *_r{N}.json
+    # (bench_full, streaming_bench, sf1_rehearsal, ...) must not bump
+    # the round between local runs and the driver's end-of-round run
     rounds = [
-        int(m.group(1))
+        int(m.group(2))
         for p in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
-        # driver artifacts only — our own bench_full files must not
-        # bump the round between a local run and the driver's run
-        if not os.path.basename(p).startswith("bench_full")
-        and (m := re.search(r"_r(\d+)\.json$", p))
+        if (
+            m := re.fullmatch(
+                r"(BENCH|CORRECTNESS)_r(\d+)\.json", os.path.basename(p)
+            )
+        )
     ]
     n = max(rounds, default=0) + 1
     path = os.path.join(here, f"bench_full_r{n:02d}.json")

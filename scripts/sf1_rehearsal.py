@@ -153,13 +153,16 @@ def main() -> None:
     import re
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # driver artifact families only (see bench.py) — builder-written
+    # *_r{N}.json files must not bump the round
     rounds = [
-        int(m.group(1))
+        int(m.group(2))
         for p in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
-        if not os.path.basename(p).startswith(
-            ("bench_full", "streaming_bench", "sf1_rehearsal")
+        if (
+            m := re.fullmatch(
+                r"(BENCH|CORRECTNESS)_r(\d+)\.json", os.path.basename(p)
+            )
         )
-        and (m := re.search(r"_r(\d+)\.json$", p))
     ]
     n = max(rounds, default=0) + 1
     with open(os.path.join(here, f"sf1_rehearsal_r{n:02d}.json"), "w") as f:

@@ -166,11 +166,16 @@ def main() -> None:
     import glob
     import re
 
+    # driver artifact families only (see bench.py) — builder-written
+    # *_r{N}.json files must not bump the round
     rounds = [
-        int(m.group(1))
+        int(m.group(2))
         for p in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
-        if not os.path.basename(p).startswith(("bench_full", "streaming_bench"))
-        and (m := re.search(r"_r(\d+)\.json$", p))
+        if (
+            m := re.fullmatch(
+                r"(BENCH|CORRECTNESS)_r(\d+)\.json", os.path.basename(p)
+            )
+        )
     ]
     n = max(rounds, default=0) + 1
     with open(os.path.join(here, f"streaming_bench_r{n:02d}.json"), "w") as f:
