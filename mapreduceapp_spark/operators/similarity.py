@@ -657,12 +657,18 @@ def ann_ivf(
        unshuffled, only matching lists get scored, and the single
        remaining shuffle is the per-query top-k window.
 
-    Scanned fraction ≈ nprobe/C with C ∝ N — at 100 TB, C ~ 10^5
-    centroids keeps both the broadcast (C rows) and the list length
-    (N/C) bounded. A fitted k-means would place centroids better, but
-    sampled centroids need no training job, no stored model, and make
-    the whole search deterministically SQL-checkable; swapping in
-    fitted centroids changes only ``_centroids``.
+    Scanned fraction ≈ nprobe/C. ``IVF_STRIDE`` is the per-corpus
+    knob: C = N/stride, so the fixed stride used here keeps list
+    lengths constant while C grows with N — right for the tested
+    scales, but the assign stage materializes N·C rows, so past
+    ~10⁵ centroids an operator would raise the stride toward the
+    classic C ≈ √N balance (assign N·√N, lists √N) or go
+    hierarchical (coarse→fine, the ``_gemm_assign`` shape in
+    operators/clustering.py with a cosine mode). A fitted k-means
+    would place centroids better, but sampled centroids need no
+    training job, no stored model, and make the whole search
+    deterministically SQL-checkable; swapping in fitted centroids
+    changes only ``_centroids``.
 
     Candidate lists can hold fewer than k vectors, so a query may
     return < k rows — inherent to IVF (the oracle does the same).
