@@ -179,8 +179,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fragment-replicate partition count for the GEMM assign: vectors
-# hash into at most this many groups, centroids replicate to each.
+# Fragment-replicate floor for the GEMM assign: vectors hash into
+# max(this, defaultParallelism) groups, centroids replicate to each —
+# a fixed count would cap a 1000-executor cluster at 32-way assign.
+# Results are independent of the grouping (each vector's argmin is
+# computed alone), so the fragment count is purely a throughput knob.
 KM_ASSIGN_PARTS = 32
 
 
@@ -219,7 +222,7 @@ def _gemm_assign(
     import pandas as pd
 
     spark = vectors.sparkSession
-    p = KM_ASSIGN_PARTS
+    p = max(KM_ASSIGN_PARTS, spark.sparkContext.defaultParallelism)
     v = vectors.select(
         F.lit(0).alias("side"),
         F.pmod(F.xxhash64(F.lit("kmassign:"), F.col("vec_id")), F.lit(p)).alias(

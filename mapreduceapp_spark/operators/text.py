@@ -151,6 +151,55 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_text_normalize",
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS clean
+            FROM documents
+        )
+        SELECT doc_id,
+               length(clean) AS clean_len,
+               CASE WHEN clean = '' THEN 0
+                    ELSE len(string_split(clean, ' ')) END AS n_tokens,
+               md5(clean) AS norm_md5
+        FROM norm
+    """,
+    doc="Text normalization: lowercase, strip non-alphanumerics, collapse "
+    "whitespace — with an md5 identity proof per doc (C4).",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pre-tokenization cleanup of a curation pipeline:
+    lowercase, map every non-[a-z0-9 ] run to a single space,
+    collapse space runs, trim. Emitting md5(clean) makes the oracle
+    check an *identity* proof — both engines must produce the same
+    normalized BYTES, not just the same counts.
+
+    Map-only codegen (two regexp_replace + trim per row, no shuffle
+    at all), so it scales like the scan. Regexes avoid lookarounds
+    and posix classes so Java regex (Spark) and RE2 (DuckDB) agree;
+    Spark's regexp_replace is global by default, DuckDB's needs the
+    explicit 'g' flag.
+    """
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return tables(spark, sf_dir).documents.select(
+        "doc_id",
+        F.length(clean).alias("clean_len"),
+        F.when(clean == "", F.lit(0))
+        .otherwise(F.size(F.split(clean, " ")))
+        .alias("n_tokens"),
+        F.md5(clean.cast("binary")).alias("norm_md5"),
+    )
+
+
 # BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs,
 # the shape GPT-style byte-pair encoders split on before merging.
 # Chosen to behave identically under Java regex (Spark) and RE2

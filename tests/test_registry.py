@@ -80,6 +80,7 @@ def test_bench_subset_is_registered():
 _NEW_SINCE_ROTATION: set[str] = {
     "q_embedding_neardup_lsh",
     "q_dedup_survivors",
+    "q_text_normalize",
 }
 
 

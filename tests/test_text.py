@@ -25,10 +25,39 @@ def test_charcount_golden(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_charcount", "q_wordcount", "q_inverted_index", "q_text_stats"]
+    "name",
+    [
+        "q_charcount", "q_wordcount", "q_inverted_index", "q_text_stats",
+        "q_text_normalize",
+    ],
 )
 def test_text_oracle(spark, sf_dir, name):
     assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_text_normalize_golden(spark, tmp_path):
+    """Normalization semantics on a crafted doc: case folding,
+    punctuation/symbol runs to one space, collapsed whitespace,
+    trimmed ends."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! x2 --- done.  "), (2, "!!!")],
+        "doc_id bigint, text string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = {
+        r["doc_id"]: r
+        for r in get_query("q_text_normalize").builder(spark, sf_dir).collect()
+    }
+    import hashlib
+
+    want = "hello world x2 done"
+    assert rows[1]["clean_len"] == len(want)
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["norm_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert rows[2]["clean_len"] == 0 and rows[2]["n_tokens"] == 0
 
 
 def test_entry_smoke(spark):
