@@ -105,38 +105,42 @@ def _load_all() -> None:
 # registry); any newly registered name is by definition never-checked
 # and sorts to the very front automatically.
 _CHECK_ROTATION = [
-    # no round-4 driver row (last checked round 3) — rotate in first so
-    # cumulative r04∪r05 covers all 89 (VERDICT r4 "Next round" #1).
-    # q_simhash_neardup leads: its sha256 60-bit SQL oracle
-    # (operators/dedup.py) was added after its r03 rows-only slot and
-    # has never been driver-confirmed.
-    "q_simhash_neardup", "q_ann_ivf", "q_ann_lsh", "q_anti_join",
-    "q_approx_distinct", "q_array_funcs", "q_bm25", "q_broadcast_join",
-    "q_charcount", "q_contamination", "q_corr_subquery", "q_count_distinct",
-    "q_cube", "q_curation_pipeline", "q_dedup_clusters", "q_distinct",
-    "q_domain_mix", "q_embedding_neardup", "q_equijoin", "q_exact_dedup",
-    "q_except", "q_filter_project", "q_frame_sample", "q_groupby_agg",
-    "q_grouping_sets", "q_intersect", "q_rollup", "q_sample_split",
-    "q_scalar_funcs", "q_semi_join", "q_session_window", "q_tumbling_window",
-    "q_udf_quality", "q_union_all", "q_unpivot", "q_user_totals",
-    "q_window_rank", "q_window_running", "q_wordcount",
-    # confirmed in round 4 (CORRECTNESS_r04.json, alphabetical) —
+    # q_ann_lsh leads: its deterministic sign-LSH SQL oracle (this
+    # round's addition, operators/similarity.py) has never been
+    # driver-confirmed — same promotion rule q_simhash_neardup got in
+    # round 5 when ITS oracle was new.
+    "q_ann_lsh",
+    # no round-5 driver row (last checked round 4) — rotate in first so
+    # cumulative r05∪r06 covers all 92 (VERDICT r5 "Next round" #4).
+    "q_funnel", "q_fuzzy_match", "q_having", "q_histogram",
+    "q_inverted_index", "q_json_extract", "q_kmeans", "q_knn_cosine",
+    "q_lang_id", "q_late_data", "q_media_features", "q_media_metadata",
+    "q_minhash_neardup", "q_mr_charcount", "q_multimodal_cols",
+    "q_multiway_join", "q_ngram_counts", "q_ngram_jaccard", "q_outer_join",
+    "q_outlier_events", "q_pack_sequences", "q_percentiles", "q_pivot",
+    "q_progress", "q_range_join", "q_repetition_filter", "q_resample_fill",
+    "q_semantic_prune", "q_sliding_window", "q_sort_limit", "q_source_gini",
+    "q_stateful_dedup", "q_stratified_sample", "q_stream_join",
+    "q_text_stats", "q_token_count", "q_topk_pergroup", "q_tpch_q5",
+    "q_training_order", "q_vocab_stats", "q_window_leadlag",
+    "q_window_range_frame",
+    # confirmed in round 5 (CORRECTNESS_r05.json, alphabetical) —
     # freshest-checked, so they fill the window's remaining slots and
     # the back of the rotation.
-    "q_abtest",
-    "q_asof_join", "q_chunk_documents", "q_cluster_purity",
-    "q_cohort_retention", "q_data_audit", "q_dup_degree", "q_fingerprint",
-    "q_funnel", "q_fuzzy_match", "q_having", "q_histogram", "q_inverted_index",
-    "q_json_extract", "q_kmeans", "q_knn_cosine", "q_lang_id", "q_late_data",
-    "q_media_features", "q_media_metadata", "q_minhash_neardup",
-    "q_mr_charcount", "q_multimodal_cols", "q_multiway_join", "q_ngram_counts",
-    "q_ngram_jaccard", "q_outer_join", "q_outlier_events", "q_pack_sequences",
-    "q_percentiles", "q_pivot", "q_progress", "q_range_join",
-    "q_repetition_filter", "q_resample_fill", "q_semantic_prune",
-    "q_sliding_window", "q_sort_limit", "q_source_gini", "q_stateful_dedup",
-    "q_stratified_sample", "q_stream_join", "q_text_stats", "q_token_count",
-    "q_topk_pergroup", "q_tpch_q5", "q_training_order", "q_vocab_stats",
-    "q_window_leadlag", "q_window_range_frame",
+    "q_abtest", "q_ann_ivf", "q_anti_join", "q_approx_distinct",
+    "q_array_funcs", "q_asof_join", "q_bm25", "q_broadcast_join",
+    "q_charcount", "q_chunk_documents", "q_cluster_purity",
+    "q_cohort_retention", "q_contamination", "q_corr_subquery",
+    "q_count_distinct", "q_cube", "q_curation_pipeline", "q_data_audit",
+    "q_dedup_clusters", "q_dedup_survivors", "q_distinct", "q_domain_mix",
+    "q_dup_degree", "q_embedding_neardup", "q_embedding_neardup_lsh",
+    "q_equijoin", "q_exact_dedup", "q_except", "q_filter_project",
+    "q_fingerprint", "q_frame_sample", "q_groupby_agg", "q_grouping_sets",
+    "q_intersect", "q_rollup", "q_sample_split", "q_scalar_funcs",
+    "q_semi_join", "q_session_window", "q_simhash_neardup",
+    "q_text_normalize", "q_tumbling_window", "q_udf_quality", "q_union_all",
+    "q_unpivot", "q_user_totals", "q_window_rank", "q_window_running",
+    "q_wordcount",
 ]
 
 

@@ -39,11 +39,22 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import sys
 import tempfile
 
 from pyspark.sql import DataFrame
 
 _STAGING_ROOT: str | None = None
+
+# Process-lifetime counters + stderr markers: the round-5 driver bench
+# recorded one 14x-slower query that the builder could not reproduce;
+# the prime suspect was "stage() rewrote a slot inside a timed run".
+# These make that visible post-hoc: bench.py snapshots WRITE_COUNT
+# around each timed run and records the delta, and every write prints
+# a stderr marker (memo-hits only under SPARK_GRAFT_STAGE_VERBOSE —
+# they happen on every builder re-invocation and would drown stderr).
+WRITE_COUNT = 0
+HIT_COUNT = 0
 
 # (name, plan semanticHash) -> lazy scan over that plan's slot, for
 # slots written by THIS process. Lets stage() skip both the rewrite
@@ -109,6 +120,7 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     # ("hdfs://...", "s3a://...") the process-local map alone decides
     # — it is only populated after a successful write.
     slot_ok = "://" in path or os.path.exists(path)
+    global WRITE_COUNT, HIT_COUNT
     if (
         cached is not None
         # same-session only: semanticHash is plan-structural, so an
@@ -117,7 +129,12 @@ def stage(df: DataFrame, name: str) -> DataFrame:
         and cached.sparkSession is df.sparkSession
         and slot_ok
     ):
+        HIT_COUNT += 1
+        if os.environ.get("SPARK_GRAFT_STAGE_VERBOSE"):
+            print(f"[stage] hit {name}", file=sys.stderr)
         return cached
+    WRITE_COUNT += 1
+    print(f"[stage] write {name} -> {os.path.basename(path)}", file=sys.stderr)
     df.write.mode("overwrite").parquet(path)
     scan = df.sparkSession.read.parquet(path)
     _STAGED_PLANS[key] = scan

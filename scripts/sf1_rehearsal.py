@@ -55,12 +55,40 @@ SHIFT_COLS = {
 }
 FIXED_TABLES = ["region", "nation"]
 
+# Order matters for the warm-path entries: q_dedup_survivors runs
+# AFTER q_minhash_neardup / q_dedup_clusters in the same process, so
+# its time is the MARGINAL cost with the shared pair slot and the
+# memoized cluster fixpoint warm (VERDICT r5 ask #6) — the r5 cold
+# standalone run (157 s) re-derived the whole detect→cluster chain.
 DEFAULT_QUERIES = [
     "q_knn_cosine", "q_semantic_prune", "q_minhash_neardup",
     "q_simhash_neardup", "q_repetition_filter", "q_contamination",
     "q_embedding_neardup", "q_embedding_neardup_lsh", "q_ann_ivf",
-    "q_dedup_clusters", "q_curation_pipeline", "q_tpch_q5",
+    "q_dedup_clusters", "q_dedup_survivors", "q_curation_pipeline",
+    "q_tpch_q5",
 ]
+
+
+def candidate_growth(spark) -> dict:
+    """LSH candidate-volume evidence at base vs rehearsal scale
+    (VERDICT r5 ask #2 'Done' criterion): per generator and corpus,
+    the post-cap candidate pair count plus how many over-cap buckets
+    were skipped — sub-superlinear growth here is the point of the
+    bucket cap."""
+    from mapreduceapp_spark.operators.dedup import (
+        minhash_band_stats,
+        simhash_band_stats,
+    )
+
+    out = {}
+    for label, d in (("sf0.1", BASE_SF), ("sf1", OUT_DIR)):
+        for gen, fn in (("minhash", minhash_band_stats),
+                        ("simhash", simhash_band_stats)):
+            row = fn(spark, d).collect()[0].asDict()
+            out[f"{gen}_{label}"] = {k: int(v) for k, v in row.items()}
+            print(f"candidates {gen} {label}: {out[f'{gen}_{label}']}",
+                  file=sys.stderr)
+    return out
 
 
 def build_sf1(spark, n_replicas: int) -> None:
@@ -149,23 +177,14 @@ def main() -> None:
         print(f"{name}: {timings[name]}", file=sys.stderr)
 
     out = {"sf": f"{n_replicas}x sf0.1 synthetic", "queries": timings}
-    import glob
-    import re
+    out["candidates"] = candidate_growth(spark)
+
+    from bench import next_round  # shared round-derivation (ADVICE r5)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # driver artifact families only (see bench.py) — builder-written
-    # *_r{N}.json files must not bump the round
-    rounds = [
-        int(m.group(2))
-        for p in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
-        if (
-            m := re.fullmatch(
-                r"(BENCH|CORRECTNESS)_r(\d+)\.json", os.path.basename(p)
-            )
-        )
-    ]
-    n = max(rounds, default=0) + 1
-    with open(os.path.join(here, f"sf1_rehearsal_r{n:02d}.json"), "w") as f:
+    with open(
+        os.path.join(here, f"sf1_rehearsal_r{next_round():02d}.json"), "w"
+    ) as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out))
     spark.stop()

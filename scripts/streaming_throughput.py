@@ -163,21 +163,9 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    import glob
-    import re
+    from bench import next_round  # shared round-derivation (ADVICE r5)
 
-    # driver artifact families only (see bench.py) — builder-written
-    # *_r{N}.json files must not bump the round
-    rounds = [
-        int(m.group(2))
-        for p in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
-        if (
-            m := re.fullmatch(
-                r"(BENCH|CORRECTNESS)_r(\d+)\.json", os.path.basename(p)
-            )
-        )
-    ]
-    n = max(rounds, default=0) + 1
+    n = next_round()
     with open(os.path.join(here, f"streaming_bench_r{n:02d}.json"), "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print(json.dumps(results, sort_keys=True))

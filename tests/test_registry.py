@@ -77,11 +77,7 @@ def test_bench_subset_is_registered():
 # brand-new by design); every other registered name MUST appear in the
 # rotation, or a typo'd rotation entry would silently promote the real
 # query to "brand new" while the typo'd name errors nowhere.
-_NEW_SINCE_ROTATION: set[str] = {
-    "q_embedding_neardup_lsh",
-    "q_dedup_survivors",
-    "q_text_normalize",
-}
+_NEW_SINCE_ROTATION: set[str] = set()
 
 
 def test_check_rotation_covers_registry_exactly():
@@ -101,22 +97,43 @@ def test_check_rotation_covers_registry_exactly():
 
 
 def test_stalest_queries_lead_the_window():
-    """Queries without a round-4 driver CORRECTNESS row must all sit
-    inside the first 50 names handed to the driver, so round 5's
-    window gives every one of them a fresh row and cumulative r04∪r05
-    covers the whole registry. q_simhash_neardup must lead outright:
-    its sha256 SQL oracle has never been driver-run."""
+    """Queries without a round-5 driver CORRECTNESS row must all sit
+    inside the first 50 names handed to the driver, so round 6's
+    window gives every one of them a fresh row and cumulative r05∪r06
+    covers the whole registry. q_ann_lsh must lead outright: its
+    deterministic sign-LSH SQL oracle (round 6) has never been
+    driver-run."""
     order = list(all_queries())
     lead = set(order[:50])
-    must_lead = set(order) - _DRIVER_CHECKED_R4
+    must_lead = (set(order) - _DRIVER_CHECKED_R5) | {"q_ann_lsh"}
     assert must_lead <= lead, sorted(must_lead - lead)
     # brand-new queries sort to the very front by design; the first
-    # rotation-listed entry must be q_simhash_neardup
+    # rotation-listed entry must be q_ann_lsh
     seasoned = [n for n in order if n not in _NEW_SINCE_ROTATION]
-    assert seasoned[0] == "q_simhash_neardup"
+    assert seasoned[0] == "q_ann_lsh"
 
 
-# names with a driver row in CORRECTNESS_r04.json (all 50 green)
+# names with a driver row in CORRECTNESS_r05.json (48 green + 2
+# rows-only by design)
+_DRIVER_CHECKED_R5 = {
+    "q_abtest", "q_ann_ivf", "q_ann_lsh", "q_anti_join",
+    "q_approx_distinct", "q_array_funcs", "q_asof_join", "q_bm25",
+    "q_broadcast_join", "q_charcount", "q_chunk_documents",
+    "q_cluster_purity", "q_cohort_retention", "q_contamination",
+    "q_corr_subquery", "q_count_distinct", "q_cube", "q_curation_pipeline",
+    "q_data_audit", "q_dedup_clusters", "q_dedup_survivors", "q_distinct",
+    "q_domain_mix", "q_dup_degree", "q_embedding_neardup",
+    "q_embedding_neardup_lsh", "q_equijoin", "q_exact_dedup", "q_except",
+    "q_filter_project", "q_fingerprint", "q_frame_sample", "q_groupby_agg",
+    "q_grouping_sets", "q_intersect", "q_rollup", "q_sample_split",
+    "q_scalar_funcs", "q_semi_join", "q_session_window",
+    "q_simhash_neardup", "q_text_normalize", "q_tumbling_window",
+    "q_udf_quality", "q_union_all", "q_unpivot", "q_user_totals",
+    "q_window_rank", "q_window_running", "q_wordcount",
+}
+
+
+# retained for reference: names with a driver row in CORRECTNESS_r04.json
 _DRIVER_CHECKED_R4 = {
     "q_abtest", "q_chunk_documents", "q_cluster_purity",
     "q_cohort_retention", "q_data_audit", "q_dup_degree", "q_fingerprint",
