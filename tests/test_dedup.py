@@ -138,3 +138,76 @@ def test_dup_degree_across_scale_factors_in_one_process(spark, sf_dir):
     assert_matches_oracle(spark, "q_dup_degree", sf_dir)
     assert_matches_oracle(spark, "q_dup_degree", SF_DIR_MID)
     assert_matches_oracle(spark, "q_dup_degree", sf_dir)
+
+
+def test_minhash_bucket_cap_bounds_dense_buckets(spark):
+    """Planted dense bucket (VERDICT r5 ask #2): a bucket above the
+    cap must contribute ZERO candidate pairs (its rows never reach
+    the pair expansion), while at-or-under-cap buckets are untouched.
+    30 docs share one signature (one over-cap bucket per band at
+    cap=8); 4 docs share another (under-cap, kept)."""
+    from mapreduceapp_spark.operators.dedup import minhash_candidates
+
+    rows = [(i, ["aa"], [7] * 64) for i in range(30)] + [
+        (100 + i, ["bb"], [9] * 64) for i in range(4)
+    ]
+    sh = spark.createDataFrame(
+        rows, "doc_id bigint, sh array<string>, sig array<bigint>"
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(sh, cap=8).collect()
+    }
+    assert capped == {
+        (100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)
+    }
+    # with the cap lifted the dense bucket's 435 pairs come back
+    assert minhash_candidates(sh, cap=10_000).count() == 30 * 29 // 2 + 6
+
+
+def test_simhash_bucket_cap_bounds_dense_buckets(spark):
+    """Same planting for the SimHash pigeonhole join: an over-cap
+    (band, bits) bucket is dropped from BOTH join sides."""
+    from mapreduceapp_spark.operators.dedup import simhash_candidates
+
+    fp = spark.createDataFrame(
+        [(i, 0x0F0F0F0F0F0F0F0) for i in range(30)]
+        + [(100 + i, 0x123456789ABCDE0) for i in range(4)],
+        "doc_id bigint, simhash bigint",
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_candidates(fp, cap=8).collect()
+    }
+    assert capped == {
+        (100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)
+    }
+    assert simhash_candidates(fp, cap=10_000).count() == 30 * 29 // 2 + 6
+
+
+def test_bucket_cap_never_binds_at_oracle_scale(spark):
+    """The cap must be invisible at the scales the driver hash-checks
+    (sf0.01) — zero skipped buckets/pairs under the default cap, with
+    real headroom so data drift can't silently flip the oracle."""
+    from mapreduceapp_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        minhash_band_stats,
+        simhash_band_stats,
+    )
+    from tests.conftest import SF_DIR_MID
+
+    for stats in (minhash_band_stats, simhash_band_stats):
+        row = stats(spark, SF_DIR_MID).collect()[0]
+        assert row["n_over_cap"] == 0 and row["skipped_pairs"] == 0
+        assert row["max_bucket"] * 4 <= LSH_BUCKET_CAP, (
+            "cap headroom under 4x — re-measure before trusting the oracle"
+        )
+
+
+def test_dedup_clusters_memoized_per_session(spark, sf_dir):
+    """The converged-label memo must return the same DataFrame object
+    for a repeat call in one session (the fixpoint never re-runs)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    b = get_query("q_dedup_clusters").builder
+    assert b(spark, sf_dir) is b(spark, sf_dir)
