@@ -211,11 +211,18 @@ def _gemm_assign(
       elementwise, then a LEFT-TO-RIGHT running sum (``np.cumsum`` is
       sequential; ``np.sum``'s pairwise reassociation would round
       differently) — so even near-tie argmins agree.
-    - ties: centroid columns iterate in ascending cid with strict-<
-      updates, reproducing ``min_by``'s lexicographic (dist, cid).
+    - ``mode="cosine"``: argMAX of dot_f64 / sqrt(sq_f64 · csq_f64) —
+      the exact-int64 dot cast to double, then the same two IEEE ops
+      as ``functions.vectors.cosine`` — the coarse-quantization
+      assignment q_ann_ivf uses (its r5 verdict flagged the old
+      broadcast-join form as the quadratic N·C row fan-out; this is
+      the same fix k-means got, with the ranking inverted).
+    - ties: centroid columns iterate in ascending cid with strict
+      updates, reproducing the lexicographic (dist, cid) /
+      (cos DESC, cid) order both oracles use.
 
     ``vectors`` carries (vec_id, x, sq); ``centroids`` carries
-    (cid, cx, csq) for "int" or (cid, c, sx) for "rational".
+    (cid, cx, csq) for "int"/"cosine" or (cid, c, sx) for "rational".
     Returns (vec_id, x, sq, cid).
     """
     import numpy as np
@@ -236,7 +243,7 @@ def _gemm_assign(
         F.lit(None).cast("long").alias("cs"),
     )
     c = centroids.crossJoin(spark.range(p).select(F.col("id").alias("pid")))
-    if mode == "int":
+    if mode in ("int", "cosine"):
         c = c.select(
             F.lit(1).alias("side"), "pid",
             F.lit(None).cast("long").alias("vec_id"),
@@ -256,9 +263,16 @@ def _gemm_assign(
     def assign_group(pdf: pd.DataFrame) -> pd.DataFrame:
         vec = pdf[pdf["side"] == 0]
         cen = pdf[pdf["side"] == 1].sort_values("cid")  # ascending: tie rule
+        # the array column must be object-dtyped even when empty —
+        # Arrow can't cast an empty float64 ndarray to list<int64>
         empty = pd.DataFrame(
-            {"vec_id": [], "x": [], "sq": [], "cid": []}
-        ).astype({"vec_id": "int64", "sq": "int64", "cid": "int64"})
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "x": pd.Series([], dtype="object"),
+                "sq": pd.Series([], dtype="int64"),
+                "cid": pd.Series([], dtype="int64"),
+            }
+        )
         if not len(vec) or not len(cen):
             return empty
         X = np.stack(vec["x"].values).astype(np.int64)  # n × 64
@@ -283,6 +297,24 @@ def _gemm_assign(
                     upd = dmin < best_d  # strict: earlier cid wins ties
                     best_d[upd] = dmin[upd]
                     best_c[upd] = cids[s + jmin][upd]
+        elif mode == "cosine":
+            sqf = sq.astype(np.float64)
+            csf = cs.astype(np.float64)
+            for s in range(0, len(C), 4096):
+                t = min(s + 4096, len(C))
+                # exact int64 dot, then the same two IEEE ops as the
+                # cosine() SQL expression: dot::DOUBLE / sqrt(a*b)
+                cos = (X @ C[s:t].T).astype(np.float64) / np.sqrt(
+                    sqf[:, None] * csf[None, s:t]
+                )
+                jmax = cos.argmax(axis=1)  # first max = lowest cid ✓
+                dmax = cos[np.arange(len(X)), jmax]
+                if best_d is None:
+                    best_d, best_c = dmax, cids[s + jmax]
+                else:
+                    upd = dmax > best_d  # strict: earlier cid wins ties
+                    best_d[upd] = dmax[upd]
+                    best_c[upd] = cids[s + jmax][upd]
         else:
             Xf = X.astype(np.float64)
             for j in range(len(C)):
