@@ -13,9 +13,10 @@ Scale posture (100 TB):
   with no shuffle). It is O(Q·N) — the scale path is q_ann_lsh.
 - ``q_ann_lsh`` buckets vectors by random-hyperplane signatures and
   only scores within matching buckets: O(Q·N/2^bits) expected. The
-  hyperplanes are derived deterministically from xxhash64 so the
-  signature needs no stored model and is reproducible across runs
-  and executors.
+  hyperplanes are sha256-derived ±1 literals (no stored model, no
+  engine hash function), so the signature is reproducible across
+  runs, executors, AND engines — the SQL oracle recomputes identical
+  buckets and the whole approximate search is hash-checked.
 - ``q_ann_ivf`` is the coarse-quantization (inverted-file) ANN: every
   vector is assigned to its nearest of C centroids, queries probe the
   nprobe closest lists — O(Q·C + Q·nprobe·N/C). Unlike angular LSH it
@@ -341,18 +342,22 @@ def _emb_lsh_rows(n_rows: int) -> int:
     )
 
 
-def _hyperplane_signs(bands: int, rows: int, dim: int = EMB_DIM):
+def _hyperplane_signs(
+    bands: int, rows: int, dim: int = EMB_DIM, prefix: str = "emb-lsh"
+):
     """±1 hyperplane components, deterministic from sha256 so Spark
     and the DuckDB oracle share the exact same literal matrix (no
     engine-specific hash function is involved — both sides consume
-    these Python-computed literals). Returns (bands·rows, dim)."""
+    these Python-computed literals). ``prefix`` salts the family so
+    the near-dup banding and the ANN signature use independent
+    hyperplanes. Returns (bands·rows, dim)."""
     import hashlib
 
     planes = []
     for p in range(bands * rows):
         row = []
         for i in range(dim):
-            h = hashlib.sha256(f"emb-lsh:{p}:{i}".encode()).digest()
+            h = hashlib.sha256(f"{prefix}:{p}:{i}".encode()).digest()
             row.append(1 if h[0] % 2 == 0 else -1)
         planes.append(row)
     return planes
@@ -508,37 +513,78 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BITS = 8  # hyperplane count → 2^8 buckets
 
 
-def _signature(qv) -> "F.Column":
-    """Deterministic random-hyperplane signature of a quantized vector.
+def _ann_signature_udf():
+    """Deterministic random-hyperplane signature of a quantized
+    vector, as one Arrow-batched integer GEMM.
 
-    Hyperplane j's i-th component is ±1, chosen by the parity of
-    xxhash64(j, i) — a reproducible pseudo-random hyperplane that
-    needs no fitted model, no broadcast state, and is identical on
-    every executor. sign_j = sum_i(±1 · v_i) ≥ 0. The signature is
-    the LSH_BITS-bit integer of those signs.
+    Hyperplane p's i-th component is ±1 from sha256("ann-lsh:p:i") —
+    the same literal-matrix convention as the banded near-dup LSH
+    (:func:`_hyperplane_signs`), which is what makes the signature
+    recomputable in ANSI SQL: no engine hash function is involved, so
+    the DuckDB oracle derives bit-identical buckets (VERDICT r5 ask
+    #5 — this replaced an xxhash64-derived family that existed only
+    inside Spark). sign_p = ⟨±1 row, v⟩ ≥ 0 on exact int64 dots; the
+    signature packs the LSH_BITS signs into an integer.
 
-    For sign-random-projection LSH, P[sign_j(a) = sign_j(b)] =
+    For sign-random-projection LSH, P[sign_p(a) = sign_p(b)] =
     1 − angle(a,b)/π, so near-identical vectors collide in all bits
     with high probability.
     """
-    bit_terms = []
-    for j in range(LSH_BITS):
-        proj = F.aggregate(
-            F.zip_with(
-                qv,
-                F.sequence(F.lit(0), F.size(qv) - 1),
-                lambda x, i: F.when(
-                    F.xxhash64(F.lit(j), i) % 2 == 0, x
-                ).otherwise(-x),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(
+        _hyperplane_signs(1, LSH_BITS, prefix="ann-lsh"), dtype=np.int64
+    )
+    w = (1 << np.arange(LSH_BITS)).astype(np.int64)
+
+    def _sig(qv):  # pd.Series -> pd.Series (Arrow-batched)
+        V = np.stack(qv.values).astype(np.int64)
+        bits = (V @ H.T >= 0).astype(np.int64)
+        return pd.Series(bits @ w)
+
+    return F.pandas_udf(_sig, "long")
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the whole multi-probe search: recompute every
+    vector's signature from the same sha256-derived ±1 literals,
+    expand each query to its 1 + LSH_BITS probe buckets (self + one
+    bit flip each), score matches with the exact cosine, rank. The
+    approximation lives entirely in WHICH buckets are probed — both
+    engines derive identical buckets, so the check is deterministic."""
+    signs = _hyperplane_signs(1, LSH_BITS, prefix="ann-lsh")
+    bits = []
+    for p in range(LSH_BITS):
+        lit = "[" + ", ".join(str(s) for s in signs[p]) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(qv, {lit}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
         )
-        bit_terms.append(F.when(proj >= 0, F.lit(2**j)).otherwise(F.lit(0)))
-    sig = bit_terms[0]
-    for t in bit_terms[1:]:
-        sig = sig + t
-    return sig
+    sig = " + ".join(bits)
+    flips = ", ".join(str(f) for f in [0] + [1 << j for j in range(LSH_BITS)])
+    cos = oracle_cosine("list_dot_product(p.q_qv, b.qv)", "p.q_sq", "b.sq")
+    return f"""
+        WITH q AS ({_ORACLE_QUANTIZED}),
+        s AS (SELECT vec_id, qv, sq, {sig} AS sig FROM q),
+        probes AS (
+            SELECT a.vec_id AS query_id, a.qv AS q_qv, a.sq AS q_sq,
+                   xor(a.sig, t.f) AS probe
+            FROM s a, unnest([{flips}]) AS t(f)
+            WHERE a.vec_id % 100 = 0
+        ),
+        scored AS (
+            SELECT p.query_id, b.vec_id AS neighbor_id, {cos} AS cos
+            FROM probes p JOIN s b
+              ON b.sig = p.probe AND b.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {KNN_K}
+    """
 
 
 PROBE_RADIUS = 1  # multi-probe: also search buckets 1 bit-flip away
@@ -568,7 +614,7 @@ def ann_topk(
     exact path (q_knn_cosine) or IVF-style coarse quantization;
     stated honestly rather than tuned around.
     """
-    e = e.withColumn("bucket", _signature(F.col("qv")))
+    e = e.withColumn("bucket", _ann_signature_udf()(F.col("qv")))
     probes = [F.col("bucket")]
     if probe_radius >= 1:
         probes += [
@@ -606,7 +652,13 @@ def ann_topk(
 
 @register(
     "q_ann_lsh",
-    oracle=None,  # approximate by design — planted-duplicate recall is tested
+    # Approximate in RECALL, deterministic in RESULT: the oracle
+    # recomputes the identical signatures from the shared sha256
+    # literals, so the probed bucket set — and therefore the output —
+    # is bit-identical across engines (the q_embedding_neardup_lsh
+    # technique, applied to the ANN twin per VERDICT r5 ask #5).
+    # Planted-duplicate recall stays pytest-asserted separately.
+    oracle=_ann_lsh_oracle(),
     doc="Approximate top-k cosine via multi-probe random-hyperplane LSH (C3 scale path).",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
