@@ -115,8 +115,16 @@ _RIFF_MAGIC = b"RIFF"
 
 
 def _decode_pil(payload: bytes) -> dict | None:
-    """Real decode via PIL when importable (JPEG/PNG/GIF/...). Returns
-    None when PIL is absent or doesn't recognize the payload."""
+    """Real decode via PIL when importable (GIF/TIFF/WebP/... — the
+    stdlib decoders run first for PNG/WAV/baseline-JPEG, so PIL only
+    sees formats they don't cover). Returns None when PIL is absent
+    or doesn't recognize the payload.
+
+    ``mean_byte`` averages the RAW band samples of the image's own
+    mode (``im.tobytes()``) — the same semantics as the stdlib PNG
+    decoder — not a luma conversion (ADVICE r5: the old ``convert
+    ('L')`` gave PIL-present environments different features than
+    PIL-absent ones for the same pixels)."""
     try:
         from PIL import Image
     except ImportError:
@@ -127,7 +135,7 @@ def _decode_pil(payload: bytes) -> dict | None:
         with Image.open(io.BytesIO(payload)) as im:
             w, h = im.size
             n_frames = getattr(im, "n_frames", 1)
-            px = im.convert("L").tobytes()
+            px = im.tobytes()
             mean = float(sum(px) / len(px)) if px else 0.0
             return {
                 "width": w, "height": h,
@@ -246,10 +254,201 @@ def _decode_wav(payload: bytes) -> dict | None:
         return None
 
 
-# Decoder chain, first recognizer wins. PIL leads when installed
-# (broadest format coverage); the stdlib PNG/WAV decoders make the
-# real-decode branch exercisable in codec-less containers too.
-_DECODERS = (_decode_pil, _decode_png, _decode_wav)
+_JPEG_MAGIC = b"\xff\xd8"
+
+
+class _EndOfScan(Exception):
+    pass
+
+
+class _JpegBits:
+    """MSB-first bit reader over a JPEG entropy-coded segment with
+    0xFF00 byte-unstuffing; any other 0xFF-marker ends the scan."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.data[self.pos + 1] == 0x00:
+                    self.pos += 2
+                else:
+                    raise _EndOfScan
+            else:
+                self.pos += 1
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_huff_tables(seg: bytes, into: dict) -> None:
+    """Parse one DHT segment (may hold several tables) into
+    ``into[(class, id)] = {(length, code): symbol}`` canonical maps."""
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 15
+        counts = seg[p + 1 : p + 17]
+        p += 17
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[(length, code)] = seg[p]
+                code += 1
+                p += 1
+            code <<= 1
+        into[(tc, th)] = table
+
+
+def _jpeg_huff_decode(r: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _decode_jpeg(payload: bytes) -> dict | None:
+    """Real stdlib baseline-JPEG decode, DC path (struct-free marker
+    walk + canonical Huffman + the DC half of entropy decoding).
+
+    Dimensions come from SOF0. ``mean_byte`` is the mean over every
+    component's DC-reconstructed blocks — for a DCT block the AC
+    basis functions are zero-mean, so the DC term alone gives the
+    EXACT block mean; this is a true decoded-pixel mean (up to edge
+    blocks that overhang the image), not a header peek. AC
+    coefficients are Huffman-decoded to keep the bitstream in sync
+    but their magnitudes are skipped. Baseline (SOF0), no restart
+    markers — anything else returns None and falls through the chain
+    (PIL handles progressive/DRI files when installed).
+    """
+    if not payload.startswith(_JPEG_MAGIC):
+        return None
+    try:
+        qt: dict[int, bytes] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None  # (height, width, [(cid, h, v, tq), ...])
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                continue
+            seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+            seg = payload[pos + 2 : pos + seg_len]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    if seg[p] >> 4 != 0:  # 16-bit tables: not baseline
+                        return None
+                    qt[seg[p] & 15] = seg[p + 1 : p + 65]
+                    p += 65
+            elif marker == 0xC4:  # DHT
+                _jpeg_huff_tables(seg, huff)
+            elif marker == 0xC0:  # SOF0 — baseline sequential
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                comps = [
+                    (seg[6 + 3 * i], seg[7 + 3 * i] >> 4,
+                     seg[7 + 3 * i] & 15, seg[8 + 3 * i])
+                    for i in range(seg[5])
+                ]
+                frame = (h, w, comps)
+            elif marker == 0xDD and int.from_bytes(seg, "big"):
+                return None  # restart intervals: fall through to PIL
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame
+            elif marker == 0xDA:  # SOS — single baseline scan
+                if frame is None:
+                    return None
+                height, width, comps = frame
+                ncs = seg[0]
+                scan = {
+                    seg[1 + 2 * i]: (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+                    for i in range(ncs)
+                }
+                r = _JpegBits(payload, pos + seg_len)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                preds = {cid: 0 for cid, *_ in comps}
+                block_means: list[float] = []
+
+                def block(cid: int, tq: int) -> None:
+                    td, ta = scan[cid]
+                    preds[cid] += r.receive_extend(
+                        _jpeg_huff_decode(r, huff[(0, td)])
+                    )
+                    val = preds[cid] * qt[tq][0] / 8.0 + 128.0
+                    block_means.append(min(max(val, 0.0), 255.0))
+                    k = 1
+                    while k <= 63:  # decode ACs only to advance bits
+                        rs = _jpeg_huff_decode(r, huff[(1, ta)])
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run != 15:
+                                break  # EOB
+                            k += 16
+                        else:
+                            k += run + 1
+                            r.receive_extend(size)
+
+                try:
+                    if ncs == 1:
+                        cid, ch, cv, tq = next(
+                            c for c in comps if c[0] in scan
+                        )
+                        bw = -(-(width * ch) // (hmax * 8))
+                        bh = -(-(height * cv) // (vmax * 8))
+                        for _ in range(bw * bh):
+                            block(cid, tq)
+                    else:
+                        for _ in range(
+                            (-(-width // (8 * hmax)))
+                            * (-(-height // (8 * vmax)))
+                        ):
+                            for cid, ch, cv, tq in comps:
+                                for _ in range(ch * cv):
+                                    block(cid, tq)
+                except _EndOfScan:
+                    pass
+                if not block_means:
+                    return None
+                return {
+                    "width": width,
+                    "height": height,
+                    "n_frames": 1,
+                    "mean_byte": float(sum(block_means) / len(block_means)),
+                }
+            pos += seg_len
+        return None
+    except Exception:
+        return None
+
+
+# Decoder chain, first recognizer wins. Stdlib decoders lead so that
+# formats they cover get identical features whether or not PIL is
+# installed (ADVICE r5); PIL is the broad-format fallback.
+_DECODERS = (
+    ("png", _decode_png),
+    ("wav", _decode_wav),
+    ("jpeg", _decode_jpeg),
+    ("pil", _decode_pil),
+)
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -263,33 +462,41 @@ def fake_decode(payload: bytes) -> dict:
         "height": 16 + (n * 104729) % 1024,
         "n_frames": 1 + n % 7,
         "mean_byte": float(sum(payload) / n) if n else 0.0,
+        "decoder": "fake",
     }
 
 
 def decode_media(payload: bytes, *, strict: bool = False) -> dict:
-    """Decode one media payload → {width, height, n_frames, mean_byte}.
+    """Decode one media payload → {width, height, n_frames, mean_byte,
+    decoder}.
 
-    Pluggable: tries the real decoder chain (PIL when importable,
-    stdlib PNG, stdlib WAV — each sniffs the container magic), then
-    falls back to the deterministic :func:`fake_decode`. With
-    ``strict=True`` an unrecognized payload raises
+    Pluggable: tries the real decoder chain (stdlib PNG, stdlib WAV,
+    stdlib baseline-JPEG, then PIL when importable — each sniffs the
+    container magic), falling back to the deterministic
+    :func:`fake_decode`. ``decoder`` names the branch that produced
+    the features, so downstream pipelines can always distinguish a
+    fake-fallback row (e.g. a corrupt-but-magic-matching payload that
+    every real decoder rejected) from a genuinely decoded one
+    (ADVICE r5). With ``strict=True`` an unrecognized payload raises
     :class:`MediaDecodeUnavailable` instead of faking — the honest
     production behavior for bytes that claim to be media.
     """
-    for dec in _DECODERS:
+    for name, dec in _DECODERS:
         out = dec(payload)
         if out is not None:
+            out["decoder"] = name
             return out
     if strict:
         raise MediaDecodeUnavailable(
-            "payload not decodable by any installed codec "
-            "(PIL missing; not an 8-bit PNG or RIFF/WAV)"
+            "payload not decodable by any installed codec (PIL "
+            "missing; not an 8-bit PNG, RIFF/WAV, or baseline JPEG)"
         )
     return fake_decode(payload)
 
 
 _FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, n_frames int, mean_byte double"
+    "doc_id bigint, n_bytes int, width int, height int, n_frames int, "
+    "mean_byte double, decoder string"
 )
 
 
@@ -330,7 +537,8 @@ def media_feature_batches(
                list_sum(list_transform(
                    generate_series(1, length(text)),
                    i -> ascii(substr(text, i, 1))))
-                   / octet_length(CAST(text AS BLOB)) AS mean_byte
+                   / octet_length(CAST(text AS BLOB)) AS mean_byte,
+               'fake' AS decoder
         FROM documents
     """,
     doc="Arrow-batched media feature extraction over binary payloads (mapInPandas).",

@@ -29,6 +29,7 @@ def test_media_features_plumbing(spark, sf_dir):
         "height",
         "n_frames",
         "mean_byte",
+        "decoder",
     ]
     rows = sorted(tuple(r) for r in df.collect())
     again = sorted(tuple(r) for r in df.collect())
@@ -47,7 +48,10 @@ def test_decode_stub_is_honest():
         decode_media(b"\x89PNG", strict=True)
     fake = decode_media(b"\x89PNG")
     assert fake == decode_media(b"\x89PNG")  # deterministic
-    assert set(fake) == {"width", "height", "n_frames", "mean_byte"}
+    assert set(fake) == {"width", "height", "n_frames", "mean_byte", "decoder"}
+    # corrupt-but-magic-matching payloads are distinguishable from
+    # genuinely decoded ones downstream (ADVICE r5)
+    assert fake["decoder"] == "fake"
 
 
 def _png_bytes(pixels, color_type, filters=None):
@@ -143,6 +147,7 @@ def test_real_wav_decode_branch():
         "height": 2,  # channels
         "n_frames": 4,
         "mean_byte": sum(samples) / len(samples),
+        "decoder": "wav",
     }
 
 
@@ -176,6 +181,77 @@ def test_media_pipeline_mixes_real_and_fake(spark):
     assert rows[3]["width"] == fake["width"]
     assert rows[3]["mean_byte"] == fake["mean_byte"]
     assert all(r["n_bytes"] > 0 for r in rows.values())
+    # per-row decoder provenance survives the distributed pipeline
+    assert [rows[i]["decoder"] for i in (1, 2, 3)] == ["png", "wav", "fake"]
+
+
+def _jpeg_bytes(block_grays):
+    """Minimal baseline-JPEG encoder for tests: grayscale, one row of
+    flat 8×8 blocks (each block a single gray level), q0=8 so the
+    quantized DC equals gray−128 exactly and the decoded mean is
+    bit-exact. Hand-rolled canonical Huffman tables: DC categories
+    0–11 at length 4, AC holds only EOB."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    w, h = 8 * len(block_grays), 8
+    dqt = seg(0xDB, bytes([0x00, 8]) + bytes([16] * 63))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dc_counts = [0, 0, 0, 12] + [0] * 12  # 12 symbols, all length 4
+    dht_dc = seg(0xC4, bytes([0x00] + dc_counts + list(range(12))))
+    ac_counts = [0, 1] + [0] * 14  # EOB at length 2
+    dht_ac = seg(0xC4, bytes([0x10] + ac_counts + [0x00]))
+    sos_hdr = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    bits = []
+    pred = 0
+    for g in block_grays:
+        diff = (g - 128) - pred
+        pred = g - 128
+        s = max(diff, -diff).bit_length()
+        bits += [int(b) for b in format(s, "04b")]  # DC code: length-4
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            bits += [int(b) for b in format(v, f"0{s}b")]
+        bits += [0, 0]  # EOB
+    bits += [1] * (-len(bits) % 8)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i : i + 8])), 2)
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos_hdr
+        + bytes(scan) + b"\xff\xd9"
+    )
+
+
+def test_real_jpeg_decode_branch():
+    """The stdlib baseline-JPEG decoder (VERDICT r5 ask #7) must
+    really decode a generated JPEG — exact dimensions, and the exact
+    image mean recovered from the DC coefficients (AC basis functions
+    are zero-mean, so DC-only reconstruction gives the true block
+    mean) — through the non-PIL branch."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+
+    out = decode_media(_jpeg_bytes([100, 200]), strict=True)
+    assert out == {
+        "width": 16, "height": 8, "n_frames": 1,
+        "mean_byte": 150.0, "decoder": "jpeg",
+    }
+    # negative-then-positive DC diffs and a 3-block image
+    out = decode_media(_jpeg_bytes([30, 128, 250]), strict=True)
+    assert out["width"] == 24
+    assert out["mean_byte"] == (30 + 128 + 250) / 3
+    # progressive marker (SOF2) must fall through, not mis-decode
+    import pytest as _pytest
+
+    prog = _jpeg_bytes([100]).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(Exception):
+        decode_media(prog, strict=True)
 
 
 def test_frame_sample_oracle(spark, sf_dir):
