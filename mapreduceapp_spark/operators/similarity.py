@@ -47,6 +47,7 @@ from mapreduceapp_spark.functions.vectors import (
 )
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.sources import tables
+from mapreduceapp_spark.sources.parquet import table_row_count
 
 KNN_K = 10
 # Query set: every 100th vector — small by construction (N/100), so
@@ -250,7 +251,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n_rows = tables(spark, sf_dir).embeddings.count()
+    # footer-metadata count: the builder stays a pure plan (no job),
+    # and repeat invocations never re-count (ADVICE r5). Block layout
+    # still varies with defaultParallelism — result-invariant, only
+    # the tiling changes.
+    n_rows = table_row_count(spark, sf_dir, "embeddings")
     nb = _neardup_blocks(n_rows, spark.sparkContext.defaultParallelism)
     e = _quantized(spark, sf_dir).withColumn(
         "bid", (F.col("vec_id") % nb).cast("int")
@@ -441,9 +446,22 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
+    import sys
 
-    n_rows = tables(spark, sf_dir).embeddings.count()
+    n_rows = table_row_count(spark, sf_dir, "embeddings")  # footer, no job
     r = _emb_lsh_rows(n_rows)
+    if r != EMB_LSH_MIN_ROWS:
+        # the registered oracle hard-codes r=EMB_LSH_MIN_ROWS (valid
+        # for any table ≤ EMB_LSH_TARGET_BUCKET rows — every scale the
+        # driver checks). Beyond that the query is still correct but
+        # the oracle would flag a false mismatch; make that impossible
+        # to misread (ADVICE r5).
+        print(
+            f"[q_embedding_neardup_lsh] derived r={r} != oracle's "
+            f"hard-coded {EMB_LSH_MIN_ROWS} (N={n_rows}): the "
+            f"registered SQL oracle does NOT apply at this scale",
+            file=sys.stderr,
+        )
     bands = EMB_LSH_BANDS
     H = np.array(_hyperplane_signs(bands, r), dtype=np.int64)  # (B·r, dim)
     weights = (1 << np.arange(r)).astype(np.int64)

@@ -200,3 +200,45 @@ class Tables:
 
 def tables(spark: SparkSession, sf_dir: str) -> Tables:
     return Tables(spark, sf_dir)
+
+
+@lru_cache(maxsize=256)
+def _footer_row_count(path: str) -> int | None:
+    """Sum of footer ``num_rows`` over a parquet file or directory —
+    a driver-side metadata read, zero Spark jobs. None when any
+    footer is unreadable (caller falls back to a Spark count)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    if not files:
+        return None
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a source table, from parquet footers when local
+    (memoized, no job) or a Spark count otherwise.
+
+    Exists for builders whose PLAN SHAPE depends on N (the derived
+    GEMM tilings and LSH signature depths in operators/similarity.py):
+    with the footer path they stay pure plans — no job runs at build
+    time — and repeat builder invocations never re-count (ADVICE r5).
+    Source tables are immutable engine inputs, so memoizing by path
+    is sound; a mutating deployment would route this through its
+    catalog's statistics instead.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if "://" not in path:
+        n = _footer_row_count(path)
+        if n is not None:
+            return n
+    return load_table(spark, sf_dir, name).count()
