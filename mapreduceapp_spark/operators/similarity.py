@@ -106,9 +106,9 @@ _ORACLE_QUANTIZED = f"""
 """
 
 
-@register(
-    "q_knn_cosine",
-    oracle=f"""
+# Exact-kNN oracle body, shared: q_knn_cosine registers it verbatim;
+# q_knn_classify and q_ivf_recall wrap it as a CTE.
+_ORACLE_KNN = f"""
         WITH q AS ({_ORACLE_QUANTIZED}),
         pairs AS (
             SELECT a.vec_id AS query_id,
@@ -125,7 +125,12 @@ _ORACLE_QUANTIZED = f"""
         )
         SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
         FROM ranked WHERE rnk <= {KNN_K}
-    """,
+"""
+
+
+@register(
+    "q_knn_cosine",
+    oracle=_ORACLE_KNN,
     doc="Brute-force top-k cosine neighbors for a broadcast query set (C3).",
 )
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,9 +882,9 @@ def _oracle_cos(a: str, b: str) -> str:
     )
 
 
-@register(
-    "q_ann_ivf",
-    oracle=f"""
+# IVF oracle body, shared: q_ann_ivf registers it verbatim;
+# q_ivf_recall wraps it as a CTE.
+_ORACLE_IVF = f"""
         WITH q AS ({_ORACLE_QUANTIZED}),
         cents AS (
             SELECT vec_id AS cent_id, qv, sq FROM q
@@ -920,7 +925,12 @@ def _oracle_cos(a: str, b: str) -> str:
                                       ORDER BY cos DESC, neighbor_id) AS rnk
             FROM scored
         ) WHERE rnk <= {KNN_K}
-    """,
+"""
+
+
+@register(
+    "q_ann_ivf",
+    oracle=_ORACLE_IVF,
     doc="Approximate top-k cosine via IVF coarse quantization (C3 scale path).",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,3 +938,137 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, shuffle shape, and cost model. Deterministic sampled
     centroids ⇒ fully oracle-checked, unlike the LSH path."""
     return ann_ivf(_quantized(spark, sf_dir))
+
+
+# ------------------------------------------------- ANN-family consumers
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+        WITH knn AS ({_ORACLE_KNN}),
+        votes AS (
+            SELECT k.query_id, e.label, count(*) AS n
+            FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+            GROUP BY 1, 2
+        ),
+        maj AS (
+            SELECT query_id, label AS pred_label, n AS n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n DESC, label) AS rn
+            FROM votes
+        )
+        SELECT m.query_id, m.pred_label, m.n_votes,
+               t.label AS true_label,
+               CASE WHEN m.pred_label = t.label THEN 1 ELSE 0 END AS hit
+        FROM maj m JOIN embeddings t ON t.vec_id = m.query_id
+        WHERE m.rn = 1
+    """,
+    doc="k-NN label transfer: majority neighbor label per query vector, "
+    "with the ground-truth hit flag (C3 consumer — weak labeling).",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The op a labeling pipeline runs on top of similarity search:
+    predict each query vector's label as the majority label of its k
+    exact nearest neighbors, and score it against the ground truth.
+
+    Composition, not recomputation: consumes the :func:`q_knn_cosine`
+    plan (broadcast query set, one corpus scan), joins the k·Q result
+    rows — not the corpus — to the label column, takes a
+    (query, label) count aggregate, and breaks majority ties on the
+    smaller label so both engines agree deterministically. Everything
+    after the kNN is aggregated-small: shuffle volume is k·Q rows,
+    then Q.
+
+    Reference anchor: the reference's reduce-over-groups contract
+    (MapReduceClient.h:61-64) — the vote is a grouped fold over the
+    neighbor relation.
+    """
+    knn = q_knn_cosine(spark, sf_dir)
+    e = tables(spark, sf_dir).embeddings
+    nbr_lab = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("label")
+    )
+    votes = (
+        knn.join(nbr_lab, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+    maj = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            F.col("n").alias("n_votes"),
+        )
+    )
+    truth = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return maj.join(truth, "query_id").select(
+        "query_id",
+        "pred_label",
+        "n_votes",
+        "true_label",
+        F.when(F.col("pred_label") == F.col("true_label"), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+
+
+@register(
+    "q_ivf_recall",
+    oracle=f"""
+        WITH exact AS ({_ORACLE_KNN}),
+        approx AS ({_ORACLE_IVF}),
+        hits AS (
+            SELECT e.query_id, count(a.neighbor_id) AS n_hit
+            FROM exact e LEFT JOIN approx a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT query_id,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / {KNN_K}.0, 4) AS recall_at_k
+        FROM hits
+    """,
+    doc="ANN quality evaluation: per-query recall@k of the IVF index "
+    "against the exact kNN ground truth (C3 consumer).",
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation loop an ANN deployment runs before trusting an
+    index: per query, how many of the true top-k the IVF search
+    returned (recall@k). This is the number that tunes ``nprobe`` /
+    ``IVF_STRIDE``; publishing it as a first-class query means index
+    quality is measured by the same oracle-checked machinery as the
+    searches themselves — not eyeballed.
+
+    Plan: both sides are the engine's own registered plans (exact
+    kNN ground truth, IVF candidates); the comparison is a k·Q-row
+    left join + count — negligible next to either search. The r5-r6
+    IVF rework (GEMM assign) left results bit-identical, so this
+    recall is a property of the INDEX layout, not the execution
+    strategy.
+    """
+    exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ann_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_neighbor_id").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    )

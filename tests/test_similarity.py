@@ -271,3 +271,37 @@ def test_knn_broadcast_guard(spark, sf_dir, monkeypatch):
     over = sim.q_knn_cosine(spark, sf_dir)  # builds fine: guard is lazy
     with pytest.raises(Exception, match="broadcast budget"):
         over.count()
+
+
+def test_knn_classify_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_knn_classify", sf_dir)
+
+
+def test_knn_classify_votes_are_complete(spark, sf_dir):
+    """Every query vector gets exactly one prediction, and the vote
+    count never exceeds k."""
+    from mapreduceapp_spark.operators.similarity import KNN_K
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_knn_classify").builder(spark, sf_dir).collect()
+    assert rows
+    qids = [r["query_id"] for r in rows]
+    assert len(qids) == len(set(qids))
+    assert all(1 <= r["n_votes"] <= KNN_K for r in rows)
+    assert all(r["hit"] in (0, 1) for r in rows)
+
+
+def test_ivf_recall_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_ivf_recall", sf_dir)
+
+
+def test_ivf_recall_bounded_and_consistent(spark, sf_dir):
+    """recall@k is in [0,1] per query, and equals n_hit/k exactly."""
+    from mapreduceapp_spark.operators.similarity import KNN_K
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_ivf_recall").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hit"] <= KNN_K
+        assert r["recall_at_k"] == round(r["n_hit"] / KNN_K, 4)
