@@ -100,6 +100,20 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _reset_iterative_memos() -> None:
+    """Clear per-process result memos of iterative queries before a
+    timed run, so the bench keeps measuring each query's own
+    distributed work (comparable round over round) rather than a
+    memo-hit. Multi-query pipelines DO get the memo — the sf1
+    rehearsal records that warm-path marginal cost separately."""
+    try:
+        from mapreduceapp_spark.operators import dedup
+
+        dedup._CLUSTERS_MEMO.clear()
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -153,6 +167,7 @@ def main() -> None:
             n_runs = 2  # best-of-2: steady state, not JIT warmup tails
             r = 0
             while r < n_runs:
+                _reset_iterative_memos()
                 w0 = staging.WRITE_COUNT
                 t0 = time.perf_counter()
                 # builder inside the timer: iterative queries (e.g.

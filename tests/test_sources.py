@@ -240,6 +240,12 @@ def test_stage_slots_match_pinned_manifest(spark, sf_dir, monkeypatch):
         ) and getattr(mod, "stage", None) is orig:
             monkeypatch.setattr(mod, "stage", recording_stage)
 
+    # a warm cluster-fixpoint memo (populated by an earlier test in
+    # this session) would short-circuit q_dedup_clusters before its
+    # stage() call — reset so every slot's producer really runs
+    from mapreduceapp_spark.operators import dedup
+
+    dedup._CLUSTERS_MEMO.clear()
     for q in _STAGE_CONSUMERS:
         get_query(q).builder(spark, sf_dir).collect()
 
