@@ -256,7 +256,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # referenced multiple times, and inside ``WITH RECURSIVE`` (the
 # clusters oracle) a non-materialized CTE is re-evaluated every
 # iteration of the recursion (measured: 71 s -> 0.7 s).
-ORACLE_JACCARD_PAIR_CTES = f"""
+ORACLE_SHINGLE_CTES = f"""
         shl AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct(list_transform(
@@ -271,7 +271,10 @@ ORACLE_JACCARD_PAIR_CTES = f"""
             FROM sh_post a JOIN sh_post b USING (s)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
-        ),
+        )
+"""
+
+ORACLE_JACCARD_PAIR_CTES = f"""{ORACLE_SHINGLE_CTES},
         jpairs AS MATERIALIZED (
             SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
             FROM sh_co JOIN sh_cnt ca ON ca.doc_id = sh_co.doc_a
@@ -336,6 +339,67 @@ def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(spark, sf_dir)
+
+
+# Containment: inter / |smaller set|. A short document fully quoted
+# inside a long one has containment ≈ 1 but Jaccard ≈ |short|/|long|
+# — the web-corpus subset-duplication case symmetric Jaccard dedup
+# systematically misses.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "q_containment",
+    oracle=f"""
+        WITH {ORACLE_SHINGLE_CTES}
+        SELECT doc_a, doc_b, inter,
+               least(ca.n, cb.n) AS n_small,
+               round(inter::DOUBLE / least(ca.n, cb.n), 4) AS cont
+        FROM sh_co JOIN sh_cnt ca ON ca.doc_id = sh_co.doc_a
+                   JOIN sh_cnt cb ON cb.doc_id = sh_co.doc_b
+        WHERE inter::DOUBLE / least(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc="Asymmetric near-dup: shingle containment ≥ 0.9 of the smaller "
+    "document in the larger (C2 family — subset duplication).",
+    # bench=False for the same reason as q_ngram_jaccard: the exact
+    # posting-list self-join is the quarantined sf0.01 ground truth.
+    # The scale path for containment is LSH over the SMALLER side's
+    # signature with exact verification — the candidate generator
+    # must band the small set alone (symmetric MinHash-Jaccard
+    # banding misses low-Jaccard/high-containment pairs by design);
+    # out of scope until the corpus has real subset duplicates.
+    bench=False,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs via the same inverted-index self-join as
+    :func:`_exact_jaccard_pairs` — explode distinct shingles, equi
+    self-join on shingle, count co-occurrences — with the asymmetric
+    ``inter / min(|A|, |B|)`` threshold instead of Jaccard. Integer
+    math throughout; one double division at the cut, so the result is
+    engine-stable and hash-checked.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    co = (
+        posting.alias("a")
+        .join(posting.alias("b"), ["s"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        co.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("n_small", F.least("na", "nb"))
+        .withColumn("cont", F.col("inter").cast("double") / F.col("n_small"))
+        .filter(F.col("cont") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "inter", "n_small", F.round("cont", 4).alias("cont"))
+    )
 
 
 def _minhash_band_entries(sh: DataFrame) -> DataFrame:

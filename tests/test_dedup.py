@@ -211,3 +211,27 @@ def test_dedup_clusters_memoized_per_session(spark, sf_dir):
 
     b = get_query("q_dedup_clusters").builder
     assert b(spark, sf_dir) is b(spark, sf_dir)
+
+
+def test_containment_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_containment", sf_dir)
+
+
+def test_containment_superset_of_jaccard(spark, sf_dir):
+    """cont = inter/min ≥ inter/union = jaccard, so every Jaccard-0.9+
+    pair must also appear in the containment output (thresholds 0.9
+    vs 0.8 differ — compare on the common pairs)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["cont"]
+        for r in get_query("q_containment").builder(spark, sf_dir).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in get_query("q_ngram_jaccard").builder(spark, sf_dir).collect()
+    }
+    assert cont
+    for pair, j in jac.items():
+        if j >= 0.9:
+            assert pair in cont and cont[pair] >= j
