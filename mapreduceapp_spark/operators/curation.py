@@ -388,3 +388,81 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").alias("n_chunk_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+# Rank-based trim cuts (round 6). Quantile INTERPOLATION is an
+# engine-specific float recipe ((1-d)a + db vs a + d(b-a) differ in
+# the last ulp), so the cuts are defined by exact integer ranks
+# instead: the value at ordered row ceil(q·n) — identical arithmetic
+# on any engine, hash-stable by construction.
+TRIM_LO_Q = 0.05
+TRIM_HI_Q = 0.95
+
+
+@register(
+    "q_length_trim",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS c
+            FROM documents
+        ),
+        cuts AS (
+            SELECT lang,
+                   min(CASE WHEN rn = greatest(1, ceil({TRIM_LO_Q} * c))
+                            THEN n_chars END) AS lo_cut,
+                   min(CASE WHEN rn = ceil({TRIM_HI_Q} * c)
+                            THEN n_chars END) AS hi_cut
+            FROM ranked GROUP BY lang
+        )
+        SELECT r.doc_id, r.lang, r.n_chars, c.lo_cut, c.hi_cut
+        FROM ranked r JOIN cuts c ON c.lang = r.lang
+        WHERE r.n_chars >= c.lo_cut AND r.n_chars <= c.hi_cut
+    """,
+    doc="Per-language length-outlier trim at rank-based p05/p95 cuts "
+    "(curation: drop truncated fragments and runaway concatenations).",
+)
+def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard first-pass curation filter: within each language,
+    drop documents below the 5th or above the 95th length percentile
+    (truncation artifacts and runaway concatenations respectively).
+
+    Two-pass global-statistic shape, built for scale:
+
+    1. rank documents per language (one shuffle keyed by lang; the
+       window sort is the same shuffle's sort order) and pick the
+       VALUES at ranks ⌈q·n⌉ — a per-lang aggregate, #langs rows out;
+    2. broadcast the tiny cut table back and filter on value.
+
+    The corpus streams twice but shuffles once; the second pass is a
+    broadcast-join filter that pushes nothing but a comparison into
+    the scan. Cuts are exact order statistics (no interpolation), so
+    the filter is bit-stable across engines — see TRIM_LO_Q note.
+    """
+    d = tables(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.ceil(TRIM_LO_Q * F.col("c"))),
+                F.col("n_chars"),
+            )
+        ).alias("lo_cut"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(TRIM_HI_Q * F.col("c")), F.col("n_chars"))
+        ).alias("hi_cut"),
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "lang")
+        .filter(
+            (F.col("n_chars") >= F.col("lo_cut"))
+            & (F.col("n_chars") <= F.col("hi_cut"))
+        )
+        .select("doc_id", "lang", "n_chars", "lo_cut", "hi_cut")
+    )

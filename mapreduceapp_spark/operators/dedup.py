@@ -1004,3 +1004,50 @@ def q_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("example_doc"),
     )
+
+
+@register(
+    "q_dup_rate_by_source",
+    oracle=f"""
+        WITH {ORACLE_JACCARD_PAIR_CTES}
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM jpairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY 1, 2
+    """,
+    doc="Near-dup pair counts per unordered source pair — which corpus "
+    "sources duplicate each other (C2 diagnostic for mixture design).",
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do the duplicates come from? Counts near-dup pairs per
+    unordered (source, source) combination — the diagnostic that
+    tells a mixture designer whether duplication is within one
+    crawl/source (re-crawls, mirrors) or across sources (syndication)
+    before choosing per-source dedup vs global dedup.
+
+    Composes the SAME staged LSH pair slot as the other pair
+    consumers (detection runs once per process); the join back to
+    ``documents`` for the source column is #pairs-sized against an
+    N-row side keyed by doc_id, then a tiny group-count. Sources are
+    canonicalized with least/greatest so (a,b) and (b,a) land in one
+    bucket on any engine.
+    """
+    pairs = stage(
+        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+        "minhash_pairs",
+    )
+    d = tables(spark, sf_dir).documents
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

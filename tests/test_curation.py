@@ -186,3 +186,31 @@ def test_chunk_documents_is_map_only(spark, sf_dir):
         .toString()
     )
     assert len(re.findall(r"Exchange (hash|range)", plan)) == 0
+
+
+def test_length_trim_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_length_trim", sf_dir)
+
+
+def test_length_trim_cuts_are_order_statistics(spark, sf_dir):
+    """Every kept doc sits inside its language's [p05, p95] rank cuts,
+    and the cuts are actual observed values of that language."""
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+
+    rows = get_query("q_length_trim").builder(spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in tables(spark, sf_dir).documents.select("lang", "n_chars").collect():
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    for r in rows:
+        vals = by_lang[r["lang"]]
+        assert r["lo_cut"] in vals and r["hi_cut"] in vals
+        assert r["lo_cut"] <= r["n_chars"] <= r["hi_cut"]
+    # something must actually be trimmed per language with >= 20 docs
+    kept = {}
+    for r in rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    for lang, vals in by_lang.items():
+        if len(vals) >= 20:
+            assert kept.get(lang, 0) < len(vals)

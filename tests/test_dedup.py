@@ -235,3 +235,17 @@ def test_containment_superset_of_jaccard(spark, sf_dir):
     for pair, j in jac.items():
         if j >= 0.9:
             assert pair in cont and cont[pair] >= j
+
+
+def test_dup_rate_by_source_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_dup_rate_by_source", sf_dir)
+
+
+def test_dup_rate_by_source_counts_all_pairs(spark, sf_dir):
+    """The per-source-pair counts must tile the pair set exactly."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    per_src = get_query("q_dup_rate_by_source").builder(spark, sf_dir).collect()
+    n_pairs = get_query("q_minhash_neardup").builder(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in per_src) == n_pairs
+    assert all(r["source_a"] <= r["source_b"] for r in per_src)
