@@ -100,6 +100,22 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_probe() -> float:
+    """Single-core speed probe (fixed sha256 chain): seconds for a
+    constant workload, recorded alongside the timings so cross-round
+    comparisons can be normalized for host speed. Round 6 measured
+    unchanged queries swinging 2-7x between runs on a shared host —
+    without this number in the record, that reads as a code
+    regression."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"probe"
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def _reset_iterative_memos() -> None:
     """Clear per-process result memos of iterative queries before a
     timed run, so the bench keeps measuring each query's own
@@ -224,6 +240,7 @@ def main() -> None:
             recorded_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             tag=os.environ.get("SPARK_GRAFT_BENCH_TAG", "builder-local"),
             cpus=cpus,
+            cpu_probe_sec=_cpu_probe(),
         )
         _dump_full_record(full)
     print(json.dumps(out))
