@@ -4,14 +4,21 @@ The reference's model covers exact dedup directly (K2 = whole row,
 reduce emits once — the B4 distinct construction); near-dup detection
 is a north-star addition for the LLM-data-pipeline surface.
 
-Four operators, smallest to largest hammer:
+Detection operators, smallest to largest hammer:
 - ``q_exact_dedup``     — content-hash groupBy (exact duplicates).
 - ``q_ngram_jaccard``   — exact shingle-Jaccard pairs via an
                           inverted-index self-join (no cross join).
+- ``q_containment``     — asymmetric shingle containment (subset
+                          duplication symmetric Jaccard misses).
 - ``q_minhash_neardup`` — MinHash signatures + banded LSH candidate
                           generation, then exact-Jaccard verification.
 - ``q_simhash_neardup`` — 60-bit SimHash + pigeonhole band join for
                           hamming-distance ≤ 3 pairs.
+
+Consumers over the shared staged pair slot: ``q_dedup_clusters``
+(connected components), ``q_dedup_survivors`` (kept corpus),
+``q_dup_degree`` (degree distribution), ``q_dup_rate_by_source``
+(mixture diagnostic).
 
 Scale posture (100 TB):
 - exact dedup shuffles (hash, doc) — one shuffle, key space = distinct

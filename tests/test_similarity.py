@@ -305,3 +305,35 @@ def test_ivf_recall_bounded_and_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hit"] <= KNN_K
         assert r["recall_at_k"] == round(r["n_hit"] / KNN_K, 4)
+
+
+def test_gemm_cosine_ties_break_to_lower_centroid_id(spark):
+    """Colinear centroids give bit-equal cosines; both the assign and
+    the top-m probe kernels must break the tie to the LOWER cent_id —
+    the rule both SQL oracles encode (ORDER BY cos DESC, cent_id)."""
+    from mapreduceapp_spark.operators.clustering import _gemm_assign
+    from mapreduceapp_spark.operators.similarity import _gemm_probe_topm
+
+    vecs = spark.createDataFrame(
+        [(1, [1, 0, 0], 1)], "vec_id bigint, x array<bigint>, sq bigint"
+    )
+    # cid 5 and cid 3 are colinear with the query (cos exactly 1.0);
+    # cid 9 is orthogonal (cos 0.0)
+    cents = spark.createDataFrame(
+        [(5, [1, 0, 0], 1), (3, [2, 0, 0], 4), (9, [0, 1, 0], 1)],
+        "cid bigint, cx array<bigint>, csq bigint",
+    )
+    out = _gemm_assign(vecs, cents, "cosine").collect()
+    assert [(r["vec_id"], r["cid"]) for r in out] == [(1, 3)]
+
+    probes = _gemm_probe_topm(
+        vecs.withColumnRenamed("x", "qv"),
+        cents.select(
+            cents.cid.alias("cent_id"),
+            cents.cx.alias("c_qv"),
+            cents.csq.alias("c_sq"),
+        ),
+        2,
+    ).collect()
+    got = [(r["query_id"], r["probe"]) for r in sorted(probes, key=lambda r: r["probe"])]
+    assert got == [(1, 3), (1, 5)]
