@@ -179,7 +179,12 @@ def main() -> None:
     out = {"sf": f"{n_replicas}x sf0.1 synthetic", "queries": timings}
     out["candidates"] = candidate_growth(spark)
 
-    from bench import next_round  # shared round-derivation (ADVICE r5)
+    # shared round-derivation + host-speed probe (ADVICE r5 / the r6
+    # variance postmortem: unchanged queries swung 2-7x between runs
+    # on the shared host — the probe makes records normalizable)
+    from bench import _cpu_probe, next_round
+
+    out["cpu_probe_sec"] = _cpu_probe()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(
