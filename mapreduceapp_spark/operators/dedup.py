@@ -427,7 +427,9 @@ def _minhash_band_entries(sh: DataFrame) -> DataFrame:
 
 
 def minhash_candidates(sh: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
-    """Distinct (doc_a, doc_b) LSH candidate pairs with the bucket cap.
+    """(doc_a, doc_b) LSH candidate pairs with the bucket cap — NOT
+    deduplicated: a pair colliding in several bands appears once per
+    colliding band.
 
     Bucket membership via groupBy + in-bucket pair expansion beats a
     self-join on the same key (one shuffle of N·bands rows instead of
@@ -435,6 +437,15 @@ def minhash_candidates(sh: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     Buckets above ``cap`` members are dropped before the collect (see
     :func:`_cap_band_buckets`), so per-key pair fan-out is ≤ cap²/2
     no matter how degenerate the corpus.
+
+    Deduplication is deliberately the CONSUMER's job, placed after
+    its cheapest per-pair filter: a ``distinct`` here shuffles the
+    full candidate volume (the r6 sf1 rehearsal measured ~40 s for a
+    10M-pair distinct — the single largest slice of the query), while
+    q_minhash_neardup's signature prefilter cuts those 10M rows to
+    thousands with a map-side filter first, making the later distinct
+    ~free. Multi-band duplication is small anyway (measured 4% on the
+    rehearsal corpus), so filtering duplicates costs nothing extra.
     """
     band_entries = _cap_band_buckets(
         _minhash_band_entries(sh), ["band_key"], cap
@@ -454,7 +465,6 @@ def minhash_candidates(sh: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
         .filter(F.size("ds") > 1)
         .select(F.explode(in_bucket_pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
 
 
@@ -538,7 +548,15 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("sig_agree") >= MINHASH_PERMS // 2)
+        # distinct HERE, after the prefilter: candidates arrive once
+        # per colliding band (see minhash_candidates), and deduping
+        # the full candidate volume first was the query's single
+        # largest cost at rehearsal scale (~40 s for a 10M-pair
+        # shuffle). Post-prefilter the survivor set is thousands of
+        # rows, so the same distinct is ~free — and verification must
+        # not double-verify or double-emit a pair.
         .select("doc_a", "doc_b")
+        .distinct()
     )
     # verification reads the shingle sets from the SAME staged table
     # (pre-staging this was a separate plain-shingle derivation so the
@@ -903,6 +921,10 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        # distinct after the hamming cut: the full candidate stream
+        # (3.7M rows at rehearsal scale even capped) never shuffles —
+        # only the hamming-≤3 survivors do (see minhash_candidates)
+        .distinct()
     )
 
 
@@ -927,12 +949,17 @@ def _simhash_band_entries(fp: DataFrame) -> DataFrame:
 
 
 def simhash_candidates(fp: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
-    """Distinct (doc_a, doc_b, sh_a, sh_b) pigeonhole candidates with
-    the bucket cap: pairs agreeing on some (band_id, band_bits) whose
-    bucket holds ≤ ``cap`` docs. The r5 sf1 rehearsal measured THIS
+    """(doc_a, doc_b, sh_a, sh_b) pigeonhole candidates with the
+    bucket cap: pairs agreeing on some (band_id, band_bits) whose
+    bucket holds ≤ ``cap`` docs — NOT deduplicated (a pair agreeing
+    on several bands appears once per band; near-identical
+    fingerprints agree on all 4). The r5 sf1 rehearsal measured THIS
     generator's uncapped candidate volume at 1250x for 10x rows
     (half-salted replicas keep fingerprints within banding distance)
-    — the cap bounds any single join key's fan-out at cap²/2."""
+    — the cap bounds any single join key's fan-out at cap²/2.
+    Deduplication belongs AFTER the consumer's hamming filter, where
+    the survivor set is tiny, not on the full candidate stream (the
+    minhash_candidates note has the measured cost)."""
     bands = _cap_band_buckets(
         _simhash_band_entries(fp), ["band_id", "band_bits"], cap
     )
@@ -946,7 +973,6 @@ def simhash_candidates(fp: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
     )
 
 

@@ -161,8 +161,14 @@ def test_minhash_bucket_cap_bounds_dense_buckets(spark):
     assert capped == {
         (100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)
     }
-    # with the cap lifted the dense bucket's 435 pairs come back
-    assert minhash_candidates(sh, cap=10_000).count() == 30 * 29 // 2 + 6
+    # with the cap lifted the dense bucket's 435 pairs come back —
+    # once per band (identical signatures collide in all 16; the
+    # generator defers dedup to the consumer's post-prefilter
+    # distinct, see minhash_candidates)
+    assert minhash_candidates(sh, cap=10_000).count() == 16 * (30 * 29 // 2 + 6)
+    assert (
+        minhash_candidates(sh, cap=10_000).distinct().count() == 30 * 29 // 2 + 6
+    )
 
 
 def test_simhash_bucket_cap_bounds_dense_buckets(spark):
@@ -182,7 +188,11 @@ def test_simhash_bucket_cap_bounds_dense_buckets(spark):
     assert capped == {
         (100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)
     }
-    assert simhash_candidates(fp, cap=10_000).count() == 30 * 29 // 2 + 6
+    # once per agreeing band (identical fingerprints agree on all 4)
+    assert simhash_candidates(fp, cap=10_000).count() == 4 * (30 * 29 // 2 + 6)
+    assert (
+        simhash_candidates(fp, cap=10_000).distinct().count() == 30 * 29 // 2 + 6
+    )
 
 
 def test_bucket_cap_never_binds_at_oracle_scale(spark):
