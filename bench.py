@@ -166,11 +166,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    probes: dict[str, float] = {}
     stage_writes_timed: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, q in queries.items():
         if names and name not in names:
             continue
+        # per-query host-speed probe: a shared host's throttle windows
+        # can inflate one query 10x mid-run (observed r5/r6); the
+        # probe column next to each timing settles that post-hoc
+        probes[name] = _cpu_probe()
         # Per-query isolation: one broken query must never erase the
         # round's whole perf record (round 3 lost its bench to a
         # single AnalysisException). Errors are recorded in the JSON
@@ -234,6 +239,7 @@ def main() -> None:
         full = dict(out)
         full.update(
             runs=runs,
+            cpu_probes=probes,
             stage_writes_timed=stage_writes_timed,
             prewarm_sec=prewarm_sec,
             prewarm_stage_writes=prewarm_writes,

@@ -163,8 +163,35 @@ def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     build_sf1(spark, n_replicas)
 
+    # shared round-derivation + host-speed probes (ADVICE r5 / the r6
+    # variance postmortem: unchanged queries swung 2-7x between runs
+    # on the shared host, and a single end-of-run probe missed a
+    # mid-run throttle window entirely — so the probe runs PER QUERY,
+    # annotating each wall time with the host speed of its moment)
+    from bench import _cpu_probe, next_round
+
+    import threading
+
     timings: dict[str, float | str] = {}
+    probes: dict[str, dict] = {}
     for name in names:
+        # probe DURING the query, not just before it: a point sample
+        # misses mid-query throttle windows (observed: a 32 s
+        # q_contamination right after a 0.10 s calm probe). A daemon
+        # thread re-runs the fixed workload once a second while the
+        # query executes; min≈calm speed, max≈worst throttle, so
+        # wall_time x (min_probe / mean_probe) estimates calm-host
+        # time. One busy core of 32 skews Spark ≤3%.
+        samples: list[float] = []
+        stop = threading.Event()
+
+        def sampler():
+            while not stop.is_set():
+                samples.append(_cpu_probe())
+                stop.wait(1.0)
+
+        th = threading.Thread(target=sampler, daemon=True)
+        th.start()
         try:
             q = get_query(name)
             t0 = time.perf_counter()
@@ -174,16 +201,22 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # noqa: BLE001 — harness boundary
             timings[name] = f"{type(e).__name__}: {e}"[:200]
-        print(f"{name}: {timings[name]}", file=sys.stderr)
+        finally:
+            stop.set()
+            th.join(timeout=2)
+        probes[name] = {
+            "n": len(samples),
+            "min": round(min(samples), 4) if samples else None,
+            "mean": round(sum(samples) / len(samples), 4) if samples else None,
+            "max": round(max(samples), 4) if samples else None,
+        }
+        print(
+            f"{name}: {timings[name]} (probe {probes[name]})", file=sys.stderr
+        )
 
     out = {"sf": f"{n_replicas}x sf0.1 synthetic", "queries": timings}
     out["candidates"] = candidate_growth(spark)
-
-    # shared round-derivation + host-speed probe (ADVICE r5 / the r6
-    # variance postmortem: unchanged queries swung 2-7x between runs
-    # on the shared host — the probe makes records normalizable)
-    from bench import _cpu_probe, next_round
-
+    out["cpu_probes"] = probes  # per-query sampled {n,min,mean,max}
     out["cpu_probe_sec"] = _cpu_probe()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
