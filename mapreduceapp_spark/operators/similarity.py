@@ -1072,3 +1072,56 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
     )
+
+
+@register(
+    "q_lsh_recall",
+    oracle=f"""
+        WITH exact AS ({_ORACLE_KNN}),
+        approx AS ({_ann_lsh_oracle()}),
+        hits AS (
+            SELECT e.query_id, count(a.neighbor_id) AS n_hit
+            FROM exact e LEFT JOIN approx a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT query_id,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / {KNN_K}.0, 4) AS recall_at_k
+        FROM hits
+    """,
+    doc="ANN quality evaluation: per-query recall@k of the multi-probe "
+    "LSH search against the exact kNN ground truth (C3 consumer).",
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_ivf_recall twin for the LSH path: per query, how many of
+    the true top-k the multi-probe sign-LSH search returned. Run
+    together the two recall queries answer the index-selection
+    question directly — on this synthetic table (nearest neighbors at
+    ~60°, outside LSH's strong regime, per ann_topk's docstring) IVF
+    retains recall where LSH cannot, and this pair of queries is the
+    oracle-checked measurement of exactly that claim.
+
+    Same plan shape as q_ivf_recall: both sides are registered plans,
+    the comparison is a k·Q-row left join + count.
+    """
+    exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ann_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_neighbor_id").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    )

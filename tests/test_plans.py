@@ -192,6 +192,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "q_domain_mix",      # token budget broadcast
         "q_knn_classify",    # consumes the q_knn_cosine plan (guard join)
         "q_ivf_recall",      # consumes q_knn_cosine + q_ann_ivf plans
+        "q_lsh_recall",      # consumes q_knn_cosine + q_ann_lsh plans
     }
     for name, builder in all_queries().items():
         if name in skip:

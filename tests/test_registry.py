@@ -77,7 +77,7 @@ def test_bench_subset_is_registered():
 # brand-new by design); every other registered name MUST appear in the
 # rotation, or a typo'd rotation entry would silently promote the real
 # query to "brand new" while the typo'd name errors nowhere.
-_NEW_SINCE_ROTATION: set[str] = {"q_knn_classify", "q_ivf_recall", "q_containment", "q_length_trim", "q_dup_rate_by_source"}
+_NEW_SINCE_ROTATION: set[str] = {"q_knn_classify", "q_ivf_recall", "q_lsh_recall", "q_containment", "q_length_trim", "q_dup_rate_by_source"}
 
 
 def test_check_rotation_covers_registry_exactly():

@@ -337,3 +337,20 @@ def test_gemm_cosine_ties_break_to_lower_centroid_id(spark):
     ).collect()
     got = [(r["query_id"], r["probe"]) for r in sorted(probes, key=lambda r: r["probe"])]
     assert got == [(1, 3), (1, 5)]
+
+
+def test_lsh_recall_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_lsh_recall", sf_dir)
+
+
+def test_recall_pair_tells_the_index_story(spark, sf_dir):
+    """On this corpus (far nearest neighbors) IVF must dominate LSH
+    in mean recall — the documented regime claim, now measured by the
+    two oracle-checked evaluation queries."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    def mean_recall(q):
+        rows = get_query(q).builder(spark, sf_dir).collect()
+        return sum(r["recall_at_k"] for r in rows) / len(rows)
+
+    assert mean_recall("q_ivf_recall") > mean_recall("q_lsh_recall")
