@@ -46,6 +46,7 @@ from mapreduceapp_spark.functions.vectors import (
     sq_norm,
 )
 from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.plans.staging import stage
 from mapreduceapp_spark.sources import tables
 from mapreduceapp_spark.sources.parquet import table_row_count
 
@@ -984,7 +985,10 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MapReduceClient.h:61-64) — the vote is a grouped fold over the
     neighbor relation.
     """
-    knn = q_knn_cosine(spark, sf_dir)
+    # staged: the exact kNN feeds three consumers (classify + both
+    # recall evaluations) — one search per process, shared slot (the
+    # minhash_pairs convention); q_knn_cosine itself stays a pure plan
+    knn = stage(q_knn_cosine(spark, sf_dir), "knn_topk")
     e = tables(spark, sf_dir).embeddings
     nbr_lab = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("label")
@@ -1052,7 +1056,9 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is a property of the INDEX layout, not the execution
     strategy.
     """
-    exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = stage(q_knn_cosine(spark, sf_dir), "knn_topk").select(
+        "query_id", "neighbor_id"
+    )
     approx = q_ann_ivf(spark, sf_dir).select(
         F.col("query_id").alias("a_query_id"),
         F.col("neighbor_id").alias("a_neighbor_id"),
@@ -1105,7 +1111,9 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan shape as q_ivf_recall: both sides are registered plans,
     the comparison is a k·Q-row left join + count.
     """
-    exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = stage(q_knn_cosine(spark, sf_dir), "knn_topk").select(
+        "query_id", "neighbor_id"
+    )
     approx = q_ann_lsh(spark, sf_dir).select(
         F.col("query_id").alias("a_query_id"),
         F.col("neighbor_id").alias("a_neighbor_id"),

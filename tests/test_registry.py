@@ -30,7 +30,9 @@ def test_every_query_builds_lazily(spark, sf_dir):
     # count, but above the lazy-builder cap
     staged = {"q_minhash_neardup", "q_bm25", "q_semantic_prune",
               "q_curation_pipeline", "q_kmeans", "q_contamination",
-              "q_cluster_purity", "q_dup_degree"}
+              "q_cluster_purity", "q_dup_degree",
+              # share the exact-kNN result via the knn_topk slot
+              "q_knn_classify", "q_ivf_recall", "q_lsh_recall"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():

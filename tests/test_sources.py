@@ -199,6 +199,12 @@ STAGE_SCHEMA_MANIFEST = {
         "sig": "array<bigint>",
     },
     "simhash_fp": {"doc_id": "bigint", "simhash": "bigint"},
+    "knn_topk": {
+        "query_id": "bigint",
+        "neighbor_id": "bigint",
+        "rnk": "int",
+        "cos": "double",
+    },
 }
 
 # one consumer query per slot — running these drives every stage()
@@ -210,6 +216,7 @@ _STAGE_CONSUMERS = (
     "q_minhash_neardup",
     "q_dedup_clusters",
     "q_simhash_neardup",
+    "q_knn_classify",
 )
 
 
