@@ -202,3 +202,50 @@ def test_word_grams_strategies_agree(spark, words, n):
         " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
     ] if len(words) >= n else []
     assert got == want
+
+
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # doc_id
+            st.integers(min_value=0, max_value=5),   # band_key
+        ),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    ),
+    cap=st.integers(min_value=1, max_value=10),
+)
+@SETTINGS
+def test_bucket_cap_law(spark, entries, cap):
+    """_cap_band_buckets ≡ 'drop every row of any key whose group is
+    larger than cap' — the spec, set-checked against a Python fold."""
+    from mapreduceapp_spark.operators.dedup import _cap_band_buckets
+
+    df = spark.createDataFrame(entries, "doc_id bigint, band_key bigint")
+    got = {
+        (r["doc_id"], r["band_key"])
+        for r in _cap_band_buckets(df, ["band_key"], cap).collect()
+    }
+    sizes = Counter(k for _, k in entries)
+    want = {(d, k) for d, k in entries if sizes[k] <= cap}
+    assert got == want
+
+
+@given(
+    grays=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=6
+    )
+)
+@SETTINGS
+def test_jpeg_roundtrip_law(spark, grays):
+    """decode(encode(blocks)) recovers exact dimensions and the exact
+    image mean for any flat-block grayscale JPEG — the DC-only mean
+    is the true mean because AC basis functions are zero-mean."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import _jpeg_bytes
+
+    out = decode_media(_jpeg_bytes(grays), strict=True)
+    assert out["decoder"] == "jpeg"
+    assert (out["width"], out["height"]) == (8 * len(grays), 8)
+    assert out["mean_byte"] == sum(grays) / len(grays)
