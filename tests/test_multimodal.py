@@ -185,12 +185,16 @@ def test_media_pipeline_mixes_real_and_fake(spark):
     assert [rows[i]["decoder"] for i in (1, 2, 3)] == ["png", "wav", "fake"]
 
 
-def _jpeg_bytes(block_grays):
+def _jpeg_bytes(block_grays, ac_events=None):
     """Minimal baseline-JPEG encoder for tests: grayscale, one row of
-    flat 8×8 blocks (each block a single gray level), q0=8 so the
-    quantized DC equals gray−128 exactly and the decoded mean is
-    bit-exact. Hand-rolled canonical Huffman tables: DC categories
-    0–11 at length 4, AC holds only EOB."""
+    8×8 blocks whose DC is the gray level (q0=8 ⇒ quantized DC equals
+    gray−128 exactly), optionally with AC coefficients per block
+    (``ac_events[i]`` = list of (run, size, value_bits) before EOB) —
+    AC basis functions are zero-mean, so the exact image mean is
+    unchanged by any AC content while the decoder's run-length skip
+    path gets genuinely exercised. Canonical Huffman tables: DC
+    categories 0–11 at length 4; AC holds EOB (len 2) plus 0x11 and
+    ZRL 0xF0 (len 3)."""
     import struct
 
     def seg(marker, body):
@@ -201,13 +205,14 @@ def _jpeg_bytes(block_grays):
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
     dc_counts = [0, 0, 0, 12] + [0] * 12  # 12 symbols, all length 4
     dht_dc = seg(0xC4, bytes([0x00] + dc_counts + list(range(12))))
-    ac_counts = [0, 1] + [0] * 14  # EOB at length 2
-    dht_ac = seg(0xC4, bytes([0x10] + ac_counts + [0x00]))
+    ac_counts = [0, 1, 2] + [0] * 13  # EOB at len 2; 0x11, 0xF0 at len 3
+    dht_ac = seg(0xC4, bytes([0x10] + ac_counts + [0x00, 0x11, 0xF0]))
+    ac_codes = {0x00: "00", 0x11: "010", 0xF0: "011"}
     sos_hdr = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
 
     bits = []
     pred = 0
-    for g in block_grays:
+    for i, g in enumerate(block_grays):
         diff = (g - 128) - pred
         pred = g - 128
         s = max(diff, -diff).bit_length()
@@ -215,6 +220,11 @@ def _jpeg_bytes(block_grays):
         if s:
             v = diff if diff > 0 else diff + (1 << s) - 1
             bits += [int(b) for b in format(v, f"0{s}b")]
+        for run, size, value_bits in (ac_events or {}).get(i, []):
+            sym = (run << 4) | size
+            bits += [int(b) for b in ac_codes[sym]]
+            if size:
+                bits += [int(b) for b in format(value_bits, f"0{size}b")]
         bits += [0, 0]  # EOB
     bits += [1] * (-len(bits) % 8)
     scan = bytearray()
@@ -252,6 +262,24 @@ def test_real_jpeg_decode_branch():
     prog = _jpeg_bytes([100]).replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(Exception):
         decode_media(prog, strict=True)
+
+
+def test_jpeg_ac_coefficients_stay_in_sync():
+    """Blocks WITH AC coefficients (run-length skips, a ZRL) must
+    decode to the same exact dimensions and DC-derived mean — if the
+    AC skip path mis-advanced the bitstream, the second block's DC
+    would desync and the decode would fail or produce garbage."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+
+    events = {
+        0: [(1, 1, 1), (15, 0, 0), (1, 1, 0)],  # skip+coeff, ZRL, skip+coeff
+        1: [(1, 1, 1)],
+    }
+    out = decode_media(_jpeg_bytes([60, 180], ac_events=events), strict=True)
+    assert out == {
+        "width": 16, "height": 8, "n_frames": 1,
+        "mean_byte": 120.0, "decoder": "jpeg",
+    }
 
 
 def test_frame_sample_oracle(spark, sf_dir):
