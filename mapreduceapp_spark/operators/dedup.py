@@ -30,6 +30,15 @@ Scale posture (100 TB):
   is bounded by design. A production exact-Jaccard would cap shingle
   document frequency first; at bench scale the corpus is bounded, so
   the exact join is the oracle-checkable ground truth.
+- two further defenses, both measured on the adversarially dense
+  synthetic corpus (31-token vocabulary — worse than web text):
+  the per-bucket cap (:data:`LSH_BUCKET_CAP`) keeps SimHash's kept
+  candidate pairs ~LINEAR in N across 1x/10x/20x scale-ups (281k →
+  3.68M → 7.46M vs 281k → 351M → 696M ≈ N² uncapped) and bends
+  MinHash from ~N^1.7 to ~N^1.55; and candidate deduplication is
+  deferred until after each consumer's cheapest per-pair filter, so
+  the full candidate stream never pays a distinct shuffle
+  (NOTES_r06.md has the numbers).
 """
 
 from __future__ import annotations
