@@ -105,42 +105,41 @@ def _load_all() -> None:
 # registry); any newly registered name is by definition never-checked
 # and sorts to the very front automatically.
 _CHECK_ROTATION = [
-    # q_ann_lsh leads: its deterministic sign-LSH SQL oracle (this
-    # round's addition, operators/similarity.py) has never been
-    # driver-confirmed — same promotion rule q_simhash_neardup got in
-    # round 5 when ITS oracle was new.
-    "q_ann_lsh",
-    # no round-5 driver row (last checked round 4) — rotate in first so
-    # cumulative r05∪r06 covers all 92 (VERDICT r5 "Next round" #4).
-    "q_funnel", "q_fuzzy_match", "q_having", "q_histogram",
-    "q_inverted_index", "q_json_extract", "q_kmeans", "q_knn_cosine",
-    "q_lang_id", "q_late_data", "q_media_features", "q_media_metadata",
-    "q_minhash_neardup", "q_mr_charcount", "q_multimodal_cols",
-    "q_multiway_join", "q_ngram_counts", "q_ngram_jaccard", "q_outer_join",
-    "q_outlier_events", "q_pack_sequences", "q_percentiles", "q_pivot",
-    "q_progress", "q_range_join", "q_repetition_filter", "q_resample_fill",
-    "q_semantic_prune", "q_sliding_window", "q_sort_limit", "q_source_gini",
-    "q_stateful_dedup", "q_stratified_sample", "q_stream_join",
-    "q_text_stats", "q_token_count", "q_topk_pergroup", "q_tpch_q5",
-    "q_training_order", "q_vocab_stats", "q_window_leadlag",
-    "q_window_range_frame",
-    # confirmed in round 5 (CORRECTNESS_r05.json, alphabetical) —
+    # no round-6 driver row (last checked round 5, CORRECTNESS_r05.json)
+    # — all 48 rotate in first so cumulative r06∪r07 again covers the
+    # whole registry (VERDICT r6 "Next round" #6). Exactly fills the
+    # driver's 50-query window with 2 slots to spare.
+    "q_ann_ivf", "q_anti_join", "q_approx_distinct", "q_array_funcs",
+    "q_asof_join", "q_bm25", "q_broadcast_join", "q_charcount",
+    "q_chunk_documents", "q_cluster_purity", "q_cohort_retention",
+    "q_contamination", "q_corr_subquery", "q_count_distinct", "q_cube",
+    "q_curation_pipeline", "q_data_audit", "q_dedup_clusters",
+    "q_dedup_survivors", "q_distinct", "q_domain_mix", "q_dup_degree",
+    "q_embedding_neardup", "q_embedding_neardup_lsh", "q_equijoin",
+    "q_exact_dedup", "q_except", "q_filter_project", "q_fingerprint",
+    "q_frame_sample", "q_groupby_agg", "q_grouping_sets", "q_intersect",
+    "q_rollup", "q_sample_split", "q_scalar_funcs", "q_semi_join",
+    "q_session_window", "q_simhash_neardup", "q_text_normalize",
+    "q_tumbling_window", "q_udf_quality", "q_union_all", "q_unpivot",
+    "q_user_totals", "q_window_rank", "q_window_running", "q_wordcount",
+    # confirmed in round 6 (CORRECTNESS_r06.json, alphabetical) —
     # freshest-checked, so they fill the window's remaining slots and
     # the back of the rotation.
-    "q_abtest", "q_ann_ivf", "q_anti_join", "q_approx_distinct",
-    "q_array_funcs", "q_asof_join", "q_bm25", "q_broadcast_join",
-    "q_charcount", "q_chunk_documents", "q_cluster_purity",
-    "q_cohort_retention", "q_contamination", "q_corr_subquery",
-    "q_count_distinct", "q_cube", "q_curation_pipeline", "q_data_audit",
-    "q_dedup_clusters", "q_dedup_survivors", "q_distinct", "q_domain_mix",
-    "q_dup_degree", "q_embedding_neardup", "q_embedding_neardup_lsh",
-    "q_equijoin", "q_exact_dedup", "q_except", "q_filter_project",
-    "q_fingerprint", "q_frame_sample", "q_groupby_agg", "q_grouping_sets",
-    "q_intersect", "q_rollup", "q_sample_split", "q_scalar_funcs",
-    "q_semi_join", "q_session_window", "q_simhash_neardup",
-    "q_text_normalize", "q_tumbling_window", "q_udf_quality", "q_union_all",
-    "q_unpivot", "q_user_totals", "q_window_rank", "q_window_running",
-    "q_wordcount",
+    "q_abtest", "q_ann_lsh", "q_containment", "q_dup_rate_by_source",
+    "q_funnel", "q_fuzzy_match", "q_having", "q_histogram",
+    "q_inverted_index", "q_ivf_recall", "q_json_extract", "q_kmeans",
+    "q_knn_classify", "q_knn_cosine", "q_lang_id", "q_late_data",
+    "q_length_trim", "q_lsh_recall", "q_media_features",
+    "q_media_metadata", "q_minhash_neardup", "q_mr_charcount",
+    "q_multimodal_cols", "q_multiway_join", "q_ngram_counts",
+    "q_ngram_jaccard", "q_outer_join", "q_outlier_events",
+    "q_pack_sequences", "q_percentiles", "q_pivot", "q_progress",
+    "q_range_join", "q_repetition_filter", "q_resample_fill",
+    "q_semantic_prune", "q_sliding_window", "q_sort_limit",
+    "q_source_gini", "q_stateful_dedup", "q_stratified_sample",
+    "q_stream_join", "q_text_stats", "q_token_count", "q_topk_pergroup",
+    "q_tpch_q5", "q_training_order", "q_vocab_stats", "q_window_leadlag",
+    "q_window_range_frame",
 ]
 
 

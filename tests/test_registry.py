@@ -31,6 +31,10 @@ def test_every_query_builds_lazily(spark, sf_dir):
     staged = {"q_minhash_neardup", "q_bm25", "q_semantic_prune",
               "q_curation_pipeline", "q_kmeans", "q_contamination",
               "q_cluster_purity", "q_dup_degree",
+              # stages the minhash_pairs slot like q_dup_degree (ADVICE r6:
+              # without this entry the test only passed when test_dedup.py
+              # had already warmed the stage memo — order-dependent)
+              "q_dup_rate_by_source",
               # share the exact-kNN result via the knn_topk slot
               "q_knn_classify", "q_ivf_recall", "q_lsh_recall"}
 
@@ -79,7 +83,7 @@ def test_bench_subset_is_registered():
 # brand-new by design); every other registered name MUST appear in the
 # rotation, or a typo'd rotation entry would silently promote the real
 # query to "brand new" while the typo'd name errors nowhere.
-_NEW_SINCE_ROTATION: set[str] = {"q_knn_classify", "q_ivf_recall", "q_lsh_recall", "q_containment", "q_length_trim", "q_dup_rate_by_source"}
+_NEW_SINCE_ROTATION: set[str] = {"q_wordcount_salted"}
 
 
 def test_check_rotation_covers_registry_exactly():
@@ -99,39 +103,34 @@ def test_check_rotation_covers_registry_exactly():
 
 
 def test_stalest_queries_lead_the_window():
-    """Queries without a round-5 driver CORRECTNESS row must all sit
-    inside the first 50 names handed to the driver, so round 6's
-    window gives every one of them a fresh row and cumulative r05∪r06
-    covers the whole registry. q_ann_lsh must lead outright: its
-    deterministic sign-LSH SQL oracle (round 6) has never been
-    driver-run."""
+    """Queries without a round-6 driver CORRECTNESS row must all sit
+    inside the first 50 names handed to the driver, so round 7's
+    window gives every one of them a fresh row and cumulative r06∪r07
+    covers the whole registry."""
     order = list(all_queries())
     lead = set(order[:50])
-    must_lead = (set(order) - _DRIVER_CHECKED_R5) | {"q_ann_lsh"}
+    must_lead = set(order) - _DRIVER_CHECKED_R6
     assert must_lead <= lead, sorted(must_lead - lead)
-    # brand-new queries sort to the very front by design; the first
-    # rotation-listed entry must be q_ann_lsh
-    seasoned = [n for n in order if n not in _NEW_SINCE_ROTATION]
-    assert seasoned[0] == "q_ann_lsh"
 
 
-# names with a driver row in CORRECTNESS_r05.json (48 green + 2
+# names with a driver row in CORRECTNESS_r06.json (48 green + 2
 # rows-only by design)
-_DRIVER_CHECKED_R5 = {
-    "q_abtest", "q_ann_ivf", "q_ann_lsh", "q_anti_join",
-    "q_approx_distinct", "q_array_funcs", "q_asof_join", "q_bm25",
-    "q_broadcast_join", "q_charcount", "q_chunk_documents",
-    "q_cluster_purity", "q_cohort_retention", "q_contamination",
-    "q_corr_subquery", "q_count_distinct", "q_cube", "q_curation_pipeline",
-    "q_data_audit", "q_dedup_clusters", "q_dedup_survivors", "q_distinct",
-    "q_domain_mix", "q_dup_degree", "q_embedding_neardup",
-    "q_embedding_neardup_lsh", "q_equijoin", "q_exact_dedup", "q_except",
-    "q_filter_project", "q_fingerprint", "q_frame_sample", "q_groupby_agg",
-    "q_grouping_sets", "q_intersect", "q_rollup", "q_sample_split",
-    "q_scalar_funcs", "q_semi_join", "q_session_window",
-    "q_simhash_neardup", "q_text_normalize", "q_tumbling_window",
-    "q_udf_quality", "q_union_all", "q_unpivot", "q_user_totals",
-    "q_window_rank", "q_window_running", "q_wordcount",
+_DRIVER_CHECKED_R6 = {
+    "q_abtest", "q_ann_lsh", "q_containment", "q_dup_rate_by_source",
+    "q_funnel", "q_fuzzy_match", "q_having", "q_histogram",
+    "q_inverted_index", "q_ivf_recall", "q_json_extract", "q_kmeans",
+    "q_knn_classify", "q_knn_cosine", "q_lang_id", "q_late_data",
+    "q_length_trim", "q_lsh_recall", "q_media_features",
+    "q_media_metadata", "q_minhash_neardup", "q_mr_charcount",
+    "q_multimodal_cols", "q_multiway_join", "q_ngram_counts",
+    "q_ngram_jaccard", "q_outer_join", "q_outlier_events",
+    "q_pack_sequences", "q_percentiles", "q_pivot", "q_progress",
+    "q_range_join", "q_repetition_filter", "q_resample_fill",
+    "q_semantic_prune", "q_sliding_window", "q_sort_limit",
+    "q_source_gini", "q_stateful_dedup", "q_stratified_sample",
+    "q_stream_join", "q_text_stats", "q_token_count", "q_topk_pergroup",
+    "q_tpch_q5", "q_training_order", "q_vocab_stats", "q_window_leadlag",
+    "q_window_range_frame",
 }
 
 
