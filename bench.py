@@ -236,10 +236,26 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     if names is None:
+        # Probe-normalized calm-time estimate per query (VERDICT r6 ask
+        # #7 — the sf1 rehearsal's formula, wall x min_probe/probe): the
+        # fastest probe in the record approximates the host's calm
+        # speed, each query's own probe the host speed at its moment,
+        # so cross-round tables can compare calm_est directly instead
+        # of hand-normalizing against shared-host drift.
+        calm_est: dict[str, float] = {}
+        if probes:
+            min_probe = min(probes.values())
+            calm_est = {
+                n: round(t * min_probe / probes[n], 4)
+                for n, t in timings.items()
+                if probes.get(n)
+            }
         full = dict(out)
         full.update(
             runs=runs,
             cpu_probes=probes,
+            calm_est=calm_est,
+            calm_est_total=round(sum(calm_est.values()), 4),
             stage_writes_timed=stage_writes_timed,
             prewarm_sec=prewarm_sec,
             prewarm_stage_writes=prewarm_writes,

@@ -353,6 +353,33 @@ def _emb_lsh_rows(n_rows: int) -> int:
     )
 
 
+def _emb_lsh_oracle_rows() -> int:
+    """Signature depth the registered SQL oracle is GENERATED for —
+    derived at registration time from the actual row count of the
+    driver's correctness-check table (parquet footer read, no Spark
+    session), not hard-coded (VERDICT r6 ask #4: a hard-coded depth
+    was valid only ≤ 65k rows, so a driver scale change would have
+    read as a correctness failure). Falls back to the floor when the
+    testdata isn't present (e.g. a bare import on another machine);
+    the builder's stderr guard and the registration-parity test in
+    tests/test_similarity.py compare against THIS value."""
+    import os
+
+    from mapreduceapp_spark.sources.parquet import _footer_row_count
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    n = _footer_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    return _emb_lsh_rows(n) if n else EMB_LSH_MIN_ROWS
+
+
+# evaluated once at import: the oracle string registered below is the
+# one the driver runs, so the depth it was generated for is recorded
+# next to it for the guard + tests
+EMB_LSH_ORACLE_ROWS = _emb_lsh_oracle_rows()
+
+
 def _hyperplane_signs(
     bands: int, rows: int, dim: int = EMB_DIM, prefix: str = "emb-lsh"
 ):
@@ -378,9 +405,10 @@ def _emb_lsh_oracle(bands: int, rows: int) -> str:
     """DuckDB twin of the banded signature join: recompute every band
     signature from the same literal hyperplanes, join pairs that
     agree on at least one band, verify the exact cosine threshold.
-    The oracle hard-codes rows=EMB_LSH_MIN_ROWS — valid for any table
-    the driver checks (N ≤ EMB_LSH_TARGET_BUCKET ⇒ the Spark side
-    derives the same r; asserted in tests/test_similarity.py)."""
+    ``rows`` is EMB_LSH_ORACLE_ROWS — derived from the driver-check
+    table's footer row count at registration time, so the registered
+    oracle matches the depth the Spark builder derives at that scale
+    by construction (asserted in tests/test_similarity.py)."""
     signs = _hyperplane_signs(bands, rows)
     sig_cols = []
     for b in range(bands):
@@ -407,7 +435,7 @@ def _emb_lsh_oracle(bands: int, rows: int) -> str:
 
 @register(
     "q_embedding_neardup_lsh",
-    oracle=_emb_lsh_oracle(EMB_LSH_BANDS, EMB_LSH_MIN_ROWS),
+    oracle=_emb_lsh_oracle(EMB_LSH_BANDS, EMB_LSH_ORACLE_ROWS),
     doc="Banded sign-LSH near-duplicate pairs with exact in-bucket verify "
     "(C2 family, the 100 TB-scale candidate generation).",
 )
@@ -456,16 +484,19 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_rows = table_row_count(spark, sf_dir, "embeddings")  # footer, no job
     r = _emb_lsh_rows(n_rows)
-    if r != EMB_LSH_MIN_ROWS:
-        # the registered oracle hard-codes r=EMB_LSH_MIN_ROWS (valid
-        # for any table ≤ EMB_LSH_TARGET_BUCKET rows — every scale the
-        # driver checks). Beyond that the query is still correct but
-        # the oracle would flag a false mismatch; make that impossible
-        # to misread (ADVICE r5).
+    if r != EMB_LSH_ORACLE_ROWS:
+        # the registered oracle was generated for the driver-check
+        # table's depth (EMB_LSH_ORACLE_ROWS, derived from its footer
+        # at registration). Running the builder against a DIFFERENT
+        # scale is still correct, but that oracle no longer applies;
+        # make that impossible to misread (ADVICE r5). For the
+        # driver's own sf_dir the two depths agree by construction —
+        # test-asserted in tests/test_similarity.py (VERDICT r6 #4).
         print(
-            f"[q_embedding_neardup_lsh] derived r={r} != oracle's "
-            f"hard-coded {EMB_LSH_MIN_ROWS} (N={n_rows}): the "
-            f"registered SQL oracle does NOT apply at this scale",
+            f"[q_embedding_neardup_lsh] derived r={r} != the "
+            f"registered oracle's generated depth "
+            f"{EMB_LSH_ORACLE_ROWS} (N={n_rows}): that oracle does "
+            f"NOT apply at this scale",
             file=sys.stderr,
         )
     bands = EMB_LSH_BANDS

@@ -112,6 +112,74 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_inverted_index_salted",
+    # same result as q_inverted_index — sorted distinct postings per
+    # token — so it shares that oracle's shape verbatim; only the
+    # Spark-side aggregation strategy differs.
+    oracle=f"""
+        SELECT w, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY w
+    """,
+    doc="Inverted index via two-phase salted aggregation — the skew-safe "
+    "build for Zipf token distributions (B21 scale variant).",
+)
+def q_inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened twin of :func:`q_inverted_index`, and the
+    production consumer of ``functions/skew.py`` (VERDICT r6 ask #5 —
+    the helpers were previously library-only).
+
+    Why salting here and not on the count queries: a hash-aggregate
+    ``count`` already partial-combines map-side, so a hot key ships
+    one row per map partition regardless of skew — AQE plus partial
+    agg covers it (documented in SCALE.md). ``collect_set`` is
+    HOLISTIC: every (stopword, doc_id) row must reach the reducer
+    that owns the stopword, so under a Zipf token distribution one
+    reducer processes O(corpus) rows while the rest idle — the
+    classic straggler. The two-phase fix (``salted_agg``):
+
+    1. group by (token, salt=hash(row)%16) — the hot token's postings
+       build as 16 independent partial sets on 16 reducers;
+    2. group by token, merging the ≤16 partial sets per token
+       (flatten + distinct + sort).
+
+    Phase 2 still assembles the full posting list on one row — that
+    is the OUTPUT, irreducible for any strategy — but it merges 16
+    pre-built arrays instead of re-processing O(corpus) input rows.
+    Result and oracle are identical to the unsalted query (asserted
+    row-for-row in tests/test_text.py); only the shuffle layout
+    changes.
+    """
+    from mapreduceapp_spark.functions.skew import salted_agg
+
+    t = tables(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("w")
+    )
+    merged = salted_agg(
+        toks,
+        ["w"],
+        partial_aggs=lambda: [F.collect_set("doc_id").alias("ps")],
+        merge_aggs=lambda: [
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("ps")))
+            ).alias("postings_arr")
+        ],
+    )
+    return merged.select(
+        "w",
+        F.array_join(
+            F.transform("postings_arr", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
+
+
+@register(
     "q_text_stats",
     oracle=f"""
         SELECT lang,

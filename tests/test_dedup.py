@@ -214,6 +214,82 @@ def test_bucket_cap_never_binds_at_oracle_scale(spark):
         )
 
 
+def test_shingle_df_cap_never_binds_at_oracle_scale(spark, sf_dir):
+    """The df cap (VERDICT r6 ask #3) must be invisible at the scales
+    the driver hash-checks: empty drop-set with ≥4x headroom between
+    the measured max df and the cap, so data drift can't silently
+    change signatures under the shared exact-Jaccard oracle."""
+    from mapreduceapp_spark.operators.dedup import (
+        SHINGLE_DF_CAP,
+        high_df_shingles,
+        shingle_df_stats,
+    )
+    from tests.conftest import SF_DIR_MID
+
+    for d in (sf_dir, SF_DIR_MID):
+        row = shingle_df_stats(spark, d).collect()[0]
+        assert row["n_over_cap"] == 0
+        assert row["max_df"] * 4 <= SHINGLE_DF_CAP, (
+            "df-cap headroom under 4x — re-measure before trusting the oracle"
+        )
+        assert high_df_shingles(spark, d) == frozenset()
+
+
+def test_shingle_df_cap_drops_planted_ubiquitous_shingle(spark, tmp_path):
+    """Planted stopword shingle: a shingle above the df cap must leave
+    the SIGNATURES (unrelated docs sharing only it stop colliding in
+    any band), while true near-dups — similar in their discriminating
+    shingles too — still collide and verify. The ``sh`` column keeps
+    the full set, and an all-stopword document falls back to its full
+    set instead of an undefined empty-set signature."""
+    from mapreduceapp_spark.operators.dedup import (
+        _doc_shingles_with_minhash,
+        high_df_shingles,
+        minhash_candidates,
+    )
+
+    common = "zqxwv"  # one 5-char token == one ubiquitous 5-gram
+    rows = []
+    # 60 unrelated docs: the planted shingle plus a per-doc unique tail
+    for i in range(60):
+        rows.append((i, f"{common} unique{i:04d}tail{i:04d}"))
+    # one true near-dup pair: long shared discriminating text
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows.append((1000, f"{common} {dup}"))
+    rows.append((1001, f"{common} {dup}!"))
+    # an all-stopword doc: nothing but the planted shingle
+    rows.append((2000, common))
+    sf = str(tmp_path / "dfcap")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    import mapreduceapp_spark.operators.dedup as dd
+
+    orig = dd.SHINGLE_DF_CAP
+    dd.SHINGLE_DF_CAP = 30  # bind on the 63-doc shingle only
+    try:
+        drop = high_df_shingles(spark, sf, cap=30)
+        assert common in drop and len(drop) >= 1
+        sh = _doc_shingles_with_minhash(spark, sf)
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidates(sh).distinct().collect()
+        }
+        # the true near-dup pair still becomes a candidate
+        assert (1000, 1001) in pairs
+        # no candidate pair exists between the 60 unrelated docs: their
+        # only overlap was the dropped stopword shingle
+        assert not any(a < 60 and b < 60 for a, b in pairs)
+        # full shingle sets are untouched; the all-stopword doc keeps a
+        # well-defined signature (full-set fallback)
+        rows2 = {r["doc_id"]: r for r in sh.collect()}
+        assert common in rows2[0]["sh"]
+        assert len(rows2[2000]["sig"]) == 64
+    finally:
+        dd.SHINGLE_DF_CAP = orig
+
+
 def test_dedup_clusters_memoized_per_session(spark, sf_dir):
     """The converged-label memo must return the same DataFrame object
     for a repeat call in one session (the fixpoint never re-runs)."""

@@ -83,7 +83,7 @@ def test_bench_subset_is_registered():
 # brand-new by design); every other registered name MUST appear in the
 # rotation, or a typo'd rotation entry would silently promote the real
 # query to "brand new" while the typo'd name errors nowhere.
-_NEW_SINCE_ROTATION: set[str] = {"q_wordcount_salted"}
+_NEW_SINCE_ROTATION: set[str] = {"q_inverted_index_salted"}
 
 
 def test_check_rotation_covers_registry_exactly():

@@ -105,6 +105,37 @@ def test_emb_lsh_rows_derivation():
         assert n / 2 ** (r - 1) > EMB_LSH_TARGET_BUCKET or r == EMB_LSH_MIN_ROWS
 
 
+def test_emb_lsh_oracle_depth_generated_from_driver_table():
+    """The registered q_embedding_neardup_lsh oracle must be generated
+    for exactly the signature depth the Spark builder derives at the
+    driver's correctness-check scale — equality by construction, not
+    a hard-coded constant guarded only by a stderr warning (VERDICT
+    r6 ask #4). Checked for every local test scale too: they share
+    the ≤65k-row floor regime."""
+    import os
+
+    from mapreduceapp_spark.operators.similarity import (
+        EMB_LSH_ORACLE_ROWS,
+        _emb_lsh_rows,
+    )
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources.parquet import _footer_row_count
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        n = _footer_row_count(path)
+        if n is None:
+            continue
+        assert _emb_lsh_rows(n) == EMB_LSH_ORACLE_ROWS, (sf, n)
+    # the depth the oracle SQL was actually rendered with: r bits per
+    # band => the largest per-band weight literal is 2^(r-1)
+    sql = get_query("q_embedding_neardup_lsh").oracle
+    assert f"THEN {1 << (EMB_LSH_ORACLE_ROWS - 1)} ELSE 0" in sql
+    assert f"THEN {1 << EMB_LSH_ORACLE_ROWS} ELSE 0" not in sql
+    # and the env override is how a different driver dir would retarget
+    assert os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 def test_embedding_neardup_lsh_subset_and_planted_recall(spark, tmp_path):
     """Candidate generation is approximate, verification exact: the
     LSH result must be a subset of the exact all-pairs result, and in

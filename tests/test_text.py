@@ -28,11 +28,27 @@ def test_charcount_golden(spark, tmp_path):
     "name",
     [
         "q_charcount", "q_wordcount", "q_inverted_index", "q_text_stats",
-        "q_text_normalize",
+        "q_text_normalize", "q_inverted_index_salted",
     ],
 )
 def test_text_oracle(spark, sf_dir, name):
     assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_inverted_index_salted_equals_unsalted_and_is_two_phase(spark, sf_dir):
+    """The salted build must produce the identical index row-for-row,
+    and its physical plan must actually carry the two-phase shape —
+    two hash aggregates keyed differently (token+salt, then token) —
+    rather than silently collapsing to the plain single-phase plan."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    plain = get_query("q_inverted_index").builder(spark, sf_dir)
+    salted = get_query("q_inverted_index_salted").builder(spark, sf_dir)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    phys = salted._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("__salt") >= 1, "salt column missing from the plan"
 
 
 def test_text_normalize_golden(spark, tmp_path):
