@@ -399,6 +399,81 @@ TRIM_LO_Q = 0.05
 TRIM_HI_Q = 0.95
 
 
+# PII scrubbing — regex families chosen to mean the same thing in
+# Java regex (Spark) and RE2 (DuckDB): plain character classes, no
+# backreferences, no lookaround. Emails are redacted FIRST, then
+# phone-like digit runs on the already-email-redacted text (the
+# replacement token contains no digits, so the passes compose
+# identically on both engines).
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+PII_EMAIL_TOKEN = "<EMAIL>"
+PII_PHONE_TOKEN = "<PHONE>"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+        WITH scrub AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+                   regexp_replace(text, '{PII_EMAIL_RE}', '{PII_EMAIL_TOKEN}',
+                                  'g') AS t1
+            FROM documents
+        ),
+        scrub2 AS (
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS n_phones,
+                   regexp_replace(t1, '{PII_PHONE_RE}', '{PII_PHONE_TOKEN}',
+                                  'g') AS t2
+            FROM scrub
+        )
+        SELECT doc_id,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_phones AS BIGINT) AS n_phones,
+               CAST(length(t2) AS BIGINT) AS clean_len,
+               sha256(t2) AS clean_hash
+        FROM scrub2
+    """,
+    doc="PII scrub: count + redact email addresses and phone-like digit "
+    "runs per document, emitting the redacted text's length and hash "
+    "(curation: the privacy pass every training corpus runs).",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-redact pass for the two highest-volume PII classes.
+    Output is (doc_id, n_emails, n_phones, clean_len, clean_hash) —
+    the hash stands in for the redacted text so the whole redaction
+    (not just the counts) is oracle-checked without shipping document
+    bodies through the comparator.
+
+    Map-only: both regex passes run inside the projection, no
+    shuffle at all — at 100 TB this is a pure scan whose cost is the
+    regex engine, which is exactly where a scrub pass should sit
+    (fused with whatever scan feeds the next pipeline stage). The
+    synthetic corpus contains no PII (counts are all zero and the
+    redacted text equals the input — still a real hash check of the
+    identity path); the positive path is pinned by a planted-PII
+    fixture in tests/test_curation.py.
+    """
+    d = tables(spark, sf_dir).documents
+    t1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, PII_EMAIL_TOKEN)
+    scrub = d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        t1.alias("t1"),
+    )
+    t2 = F.regexp_replace(F.col("t1"), PII_PHONE_RE, PII_PHONE_TOKEN)
+    return scrub.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t1"), F.lit(PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(t2).cast("long").alias("clean_len"),
+        F.sha2(t2.cast("binary"), 256).alias("clean_hash"),
+    )
+
+
 @register(
     "q_length_trim",
     oracle=f"""

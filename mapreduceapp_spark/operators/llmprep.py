@@ -598,6 +598,105 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unigram-LM quality scoring: micro-nat grid + integer threshold.
+# Each token's corpus log-probability is snapped to an integer grid
+# (round(ln(p)·1e6) micro-nats) BEFORE any aggregation, so the per-doc
+# sum is exact integer arithmetic — immune to float summation order
+# (Spark aggregates in partition order, DuckDB in its own; summing raw
+# doubles would make the hash check flaky by construction). The keep
+# decision compares integers cross-multiplied (sum_lp ≥ thresh·n), so
+# it cannot drift either. The threshold sits in the corpus's observed
+# score gap (avg_lp concentrates near ln(1/vocab)); docs whose tokens
+# are systematically rarer than the corpus average fall below it.
+UNIGRAM_LP_MICRO = 1_000_000
+# keep iff mean token logprob ≥ -3.45 nats: the corpus concentrates at
+# ln(1/vocab) ≈ -3.40 (median -3.4015 at sf0.01) with a rare-token
+# tail to -3.70; -3.45 trims the ~4% outlier tail (19/500 at sf0.01)
+UNIGRAM_KEEP_MICRO = -3_450_000
+
+
+@register(
+    "q_unigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS w
+            FROM documents
+        ),
+        t2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+        counts AS (SELECT w, count(*) AS cnt FROM t2 GROUP BY w),
+        tot AS (SELECT sum(cnt) AS total FROM counts),
+        lp AS (
+            SELECT w,
+                   CAST(round(ln(cnt::DOUBLE / total) * {UNIGRAM_LP_MICRO})
+                        AS BIGINT) AS lp_w
+            FROM counts, tot
+        )
+        SELECT t2.doc_id,
+               count(*) AS n_toks,
+               round(sum(lp_w) / count(*) / {UNIGRAM_LP_MICRO}.0, 4) AS avg_lp,
+               CASE WHEN sum(lp_w) >= {UNIGRAM_KEEP_MICRO} * count(*)
+                    THEN 1 ELSE 0 END AS keep
+        FROM t2 JOIN lp USING (w)
+        GROUP BY t2.doc_id
+    """,
+    doc="Unigram-LM quality score per document (mean token log-probability "
+    "under the corpus's own unigram model) with an integer-exact keep flag "
+    "— the perplexity-style quality filter of LLM data pipelines.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheapest LM-based quality filter a pretraining pipeline
+    runs: score every document by the mean log-probability of its
+    tokens under the corpus's own unigram distribution, and keep
+    documents above a threshold. (Real pipelines use a KenLM-style
+    n-gram model — the unigram case is the same plan shape with a
+    different probability table.)
+
+    Plan shape, 100 TB posture:
+    1. token counts — one shuffle whose key space is the vocabulary
+       (map-side partial agg, uniform);
+    2. one-row total via a broadcast 1-row crossJoin (the stats-join
+       convention used across this module);
+    3. token → micro-nat logprob is a VOCABULARY-sized dimension
+       joined back to the token stream — AQE broadcasts it below the
+       threshold, and at web scale a vocabulary is still millions of
+       rows against trillions of tokens, so either join strategy
+       beats re-deriving;
+    4. per-doc integer sum + count — the only doc-keyed shuffle.
+
+    Cross-engine exactness: see the micro-nat note at
+    :data:`UNIGRAM_LP_MICRO` — the one ``ln`` evaluation per DISTINCT
+    token is grid-snapped before summing, so aggregation order cannot
+    change the hash; the residual risk is a 1-ulp ln drift landing
+    exactly on a grid boundary (~1e-10 per distinct token, the BM25
+    risk class, verified clean at every test scale).
+    """
+    d = tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    lp = counts.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.ln(F.col("cnt") / F.col("total")) * UNIGRAM_LP_MICRO)
+        .cast("long")
+        .alias("lp_w"),
+    )
+    per_doc = toks.join(lp, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("lp_w").alias("sum_lp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        F.round(
+            F.col("sum_lp") / F.col("n_toks") / UNIGRAM_LP_MICRO, 4
+        ).alias("avg_lp"),
+        (F.col("sum_lp") >= F.lit(UNIGRAM_KEEP_MICRO) * F.col("n_toks"))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 @register(
     "q_source_gini",
     oracle="""

@@ -332,6 +332,111 @@ def _jpeg_huff_decode(r: _JpegBits, table: dict) -> int:
     raise ValueError("bad huffman code")
 
 
+def _jpeg_progressive_dc_scan(
+    payload: bytes,
+    start: int,
+    frame: tuple,
+    scan: dict,
+    scan_comps: list,
+    huff: dict,
+    ri: int,
+    ah: int,
+    al: int,
+    dc_coefs: dict,
+    dc_interleaved: dict,
+):
+    """Decode one progressive DC scan (first pass Ah=0, or a
+    refinement pass Ah>0) into ``dc_coefs``; returns the reader's end
+    position, or None when the scan isn't decodable here.
+
+    First pass: baseline-style Huffman DC diffs, point-transformed
+    ``<< Al``; refinement: one raw bit per block, OR-ed in at Al
+    (Python's arbitrary-precision two's complement makes ``|`` exact
+    for negative coefficients too). Restart markers reset predictors
+    and byte-align exactly as in sequential scans. Refinement block
+    ORDER must match the first scan's visit order: identical when the
+    interleave mode matches or every scan component is 1×1-sampled;
+    anything else (subsampled comps with switched modes) punts to
+    PIL rather than corrupt coefficients.
+    """
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    interleaved = len(scan_comps) > 1
+    r = _JpegBits(payload, start)
+    if ah == 0:
+        preds = {c[0]: 0 for c in scan_comps}
+        for c in scan_comps:
+            dc_interleaved[c[0]] = interleaved
+            dc_coefs[c[0]] = []  # a re-sent first scan restarts the comp
+
+        def first_block(cid: int, td: int) -> None:
+            preds[cid] += r.receive_extend(
+                _jpeg_huff_decode(r, huff[(0, td)])
+            )
+            dc_coefs[cid].append(preds[cid] << al)
+
+        try:
+            if interleaved:
+                n_mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
+                for m in range(n_mcus):
+                    if ri and m and m % ri == 0:
+                        r.restart()
+                        for cid in preds:
+                            preds[cid] = 0
+                    for cid, ch, cv, _tq in scan_comps:
+                        for _ in range(ch * cv):
+                            first_block(cid, scan[cid][0])
+            else:
+                cid, ch, cv, _tq = scan_comps[0]
+                bw = -(-(width * ch) // (hmax * 8))
+                bh = -(-(height * cv) // (vmax * 8))
+                for m in range(bw * bh):
+                    if ri and m and m % ri == 0:
+                        r.restart()
+                        preds[cid] = 0
+                    first_block(cid, scan[cid][0])
+        except _EndOfScan:
+            pass
+        return r.pos
+    # refinement pass: order must reproduce the first scan's order
+    for c in scan_comps:
+        if not dc_coefs.get(c[0]):
+            return None  # refinement before any first scan
+        if dc_interleaved.get(c[0]) != interleaved and c[1] * c[2] != 1:
+            return None  # switched interleave on a subsampled comp
+    cursors = {c[0]: 0 for c in scan_comps}
+
+    def refine_block(cid: int) -> None:
+        i = cursors[cid]
+        if i < len(dc_coefs[cid]):
+            dc_coefs[cid][i] |= r.bit() << al
+        else:  # first scan ended early; keep the bitstream in sync
+            r.bit()
+        cursors[cid] = i + 1
+
+    try:
+        if interleaved:
+            n_mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
+            for m in range(n_mcus):
+                if ri and m and m % ri == 0:
+                    r.restart()
+                for cid, ch, cv, _tq in scan_comps:
+                    for _ in range(ch * cv):
+                        refine_block(cid)
+        else:
+            cid, ch, cv, _tq = scan_comps[0]
+            bw = -(-(width * ch) // (hmax * 8))
+            bh = -(-(height * cv) // (vmax * 8))
+            for m in range(bw * bh):
+                if ri and m and m % ri == 0:
+                    r.restart()
+                refine_block(cid)
+    except _EndOfScan:
+        pass
+    return r.pos
+
+
 def _decode_jpeg(payload: bytes) -> dict | None:
     """Real stdlib baseline-JPEG decode, DC path (struct-free marker
     walk + canonical Huffman + the DC half of entropy decoding).
@@ -346,12 +451,16 @@ def _decode_jpeg(payload: bytes) -> dict | None:
 
     Covered: baseline sequential (SOF0), interleaved or one scan per
     component (ADVICE r6 — a multi-scan file decodes EVERY scan, so
-    the mean covers all components), and DRI/RSTn restart intervals
+    the mean covers all components), DRI/RSTn restart intervals
     (VERDICT r6 ask #8 — real camera output uses restart markers; at
     each interval the reader byte-aligns, consumes the RSTn, and DC
-    predictors reset per spec). Progressive and other non-baseline
-    frames return None and fall through the chain (PIL handles them
-    when installed).
+    predictors reset per spec), and PROGRESSIVE (SOF2) DC: the DC
+    first scan and DC refinement scans are decoded bit-exactly while
+    AC scans — irrelevant to block means — are byte-skipped to the
+    next marker, so a complete progressive file yields the same exact
+    DC-derived mean as its baseline encoding. Hierarchical/lossless/
+    arithmetic frames return None and fall through the chain (PIL
+    handles them when installed).
     """
     if not payload.startswith(_JPEG_MAGIC):
         return None
@@ -359,17 +468,48 @@ def _decode_jpeg(payload: bytes) -> dict | None:
         qt: dict[int, bytes] = {}
         huff: dict[tuple[int, int], dict] = {}
         frame = None  # (height, width, [(cid, h, v, tq), ...])
+        progressive = False
         ri = 0  # DRI restart interval in MCUs (0 = none)
         decoded: set[int] = set()  # component ids decoded so far
         block_means: list[float] = []
+        # progressive state: per-component DC coefficient lists in
+        # scan-visit order, + whether that component's first DC scan
+        # was interleaved (refinement must visit in the same order)
+        dc_coefs: dict[int, list[int]] = {}
+        dc_interleaved: dict[int, bool] = {}
+
+        def _progressive_mean() -> dict | None:
+            if frame is None or not decoded or not dc_coefs:
+                return None
+            height, width, comps = frame
+            if decoded < {c[0] for c in comps}:
+                return None  # some component never got a DC scan
+            vals: list[float] = []
+            for cid, _ch, _cv, tq in comps:
+                q0 = qt[tq][0]
+                for v in dc_coefs[cid]:
+                    vals.append(min(max(v * q0 / 8.0 + 128.0, 0.0), 255.0))
+            if not vals:
+                return None
+            return {
+                "width": width,
+                "height": height,
+                "n_frames": 1,
+                "mean_byte": float(sum(vals) / len(vals)),
+            }
+
         pos = 2
-        while pos + 4 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
             pos += 2
-            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:  # EOI — progressive files finish here
+                return _progressive_mean() if progressive else None
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
                 continue
+            if pos + 2 > len(payload):
+                return None  # truncated segment header
             seg_len = int.from_bytes(payload[pos : pos + 2], "big")
             seg = payload[pos + 2 : pos + seg_len]
             if marker == 0xDB:  # DQT
@@ -381,7 +521,7 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                     p += 65
             elif marker == 0xC4:  # DHT
                 _jpeg_huff_tables(seg, huff)
-            elif marker == 0xC0:  # SOF0 — baseline sequential
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
                 comps = [
@@ -390,12 +530,15 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                     for i in range(seg[5])
                 ]
                 frame = (h, w, comps)
+                if marker == 0xC2:
+                    progressive = True
+                    dc_coefs = {c[0]: [] for c in comps}
             elif marker == 0xDD:  # DRI — restart interval
                 ri = int.from_bytes(seg, "big")
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame
-            elif marker == 0xDA:  # SOS — one baseline scan (of 1..n)
+                return None  # extended/lossless/arithmetic frame
+            elif marker == 0xDA:  # SOS — one scan (of 1..n)
                 if frame is None:
                     return None
                 height, width, comps = frame
@@ -407,6 +550,37 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                 scan_comps = [c for c in comps if c[0] in scan]
                 if not scan_comps or (1 < ncs < len(comps)):
                     return None  # partial interleave: exotic, punt
+                if progressive:
+                    ss = seg[1 + 2 * ncs]
+                    se = seg[2 + 2 * ncs]
+                    ah = seg[3 + 2 * ncs] >> 4
+                    al = seg[3 + 2 * ncs] & 15
+                    if ss == 0 and se != 0:
+                        # spec: a progressive DC scan has Se=0; a
+                        # baseline-shaped scan under an SOF2 header is
+                        # malformed — decoding it as DC-only would
+                        # silently desync, so fall through instead
+                        return None
+                    if ss > 0:
+                        # AC scan: blocks' AC coefficients never touch
+                        # the DC-derived mean — byte-skip its entropy
+                        # data to the next marker
+                        p2 = pos + seg_len
+                    else:
+                        p2 = _jpeg_progressive_dc_scan(
+                            payload, pos + seg_len, frame, scan,
+                            scan_comps, huff, ri, ah, al,
+                            dc_coefs, dc_interleaved,
+                        )
+                        if p2 is None:
+                            return None
+                        decoded |= {c[0] for c in scan_comps}
+                    while p2 + 1 < len(payload) and not (
+                        payload[p2] == 0xFF and payload[p2 + 1] != 0x00
+                    ):
+                        p2 += 1
+                    pos = p2
+                    continue
                 r = _JpegBits(payload, pos + seg_len)
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -535,7 +709,8 @@ def decode_media(payload: bytes, *, strict: bool = False) -> dict:
     if strict:
         raise MediaDecodeUnavailable(
             "payload not decodable by any installed codec (PIL "
-            "missing; not an 8-bit PNG, RIFF/WAV, or baseline JPEG)"
+            "missing; not an 8-bit PNG, RIFF/WAV, or baseline/"
+            "progressive JPEG)"
         )
     return fake_decode(payload)
 

@@ -106,9 +106,11 @@ def _load_all() -> None:
 # and sorts to the very front automatically.
 _CHECK_ROTATION = [
     # no round-6 driver row (last checked round 5, CORRECTNESS_r05.json)
-    # — all 48 rotate in first so cumulative r06∪r07 again covers the
-    # whole registry (VERDICT r6 "Next round" #6). Exactly fills the
-    # driver's 50-query window with 2 slots to spare.
+    # — all 48 rotate in first (VERDICT r6 "Next round" #6). With the
+    # three brand-new round-7 queries auto-sorting ahead of the
+    # rotation, 51 candidates compete for the 50-slot window: the last
+    # stale entry (q_wordcount, r5 hash-green) overflows to round 8 —
+    # a pinned decision (tests/test_registry.py), not an accident.
     "q_ann_ivf", "q_anti_join", "q_approx_distinct", "q_array_funcs",
     "q_asof_join", "q_bm25", "q_broadcast_join", "q_charcount",
     "q_chunk_documents", "q_cluster_purity", "q_cohort_retention",

@@ -214,3 +214,41 @@ def test_length_trim_cuts_are_order_statistics(spark, sf_dir):
     for lang, vals in by_lang.items():
         if len(vals) >= 20:
             assert kept.get(lang, 0) < len(vals)
+
+
+def test_pii_scrub_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_pii_scrub", sf_dir)
+
+
+def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
+    """The synthetic corpus is PII-free (the oracle row checks the
+    identity path), so the positive path is pinned here: planted
+    emails and phone-like digit runs must be counted and redacted,
+    and clean text must pass through byte-identical."""
+    import hashlib
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = [
+        (1, "contact Jan.Doe+spam@example-mail.co.uk or call +49 170 1234567 now"),
+        (2, "two mails a@b.io c@d.org; phone 030-1234-5678 and 0123456789"),
+        (3, "no pii here, just text with numbers 42 and 7"),
+    ]
+    sf = str(tmp_path / "pii")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in get_query("q_pii_scrub").builder(spark, sf).collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (2, 2)
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (0, 0)
+    # doc 3 is untouched: hash equals sha256 of the original text
+    assert out[3]["clean_hash"] == hashlib.sha256(rows[2][1].encode()).hexdigest()
+    assert out[3]["clean_len"] == len(rows[2][1])
+    # doc 1's redaction is exactly the token substitution
+    expect1 = "contact <EMAIL> or call <PHONE> now"
+    assert out[1]["clean_hash"] == hashlib.sha256(expect1.encode()).hexdigest()
+    assert out[1]["clean_len"] == len(expect1)

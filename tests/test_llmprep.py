@@ -170,3 +170,29 @@ def test_source_gini_bounds_and_python_agreement(spark, sf_dir):
     assert row.gini_num == want_num and row.gini_den == n * tot
     assert 0 <= row.gini < 1
     assert row.gini == want_num / (n * tot)
+
+
+def test_unigram_logprob_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_unigram_logprob", sf_dir)
+
+
+def test_unigram_logprob_scores_rare_tokens_lower(spark, tmp_path):
+    """A document made of corpus-rare tokens must score strictly
+    below one made of the dominant token, and the keep flag must be
+    the integer-domain comparison (no float boundary)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = [(i, "common " * 50) for i in range(20)]
+    rows.append((100, "rareword otherrare thirdrare"))
+    sf = str(tmp_path / "uni")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in get_query("q_unigram_logprob").builder(spark, sf).collect()
+    }
+    assert out[100]["avg_lp"] < out[0]["avg_lp"]
+    assert out[0]["keep"] == 1  # dominant token ⇒ near-zero logprob
+    assert out[100]["keep"] == 0  # three singleton tokens of ~1000
+    assert out[100]["n_toks"] == 3

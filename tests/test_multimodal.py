@@ -341,6 +341,145 @@ def test_jpeg_ac_coefficients_stay_in_sync():
     }
 
 
+def _jpeg_bytes_progressive(block_grays, refine=True):
+    """Progressive (SOF2) grayscale encoder: a DC first scan at Al=1,
+    an AC scan (to be byte-skipped by the decoder), and optionally the
+    DC refinement scan carrying each coefficient's low bit. With the
+    refinement present the DC values reconstruct exactly; without it
+    the decoder sees the point-transformed preview ((v>>1)<<1)."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def pack_bits(bits):
+        bits = bits + [1] * (-len(bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i : i + 8])), 2)
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    def dc_diff_bits(diff):
+        s = max(diff, -diff).bit_length()
+        bits = [int(b) for b in format(s, "04b")]
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            bits += [int(b) for b in format(v, f"0{s}b")]
+        return bits
+
+    w, h = 8 * len(block_grays), 8
+    dqt = seg(0xDB, bytes([0x00, 8]) + bytes([16] * 63))
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dht_dc = seg(0xC4, bytes([0x00] + dc_counts + list(range(12))))
+    # scan 1: DC first pass, Al=1 — diffs over the shifted values
+    bits, pred = [], 0
+    lows = []
+    for g in block_grays:
+        v = g - 128
+        sh = v >> 1  # arithmetic shift (matches the decoder's <<1 undo)
+        bits += dc_diff_bits(sh - pred)
+        pred = sh
+        lows.append(v & 1)
+    scan1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + pack_bits(bits)
+    # scan 2: an AC scan the decoder must byte-skip (content arbitrary
+    # non-marker bytes)
+    scan2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x12\x34\x56"
+    out = b"\xff\xd8" + dqt + sof + dht_dc + scan1 + scan2
+    if refine:
+        # scan 3: DC refinement Ah=1, Al=0 — one raw bit per block
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + pack_bits(lows)
+    return out + b"\xff\xd9"
+
+
+def _jpeg_bytes_progressive_color(comp_grays):
+    """Progressive 3-component file: INTERLEAVED DC first scan (Al=1)
+    over one MCU, then one NON-interleaved DC refinement scan per
+    component — the mode switch is legal here because every component
+    is 1×1-sampled, and the decoder must accept it."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def pack_bits(bits):
+        bits = bits + [1] * (-len(bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i : i + 8])), 2)
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    def dc_diff_bits(diff):
+        s = max(diff, -diff).bit_length()
+        bits = [int(b) for b in format(s, "04b")]
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            bits += [int(b) for b in format(v, f"0{s}b")]
+        return bits
+
+    ids = list(range(1, len(comp_grays) + 1))
+    dqt = seg(0xDB, bytes([0x00, 8]) + bytes([16] * 63))
+    comp_spec = b"".join(bytes([cid, 0x11, 0]) for cid in ids)
+    sof = seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", 8, 8) + bytes([len(ids)]) + comp_spec,
+    )
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dht_dc = seg(0xC4, bytes([0x00] + dc_counts + list(range(12))))
+    bits = []
+    for g in comp_grays:  # one MCU: each comp contributes one block
+        bits += dc_diff_bits((g - 128) >> 1)  # per-comp pred starts at 0
+    sos1 = bytes([len(ids)]) + b"".join(bytes([cid, 0x00]) for cid in ids)
+    out = (
+        b"\xff\xd8" + dqt + sof + dht_dc
+        + seg(0xDA, sos1 + bytes([0, 0, 0x01])) + pack_bits(bits)
+    )
+    for cid, g in zip(ids, comp_grays):
+        out += seg(0xDA, bytes([1, cid, 0x00, 0, 0, 0x10])) + pack_bits(
+            [(g - 128) & 1]
+        )
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_dc_decodes_exactly():
+    """A complete progressive JPEG (DC first scan + skipped AC scan +
+    DC refinement) must decode through the stdlib branch to the SAME
+    exact mean as its baseline encoding."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+
+    grays = [99, 201, 56]  # odd deltas exercise the refinement bits
+    out = decode_media(_jpeg_bytes_progressive(grays), strict=True)
+    assert out == {
+        "width": 24, "height": 8, "n_frames": 1,
+        "mean_byte": sum(grays) / len(grays), "decoder": "jpeg",
+    }
+    # without the refinement scan the decoder sees the Al=1 preview:
+    # each coefficient truncated to (v>>1)<<1 — still a valid decode
+    out = decode_media(_jpeg_bytes_progressive(grays, refine=False), strict=True)
+    preview = [(((g - 128) >> 1) << 1) + 128 for g in grays]  # q0=8 ⇒ coeff+128
+    assert out["mean_byte"] == sum(preview) / len(preview)
+
+
+def test_jpeg_progressive_color_interleave_switch():
+    """Interleaved DC first scan + per-component refinements (all
+    1×1-sampled): every component's coefficient must get its low bit
+    back, so the mean covers all components exactly."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+
+    grays = [31, 129, 251]
+    out = decode_media(_jpeg_bytes_progressive_color(grays), strict=True)
+    assert out == {
+        "width": 8, "height": 8, "n_frames": 1,
+        "mean_byte": sum(grays) / len(grays), "decoder": "jpeg",
+    }
+
+
 def test_jpeg_restart_markers_decode_in_stdlib_branch():
     """A DRI/RSTn baseline JPEG (the common camera layout) must decode
     through the stdlib branch (VERDICT r6 ask #8): byte-align at each

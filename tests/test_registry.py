@@ -83,7 +83,9 @@ def test_bench_subset_is_registered():
 # brand-new by design); every other registered name MUST appear in the
 # rotation, or a typo'd rotation entry would silently promote the real
 # query to "brand new" while the typo'd name errors nowhere.
-_NEW_SINCE_ROTATION: set[str] = {"q_inverted_index_salted"}
+_NEW_SINCE_ROTATION: set[str] = {
+    "q_inverted_index_salted", "q_pii_scrub", "q_unigram_logprob",
+}
 
 
 def test_check_rotation_covers_registry_exactly():
@@ -103,14 +105,20 @@ def test_check_rotation_covers_registry_exactly():
 
 
 def test_stalest_queries_lead_the_window():
-    """Queries without a round-6 driver CORRECTNESS row must all sit
-    inside the first 50 names handed to the driver, so round 7's
-    window gives every one of them a fresh row and cumulative r06∪r07
-    covers the whole registry."""
+    """Queries without a round-6 driver CORRECTNESS row must fill the
+    50-query driver window: the three brand-new round-7 queries lead
+    (never checked), then the 48 r5-checked stale queries. That makes
+    51 candidates for 50 slots — exactly ONE stale query overflows to
+    round 8, and the test pins WHICH one (q_wordcount, the rotation's
+    last stale entry, hash-green in r5) so the overflow is a recorded
+    decision rather than an accident."""
     order = list(all_queries())
     lead = set(order[:50])
     must_lead = set(order) - _DRIVER_CHECKED_R6
-    assert must_lead <= lead, sorted(must_lead - lead)
+    overflow = must_lead - lead
+    assert overflow == {"q_wordcount"}, sorted(overflow)
+    # every brand-new query is in the window
+    assert _NEW_SINCE_ROTATION <= lead
 
 
 # names with a driver row in CORRECTNESS_r06.json (48 green + 2
