@@ -41,11 +41,30 @@ from mapreduceapp_spark.plans.staging import stage
 from mapreduceapp_spark.sources import tables
 
 EMB_DIM = 64
-# Seeds are a deterministic 1-in-KM_STRIDE sample (the IVF centroid
-# convention, similarity.py): k grows with N, no training job, no
-# stored model, and the seeding is reproducible on any engine.
-KM_STRIDE = 100
+# Seeds are a deterministic 1-in-stride sample (the IVF centroid
+# convention, similarity.py): no training job, no stored model, and
+# the seeding is reproducible on any engine. The stride is DERIVED
+# from the table's row count at the k ≈ √N balance (round 7 — the
+# same treatment that retired q_ann_ivf's quadratic): a FIXED stride
+# makes k = N/stride ∝ N, so Lloyd assignment costs N·k = N²/stride
+# multiply-adds AND SemDeDup's within-cluster pair work is what the
+# sub-cell cap must tame; at stride ≈ √N, assignment is N^1.5 and
+# average cluster size is √N — the total-work optimum for the
+# assign+prune pipeline. Floored at KM_MIN_STRIDE so small corpora
+# keep enough members per cluster; the floor binds at every
+# oracle/bench scale (N ≤ KM_MIN_STRIDE² = 10⁴), making the rework
+# bit-identical there. The SQL oracle derives the identical stride
+# from count(*) with the same IEEE floor∘sqrt expression (parity
+# pinned cross-engine in tests/test_similarity.py for the shared
+# formula).
+KM_MIN_STRIDE = 100
 KM_OFFSET = 13
+
+
+def _km_stride(n_rows: int) -> int:
+    import math
+
+    return max(KM_MIN_STRIDE, int(math.floor(math.sqrt(n_rows))))
 
 
 def _oracle_fold_dist(x: str, mean_num: str, cnt: str) -> str:
@@ -66,6 +85,12 @@ def _oracle_fold_dist(x: str, mean_num: str, cnt: str) -> str:
 # assignment. Reused by q_kmeans (membership stats) and
 # q_semantic_prune (within-cluster dedup).
 ORACLE_ASSIGN_CTES = f"""
+        km_params AS (
+            SELECT greatest({KM_MIN_STRIDE},
+                            CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                                 AS BIGINT)) AS stride
+            FROM embeddings
+        ),
         q AS MATERIALIZED (
             SELECT vec_id, {oracle_quantize('embedding')} AS x
             FROM embeddings
@@ -78,7 +103,7 @@ ORACLE_ASSIGN_CTES = f"""
         ),
         c0 AS MATERIALIZED (
             SELECT vec_id AS cid, x AS cx, sq AS csq FROM qs
-            WHERE vec_id % {KM_STRIDE} = {KM_OFFSET}
+            WHERE vec_id % (SELECT stride FROM km_params) = {KM_OFFSET}
         ),
         d1 AS (
             SELECT qs.vec_id, qs.x, c0.cid,
@@ -138,7 +163,8 @@ ORACLE_ASSIGN_CTES = f"""
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means, two rounds, as one lazy DataFrame plan:
 
-    1. *Seed* — centroids are the deterministic 1-in-100 sample.
+    1. *Seed* — centroids are the deterministic 1-in-stride sample
+       at the k ≈ √N balance (see the ``_km_stride`` note).
     2. *Assign (int)* — fragment-replicate Arrow GEMM
        (:func:`_gemm_assign`): each vector keeps its argmin
        squared-Euclidean centroid on the exact integer distance
@@ -157,10 +183,13 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     readable while exercising both the integer and the rational
     distance paths. At 100 TB: the only N-sized shuffles are the two
     assignment hashes (N + P·k rows each); centroid state (k×64
-    ints) replicates per fragment. k ∝ N keeps cluster sizes
-    constant for SemDeDup, at the price of N·k assign COMPUTE — past
-    ~10⁷ centroids the honest next rung is hierarchical (coarse→fine)
-    assignment, which changes only ``_gemm_assign``'s centroid input.
+    ints) replicates per fragment. k ≈ √N balances assign compute
+    (N·k ≈ N^1.5 multiply-adds — a fixed stride's k ∝ N made this
+    N²/stride, retired round 7) against SemDeDup's within-cluster
+    pair work (clusters average √N members, absorbed by the sub-cell
+    cap past ~10⁶ rows); a hierarchical coarse→fine assignment —
+    only ``_gemm_assign``'s centroid input changes — remains the rung
+    beyond that.
 
     Floats appear only in round 2's distance: means are exact
     rationals and the fold does identically-ordered IEEE arithmetic
@@ -349,11 +378,14 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     and :func:`q_semantic_prune` (within-cluster dedup). Both rounds'
     argmins run as fragment-replicate GEMMs (:func:`_gemm_assign`);
     the centroid-update aggregate stays a JVM map-side partial agg."""
+    from mapreduceapp_spark.sources.parquet import table_row_count
+
+    stride = _km_stride(table_row_count(spark, sf_dir, "embeddings"))
     e = tables(spark, sf_dir).embeddings
     qs = e.select(
         "vec_id", quantize("embedding").alias("x")
     ).withColumn("sq", sq_norm(F.col("x")))
-    c0 = qs.filter(f"vec_id % {KM_STRIDE} = {KM_OFFSET}").select(
+    c0 = qs.filter(f"vec_id % {stride} = {KM_OFFSET}").select(
         F.col("vec_id").alias("cid"),
         F.col("x").alias("cx"),
         F.col("sq").alias("csq"),
@@ -377,9 +409,11 @@ SEM_COS_THRESHOLD = 0.45  # the corpus' measured cosine-gap threshold
 # Clusters larger than this are split into hash sub-cells before the
 # within-cluster self-join, bounding any single join key's pair work
 # to ~(2·cap)² regardless of how pathological the cluster is. With
-# k ∝ N (the seed stride) clusters average KM_STRIDE members, so at
-# any SF real clusters stay far below the cap and m=1 — the salting
-# only activates on genuine skew.
+# the √N seed stride clusters average √N members: below the cap until
+# N ≈ 10⁶, after which the sub-cells activate BY DESIGN (m ≈ √N/cap
+# cells per cluster keep per-key work constant) — the same mechanism
+# that previously only handled skew now also absorbs the balanced
+# growth, so per-task memory stays bounded at any scale.
 SEM_CLUSTER_CAP = 1024
 
 

@@ -13,15 +13,17 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     """Cluster memberships must partition the vector set exactly:
     every vector in exactly one cluster, every cluster seeded from a
     real vec_id matching the seed predicate."""
-    from mapreduceapp_spark.operators.clustering import KM_OFFSET, KM_STRIDE
+    from mapreduceapp_spark.operators.clustering import KM_OFFSET, _km_stride
     from mapreduceapp_spark.plans.registry import get_query
     from mapreduceapp_spark.sources import tables
+    from mapreduceapp_spark.sources.parquet import table_row_count
 
+    stride = _km_stride(table_row_count(spark, sf_dir, "embeddings"))
     rows = get_query("q_kmeans").builder(spark, sf_dir).collect()
     n_vecs = tables(spark, sf_dir).embeddings.count()
     assert sum(r["n_members"] for r in rows) == n_vecs
     for r in rows:
-        assert r["cluster_id"] % KM_STRIDE == KM_OFFSET
+        assert r["cluster_id"] % stride == KM_OFFSET
         assert r["n_members"] >= 1
 
 
@@ -33,8 +35,9 @@ def test_kmeans_round2_reduces_inertia(spark, sf_dir):
     import numpy as np
 
     from mapreduceapp_spark.functions.vectors import quantize
-    from mapreduceapp_spark.operators.clustering import KM_OFFSET, KM_STRIDE
+    from mapreduceapp_spark.operators.clustering import KM_OFFSET, _km_stride
     from mapreduceapp_spark.sources import tables
+    from mapreduceapp_spark.sources.parquet import table_row_count
 
     import pyspark.sql.functions as F
 
@@ -45,7 +48,8 @@ def test_kmeans_round2_reduces_inertia(spark, sf_dir):
     )
     ids = np.array([r["vec_id"] for r in e])
     X = np.array([r["x"] for r in e], dtype=np.float64)
-    seeds = ids % KM_STRIDE == KM_OFFSET
+    stride = _km_stride(table_row_count(spark, sf_dir, "embeddings"))
+    seeds = ids % stride == KM_OFFSET
     C0 = X[seeds]
 
     def assign(C):
@@ -162,3 +166,28 @@ def test_cluster_purity_consistent_with_kmeans(spark, sf_dir):
     for cid, r in purity.items():
         assert r.n_members == km[cid]
         assert 1 <= r.n_majority <= r.n_members
+
+def test_km_stride_sqrt_balance_and_floor():
+    """The √N seed stride (round 7 — same treatment as q_ann_ivf's)
+    must floor at KM_MIN_STRIDE through every oracle/bench scale (so
+    the rework is bit-identical there) and track isqrt above it; the
+    SQL twin's greatest/floor/sqrt expression must agree exactly."""
+    import math
+
+    import duckdb
+
+    from mapreduceapp_spark.operators.clustering import (
+        KM_MIN_STRIDE,
+        _km_stride,
+    )
+
+    for n in (500, 2000, KM_MIN_STRIDE**2):
+        assert _km_stride(n) == KM_MIN_STRIDE
+    con = duckdb.connect()
+    for n in (500, 20_000, 10**6 - 1, 10**6, 10**8):
+        (sql_stride,) = con.execute(
+            f"SELECT greatest({KM_MIN_STRIDE}, "
+            f"CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT))"
+        ).fetchone()
+        assert sql_stride == _km_stride(n)
+        assert _km_stride(n) == max(KM_MIN_STRIDE, math.isqrt(n))
