@@ -243,12 +243,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (session id, sf_dir, cap) -> frozenset of over-cap shingles. The
+# (sf_dir, cap) -> (session, frozenset of over-cap shingles). The
 # drop-set is part of the staged-signature derivation: computed once
 # per process per corpus (like a stage() slot — bench's prewarm covers
-# it), never reset between timed runs, and keyed by session so a new
-# SparkSession recomputes.
-_SHINGLE_DROPSET_MEMO: dict[tuple[int, str, int], frozenset] = {}
+# it), never reset between timed runs. Hits require the SAME session
+# object (the _CLUSTERS_MEMO identity convention — an ``id()`` key
+# could alias a garbage-collected session's address).
+_SHINGLE_DROPSET_MEMO: dict[tuple[str, int], tuple] = {}
 
 
 def high_df_shingles(
@@ -270,10 +271,10 @@ def high_df_shingles(
 
     if cap is None:  # read at call time so tests can plant a low cap
         cap = SHINGLE_DF_CAP
-    key = (id(spark), sf_dir, cap)
+    key = (sf_dir, cap)
     hit = _SHINGLE_DROPSET_MEMO.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     rows = (
         _doc_shingles(spark, sf_dir)
         .select(F.explode("sh").alias("s"))
@@ -288,7 +289,7 @@ def high_df_shingles(
         f"[shingle-df] {sf_dir}: {len(drop)} shingle(s) over df cap {cap}",
         file=sys.stderr,
     )
-    _SHINGLE_DROPSET_MEMO[key] = drop
+    _SHINGLE_DROPSET_MEMO[key] = (spark, drop)
     return drop
 
 
