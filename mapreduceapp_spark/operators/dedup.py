@@ -113,9 +113,10 @@ LSH_BUCKET_CAP = 1024
 
 # How the cap is ENFORCED (VERDICT r6 ask #2). Default False = fold
 # the cap into the band-entry pass itself: a window ``count(*) over
-# (partition by band key)`` + filter, which shares its shuffle with
-# the candidate self-join that follows (same partitioning key), so the
-# cap costs no standalone pass. That removed the separate
+# (partition by band key)`` + filter, computed on the shuffle the
+# candidate self-join needs anyway (same partitioning key; under AQE
+# the smaller capped side often broadcasts), so the cap costs no
+# standalone aggregate + anti-join pass. That removed the separate
 # count-aggregate + anti-join whose measured price was the only real
 # >2x per-query regression of round 6 (q_simhash_neardup 1.57 ->
 # 3.29 s at sf0.1; window form: 2.0 s, and 0.9-1.6 s for the sf1
@@ -581,10 +582,11 @@ def minhash_candidates(sh: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
 
     Shape: equi-self-join of the band entries on the band key, with
     the cap folded in as a window count over that SAME key
-    (:func:`_capped_band_entries`) — the window's shuffle is the
-    join's shuffle, so capping costs no standalone pass (the r6
-    two-pass count+anti-join doubled the sf0.1 record; VERDICT r6
-    ask #2). A/B-measured this round against a collect_list +
+    (:func:`_capped_band_entries`) — the window rides the band-key
+    shuffle the join needs anyway, so capping costs no standalone
+    aggregate + anti-join pass (the r6 two-pass form doubled the
+    sf0.1 record; VERDICT r6 ask #2). A/B-measured this round
+    against a collect_list +
     in-row pair-expansion fold: the expansion's slice-copies grow
     quadratically with bucket size (2.9 s vs 0.65 s at sf1 for this
     generator; 22x worse for SimHash's denser buckets), so the join

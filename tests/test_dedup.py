@@ -335,3 +335,31 @@ def test_dup_rate_by_source_counts_all_pairs(spark, sf_dir):
     n_pairs = get_query("q_minhash_neardup").builder(spark, sf_dir).count()
     assert sum(r["n_pairs"] for r in per_src) == n_pairs
     assert all(r["source_a"] <= r["source_b"] for r in per_src)
+
+
+def test_cap_two_pass_flag_is_result_identical(spark):
+    """Flipping LSH_CAP_TWO_PASS (the never-materialize count+anti-join
+    posture for degenerate-bucket corpora) must produce the identical
+    candidate set as the default window-fold — on a planted corpus
+    where the cap actually binds."""
+    import mapreduceapp_spark.operators.dedup as dd
+
+    rows = [(i, ["aa"], [7] * 64) for i in range(30)] + [
+        (100 + i, ["bb"], [9] * 64) for i in range(4)
+    ]
+    sh = spark.createDataFrame(
+        rows, "doc_id bigint, sh array<string>, sig array<bigint>"
+    )
+    fp = spark.createDataFrame(
+        [(i, 0x0F0F0F0F0F0F0F0) for i in range(30)]
+        + [(100 + i, 0x123456789ABCDE0) for i in range(4)],
+        "doc_id bigint, simhash bigint",
+    )
+    base_mh = sorted(map(tuple, dd.minhash_candidates(sh, cap=8).collect()))
+    base_sh = sorted(map(tuple, dd.simhash_candidates(fp, cap=8).collect()))
+    dd.LSH_CAP_TWO_PASS = True
+    try:
+        assert sorted(map(tuple, dd.minhash_candidates(sh, cap=8).collect())) == base_mh
+        assert sorted(map(tuple, dd.simhash_candidates(fp, cap=8).collect())) == base_sh
+    finally:
+        dd.LSH_CAP_TWO_PASS = False
