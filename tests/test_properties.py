@@ -249,3 +249,96 @@ def test_jpeg_roundtrip_law(spark, grays):
     assert out["decoder"] == "jpeg"
     assert (out["width"], out["height"]) == (8 * len(grays), 8)
     assert out["mean_byte"] == sum(grays) / len(grays)
+
+
+@given(
+    grays=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=10
+    ),
+    ri=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_jpeg_restart_roundtrip_law(spark, grays, ri):
+    """The restart-interval layout (DRI + RSTn every ri blocks,
+    predictors reset) must decode to the identical exact mean for any
+    gray sequence and any interval — including intervals that cycle
+    the RSTn index past 7."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import _jpeg_bytes
+
+    out = decode_media(_jpeg_bytes(grays, restart_interval=ri), strict=True)
+    assert out["decoder"] == "jpeg"
+    assert (out["width"], out["height"]) == (8 * len(grays), 8)
+    assert out["mean_byte"] == sum(grays) / len(grays)
+
+
+@given(
+    grays=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=6
+    ),
+    refine=st.booleans(),
+)
+@SETTINGS
+def test_jpeg_progressive_roundtrip_law(spark, grays, refine):
+    """Progressive DC decode law: with the refinement scan the exact
+    mean is recovered for ANY gray sequence (negative/odd/zero DC
+    deltas included); without it, exactly the Al=1 point-transform
+    preview — ((v>>1)<<1) per coefficient — is recovered."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import _jpeg_bytes_progressive
+
+    out = decode_media(
+        _jpeg_bytes_progressive(grays, refine=refine), strict=True
+    )
+    assert out["decoder"] == "jpeg"
+    assert (out["width"], out["height"]) == (8 * len(grays), 8)
+    if refine:
+        want = [float(g) for g in grays]
+    else:
+        want = [(((g - 128) >> 1) << 1) + 128.0 for g in grays]
+    assert out["mean_byte"] == sum(want) / len(want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "xq"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_unigram_logprob_matches_python_oracle(spark, docs):
+    """The micro-nat grid law, against an independent Python
+    reference: avg_lp equals round(sum(round(ln(cnt/total)*1e6)) / n
+    / 1e6, 4) computed driver-side, for any small corpus — i.e. the
+    distributed aggregation adds nothing float-order-dependent."""
+    import math
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{td}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_toks"], r["avg_lp"])
+            for r in get_query("q_unigram_logprob")
+            .builder(spark, td)
+            .collect()
+        }
+    from collections import Counter
+
+    cnt = Counter(w for words in docs for w in words)
+    total = sum(cnt.values())
+    lp = {w: round(math.log(c / total) * 1e6) for w, c in cnt.items()}
+    for i, words in enumerate(docs):
+        n = len(words)
+        want = round(sum(lp[w] for w in words) / n / 1e6, 4)
+        assert got[i] == (n, want), (i, got[i], (n, want))
