@@ -105,28 +105,17 @@ def _load_all() -> None:
 # registry); any newly registered name is by definition never-checked
 # and sorts to the very front automatically.
 _CHECK_ROTATION = [
-    # no round-6 driver row (last checked round 5, CORRECTNESS_r05.json)
-    # — all 48 rotate in first (VERDICT r6 "Next round" #6). With the
-    # three brand-new round-7 queries auto-sorting ahead of the
-    # rotation, 51 candidates compete for the 50-slot window: the last
-    # stale entry (q_wordcount, r5 hash-green) overflows to round 8 —
-    # a pinned decision (tests/test_registry.py), not an accident.
-    "q_ann_ivf", "q_anti_join", "q_approx_distinct", "q_array_funcs",
-    "q_asof_join", "q_bm25", "q_broadcast_join", "q_charcount",
-    "q_chunk_documents", "q_cluster_purity", "q_cohort_retention",
-    "q_contamination", "q_corr_subquery", "q_count_distinct", "q_cube",
-    "q_curation_pipeline", "q_data_audit", "q_dedup_clusters",
-    "q_dedup_survivors", "q_distinct", "q_domain_mix", "q_dup_degree",
-    "q_embedding_neardup", "q_embedding_neardup_lsh", "q_equijoin",
-    "q_exact_dedup", "q_except", "q_filter_project", "q_fingerprint",
-    "q_frame_sample", "q_groupby_agg", "q_grouping_sets", "q_intersect",
-    "q_rollup", "q_sample_split", "q_scalar_funcs", "q_semi_join",
-    "q_session_window", "q_simhash_neardup", "q_text_normalize",
-    "q_tumbling_window", "q_udf_quality", "q_union_all", "q_unpivot",
-    "q_user_totals", "q_window_rank", "q_window_running", "q_wordcount",
-    # confirmed in round 6 (CORRECTNESS_r06.json, alphabetical) —
-    # freshest-checked, so they fill the window's remaining slots and
-    # the back of the rotation.
+    # stalest first: q_wordcount's newest driver row is round 5 — the
+    # one query that overflowed both the r6 and r7 windows (VERDICT r7
+    # "Next round" #1). It leads round 8's window unconditionally.
+    "q_wordcount",
+    # no round-7 driver row (last checked round 6,
+    # CORRECTNESS_r06.json) — the 50-name complement of r7's window,
+    # alphabetical. Brand-new queries auto-sort ahead of all of these
+    # (see _rotation_key), so when the registry outgrows 2×50 the
+    # overflow lands on the alphabetical tail of THIS group — always
+    # the freshest-checked names (tests/test_registry.py pins that
+    # the overflow is minimal and r6-green, never staler evidence).
     "q_abtest", "q_ann_lsh", "q_containment", "q_dup_rate_by_source",
     "q_funnel", "q_fuzzy_match", "q_having", "q_histogram",
     "q_inverted_index", "q_ivf_recall", "q_json_extract", "q_kmeans",
@@ -142,6 +131,23 @@ _CHECK_ROTATION = [
     "q_stream_join", "q_text_stats", "q_token_count", "q_topk_pergroup",
     "q_tpch_q5", "q_training_order", "q_vocab_stats", "q_window_leadlag",
     "q_window_range_frame",
+    # confirmed in round 7 (CORRECTNESS_r07.json, alphabetical) —
+    # freshest-checked, back of the rotation.
+    "q_ann_ivf", "q_anti_join", "q_approx_distinct", "q_array_funcs",
+    "q_asof_join", "q_bm25", "q_broadcast_join", "q_charcount",
+    "q_chunk_documents", "q_cluster_purity", "q_cohort_retention",
+    "q_contamination", "q_corr_subquery", "q_count_distinct", "q_cube",
+    "q_curation_pipeline", "q_data_audit", "q_dedup_clusters",
+    "q_dedup_survivors", "q_distinct", "q_domain_mix", "q_dup_degree",
+    "q_embedding_neardup", "q_embedding_neardup_lsh", "q_equijoin",
+    "q_exact_dedup", "q_except", "q_filter_project", "q_fingerprint",
+    "q_frame_sample", "q_groupby_agg", "q_grouping_sets", "q_intersect",
+    "q_inverted_index_salted", "q_pii_scrub", "q_rollup",
+    "q_sample_split", "q_scalar_funcs", "q_semi_join",
+    "q_session_window", "q_simhash_neardup", "q_text_normalize",
+    "q_tumbling_window", "q_udf_quality", "q_unigram_logprob",
+    "q_union_all", "q_unpivot", "q_user_totals", "q_window_rank",
+    "q_window_running",
 ]
 
 

@@ -83,9 +83,10 @@ def test_bench_subset_is_registered():
 # brand-new by design); every other registered name MUST appear in the
 # rotation, or a typo'd rotation entry would silently promote the real
 # query to "brand new" while the typo'd name errors nowhere.
-_NEW_SINCE_ROTATION: set[str] = {
-    "q_inverted_index_salted", "q_pii_scrub", "q_unigram_logprob",
-}
+# Redefined queries (schema/semantics changed since their last driver
+# row) are deliberately REMOVED from the rotation so they re-check
+# like brand-new queries; list them here too.
+_NEW_SINCE_ROTATION: set[str] = set()
 
 
 def test_check_rotation_covers_registry_exactly():
@@ -104,58 +105,72 @@ def test_check_rotation_covers_registry_exactly():
     assert not missing, f"registered but not in rotation (typo?): {sorted(missing)}"
 
 
+# The driver records the FIRST 50 queries of all_queries() order.
+_DRIVER_WINDOW = 50
+
+
+def _driver_window_names(round_no: int) -> set[str]:
+    """Names with a driver row in CORRECTNESS_r{N}.json (repo root)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / f"CORRECTNESS_r{round_no:02d}.json"
+    return set(json.loads(path.read_text()))
+
+
+def test_two_window_union_covers_registry():
+    """Registry-aware rotation invariant (VERDICT r7 ask #1): the
+    union of the LAST driver window (CORRECTNESS_r07.json, read from
+    the recorded artifact — not a hard-coded name list) and the
+    UPCOMING window (first 50 of the current order) must cover the
+    whole registry. When the registry outgrows 2×50 names that is
+    mathematically impossible, so the uncovered remainder must be
+    (a) minimal — exactly the overflow forced by registry growth and
+    redefinition re-checks, never one more — and (b) drawn only from
+    the freshest-checked names (green in the round-6 window), never
+    from staler evidence. A future mid-round registration can grow
+    the overflow only by exactly its own count, and only at the
+    freshest end — it can never silently displace a stale query
+    again (that was the r7 q_wordcount slip)."""
+    registry = set(all_queries())
+    last = _driver_window_names(7)
+    upcoming = set(list(all_queries())[:_DRIVER_WINDOW])
+    uncovered = registry - last - upcoming
+
+    # Overflow budget: names competing for the upcoming window are the
+    # never/stalest-checked (registry minus last window, plus any
+    # redefined query pulled out of the rotation for a re-check).
+    candidates = (registry - last) | (_NEW_SINCE_ROTATION & registry)
+    allowed = max(0, len(candidates) - _DRIVER_WINDOW)
+    assert len(uncovered) <= allowed, (
+        f"{len(uncovered)} uncovered > {allowed} allowed: {sorted(uncovered)}"
+    )
+    # Overflowed names must carry the freshest prior evidence.
+    prev = _driver_window_names(6)
+    assert uncovered <= prev, sorted(uncovered - prev)
+    # And every never-checked name must be in the upcoming window.
+    never_checked = registry - last - prev - _driver_window_names(5)
+    assert never_checked <= upcoming, sorted(never_checked - upcoming)
+
+
 def test_stalest_queries_lead_the_window():
-    """Queries without a round-6 driver CORRECTNESS row must fill the
-    50-query driver window: the three brand-new round-7 queries lead
-    (never checked), then the 48 r5-checked stale queries. That makes
-    51 candidates for 50 slots — exactly ONE stale query overflows to
-    round 8, and the test pins WHICH one (q_wordcount, the rotation's
-    last stale entry, hash-green in r5) so the overflow is a recorded
-    decision rather than an accident."""
+    """Priority order inside the upcoming window: brand-new /
+    redefined queries first (no trustworthy driver row), then
+    q_wordcount (the only name whose newest row predates round 6),
+    then the round-6-checked complement of r7's window. No name
+    checked in round 7 may occupy a slot while a staler candidate
+    overflows."""
     order = list(all_queries())
-    lead = set(order[:50])
-    must_lead = set(order) - _DRIVER_CHECKED_R6
-    overflow = must_lead - lead
-    assert overflow == {"q_wordcount"}, sorted(overflow)
-    # every brand-new query is in the window
-    assert _NEW_SINCE_ROTATION <= lead
-
-
-# names with a driver row in CORRECTNESS_r06.json (48 green + 2
-# rows-only by design)
-_DRIVER_CHECKED_R6 = {
-    "q_abtest", "q_ann_lsh", "q_containment", "q_dup_rate_by_source",
-    "q_funnel", "q_fuzzy_match", "q_having", "q_histogram",
-    "q_inverted_index", "q_ivf_recall", "q_json_extract", "q_kmeans",
-    "q_knn_classify", "q_knn_cosine", "q_lang_id", "q_late_data",
-    "q_length_trim", "q_lsh_recall", "q_media_features",
-    "q_media_metadata", "q_minhash_neardup", "q_mr_charcount",
-    "q_multimodal_cols", "q_multiway_join", "q_ngram_counts",
-    "q_ngram_jaccard", "q_outer_join", "q_outlier_events",
-    "q_pack_sequences", "q_percentiles", "q_pivot", "q_progress",
-    "q_range_join", "q_repetition_filter", "q_resample_fill",
-    "q_semantic_prune", "q_sliding_window", "q_sort_limit",
-    "q_source_gini", "q_stateful_dedup", "q_stratified_sample",
-    "q_stream_join", "q_text_stats", "q_token_count", "q_topk_pergroup",
-    "q_tpch_q5", "q_training_order", "q_vocab_stats", "q_window_leadlag",
-    "q_window_range_frame",
-}
-
-
-# retained for reference: names with a driver row in CORRECTNESS_r04.json
-_DRIVER_CHECKED_R4 = {
-    "q_abtest", "q_chunk_documents", "q_cluster_purity",
-    "q_cohort_retention", "q_data_audit", "q_dup_degree", "q_fingerprint",
-    "q_funnel", "q_fuzzy_match", "q_having", "q_histogram",
-    "q_inverted_index", "q_json_extract", "q_kmeans", "q_knn_cosine",
-    "q_lang_id", "q_late_data", "q_media_features", "q_media_metadata",
-    "q_minhash_neardup", "q_mr_charcount", "q_multimodal_cols",
-    "q_multiway_join", "q_ngram_counts", "q_ngram_jaccard", "q_outer_join",
-    "q_outlier_events", "q_pack_sequences", "q_percentiles", "q_pivot",
-    "q_progress", "q_range_join", "q_repetition_filter", "q_resample_fill",
-    "q_semantic_prune", "q_sliding_window", "q_sort_limit", "q_source_gini",
-    "q_stateful_dedup", "q_stratified_sample", "q_stream_join",
-    "q_text_stats", "q_token_count", "q_topk_pergroup", "q_tpch_q5",
-    "q_training_order", "q_vocab_stats", "q_window_leadlag",
-    "q_window_range_frame", "q_asof_join",
-}
+    window = set(order[:_DRIVER_WINDOW])
+    last = _driver_window_names(7)
+    stale_in_window = window - last
+    fresh_in_window = window & last
+    overflow = (set(order) - last) - window
+    if overflow:
+        # a round-7-fresh name in the window while stale names
+        # overflow would mean the rotation is mis-ordered
+        assert not fresh_in_window, sorted(fresh_in_window)
+    assert "q_wordcount" in window, "q_wordcount must re-check in round 8"
+    assert _NEW_SINCE_ROTATION <= window | (set(order) - set(window))
+    for name in _NEW_SINCE_ROTATION & set(order):
+        assert name in window, f"redefined/new {name} missed the window"
