@@ -357,19 +357,50 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # approximate by design: checked rows-only by the driver;
-    # tests/test_relational.py asserts <2% relative error vs exact.
-    doc="HyperLogLog++ approximate count-distinct (B22).",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS exact_customers,
+               1 AS approx_err_le_2pct
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="HyperLogLog++ approximate count-distinct with a hash-checked "
+    "error bound (B22).",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct = HyperLogLog++ sketch: fixed-size state
     per group, mergeable map-side → at 100 TB the shuffle carries
     KB-sized sketches instead of the distinct-key explosion of the
     exact plan. rsd=0.01 (1% target error).
+
+    The raw sketch estimate is engine-specific, so instead of
+    emitting it this query emits the EXACT count plus an
+    integer-exact bound flag ``approx_err_le_2pct = int(50 *
+    |approx - exact| <= exact)`` (2% = 1/50, so the comparison is
+    pure integer arithmetic — no float division to disagree on).
+    The oracle recomputes the exact counts and hard-codes the flag
+    at 1: if Spark's HLL++ ever drifts past 2% relative error the
+    flag flips to 0 and the driver's hash check fails — the error
+    bound is enforced by the CORRECTNESS gate itself, not just by
+    pytest (VERDICT r7 ask #4). The exact twin inside this query
+    exists only to ground the flag; the production query at scale
+    is the sketch alone (see q_count_distinct's docstring for the
+    cost contrast).
     """
     t = tables(spark, sf_dir)
-    return t.orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+    agg = t.orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_customers")) * 50
+            <= F.col("exact_customers")
+        )
+        .cast("int")
+        .alias("approx_err_le_2pct"),
     )
 
 

