@@ -179,6 +179,120 @@ def q_inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Segmented posting lists (q_inverted_index_segmented): target ids per
+# segment and the hard per-row bound asserted in tests. nb =
+# ceil(df / SEG_TARGET) buckets gives an EXPECTED segment size of
+# SEG_TARGET; hash placement has binomial spread around that, so the
+# hard output bound carries 2x slack (Chernoff: a segment reaching 2x
+# its 64-expected size is ~e^-12 per bucket — and on fixed test data
+# the max is deterministic and asserted outright).
+SEG_TARGET = 64
+SEG_BOUND = 2 * SEG_TARGET
+
+# Cross-engine doc-id hash for bucket placement: Knuth multiplicative
+# on the low 31 bits, all in non-negative int64 arithmetic so Spark
+# and DuckDB compute bit-identical buckets ((2^31-1) * 2654435761 <
+# 2^63 — no overflow on either engine). Low 31 bits carry all the
+# entropy of sequential ids up to 2G docs; a deployment with wider
+# ids would fold the high bits in first (one extra xor, same range
+# argument).
+_SEG_HASH_MOD = 2_147_483_648  # 2^31
+_SEG_HASH_MULT = 2_654_435_761  # Knuth's 2^32 / phi
+_SEG_HASH_RANGE = 4_294_967_296  # 2^32
+
+
+@register(
+    "q_inverted_index_segmented",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS w
+                FROM documents
+            )
+            WHERE w <> ''
+        ),
+        df AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+        seg AS (
+            SELECT toks.w,
+                   CAST((((toks.doc_id % {_SEG_HASH_MOD}) * {_SEG_HASH_MULT})
+                         % {_SEG_HASH_RANGE})
+                        % CAST(ceil(df.df / {SEG_TARGET}.0) AS BIGINT) AS INT)
+                       AS bucket,
+                   toks.doc_id
+            FROM toks JOIN df USING (w)
+        )
+        SELECT w, bucket,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM seg
+        GROUP BY w, bucket
+    """,
+    doc="Inverted index with df-relative segmented posting lists — "
+    "bounded output rows for stopword tokens (B21 production variant).",
+)
+def q_inverted_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production posting-list layout q_inverted_index's docstring
+    promises: postings stored as (token, bucket, sorted-ids) with
+    ``bucket = hash31(doc_id) % ceil(df / SEG_TARGET)``, so a
+    stopword's postings split across ~df/64 segments of ~64 ids each
+    instead of one corpus-sized row (VERDICT r7 ask #3 — the last
+    unbounded-row output on the text surface).
+
+    Plan shape, 100 TB posture — no holistic single-reducer step
+    anywhere, unlike a rank-chunked layout (row_number over
+    partition by token) which would rebuild the one-reducer-per-
+    stopword straggler this variant exists to kill:
+
+    1. distinct (doc_id, token) pairs — one shuffle, partial-combining;
+    2. df per token — vocabulary-keyed aggregate (map-side combine,
+       uniform);
+    3. df joined back on token — a vocabulary-sized dimension against
+       the pair stream; AQE broadcasts it below threshold, and at web
+       scale it is still vocab-vs-trillions, so either strategy beats
+       a window;
+    4. group by (token, bucket) — a hot token's postings build on
+       ~df/64 DIFFERENT reducers, each doing O(SEG_TARGET) work, and
+       every output row is bounded (~e^-12 tail past SEG_BOUND).
+
+    The bucket expression is pure non-negative int64 arithmetic so
+    the oracle computes bit-identical placement (no engine hash
+    involved); ids are non-negative by the data contract.
+    """
+    t = tables(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            F.col("doc_id"), F.explode(tokens("text")).alias("w")
+        )
+        .distinct()
+    )
+    df_tab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    seg = toks.join(df_tab, "w").select(
+        "w",
+        (
+            (
+                (F.col("doc_id") % _SEG_HASH_MOD) * _SEG_HASH_MULT
+                % _SEG_HASH_RANGE
+            )
+            % F.ceil(F.col("df") / F.lit(float(SEG_TARGET)))
+        )
+        .cast("int")
+        .alias("bucket"),
+        "doc_id",
+    )
+    return (
+        seg.groupBy("w", "bucket")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+
+
 @register(
     "q_text_stats",
     oracle=f"""

@@ -90,6 +90,8 @@ _NEW_SINCE_ROTATION: set[str] = {
     # redefined round 8: exact count + oracle-enforced 2% error flag
     # replaced the raw engine-specific sketch value (VERDICT r7 ask #4)
     "q_approx_distinct",
+    # new round 8: df-relative segmented posting lists (VERDICT r7 ask #3)
+    "q_inverted_index_segmented",
 }
 
 
