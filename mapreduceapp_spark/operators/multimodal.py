@@ -437,6 +437,25 @@ def _jpeg_progressive_dc_scan(
     return r.pos
 
 
+def _skip_entropy(payload: bytes, p2: int) -> int:
+    """Advance past entropy-coded bytes to the next REAL marker:
+    stuffed FF00s are data, and RSTn markers (FFD0-FFD7) emitted
+    inside restart-interval scans are part of the entropy stream too
+    (ADVICE r7 — stopping at an RST made the outer marker walk resume
+    parsing raw entropy bytes as segment headers, so progressive+DRI
+    files silently fell off the stdlib path)."""
+    while p2 + 1 < len(payload):
+        if payload[p2] != 0xFF:
+            p2 += 1
+        elif payload[p2 + 1] == 0x00:
+            p2 += 2  # stuffed data byte
+        elif 0xD0 <= payload[p2 + 1] <= 0xD7:
+            p2 += 2  # restart marker inside the scan
+        else:
+            break
+    return p2
+
+
 def _decode_jpeg(payload: bytes) -> dict | None:
     """Real stdlib baseline-JPEG decode, DC path (struct-free marker
     walk + canonical Huffman + the DC half of entropy decoding).
@@ -449,9 +468,13 @@ def _decode_jpeg(payload: bytes) -> dict | None:
     coefficients are Huffman-decoded to keep the bitstream in sync
     but their magnitudes are skipped.
 
-    Covered: baseline sequential (SOF0), interleaved or one scan per
-    component (ADVICE r6 — a multi-scan file decodes EVERY scan, so
-    the mean covers all components), DRI/RSTn restart intervals
+    Covered: baseline sequential (SOF0) with any scan partition —
+    fully interleaved, one scan per component (ADVICE r6 — a
+    multi-scan file decodes EVERY scan, so the mean covers all
+    components), or PARTIAL interleave (1 < ncs < components,
+    VERDICT r7 ask #5: the MCU grid comes from the frame's max
+    sampling factors while each MCU holds only the scan's
+    components) — DRI/RSTn restart intervals
     (VERDICT r6 ask #8 — real camera output uses restart markers; at
     each interval the reader byte-aligns, consumes the RSTn, and DC
     predictors reset per spec), and PROGRESSIVE (SOF2) DC: the DC
@@ -548,8 +571,8 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                     for i in range(ncs)
                 }
                 scan_comps = [c for c in comps if c[0] in scan]
-                if not scan_comps or (1 < ncs < len(comps)):
-                    return None  # partial interleave: exotic, punt
+                if not scan_comps:
+                    return None
                 if progressive:
                     ss = seg[1 + 2 * ncs]
                     se = seg[2 + 2 * ncs]
@@ -575,11 +598,7 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                         if p2 is None:
                             return None
                         decoded |= {c[0] for c in scan_comps}
-                    while p2 + 1 < len(payload) and not (
-                        payload[p2] == 0xFF and payload[p2 + 1] != 0x00
-                    ):
-                        p2 += 1
-                    pos = p2
+                    pos = _skip_entropy(payload, p2)
                     continue
                 r = _JpegBits(payload, pos + seg_len)
                 hmax = max(c[1] for c in comps)
@@ -621,12 +640,18 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                             maybe_restart(m)
                             block(cid, tq)
                     else:
+                        # Interleaved scan over the scan's components
+                        # (ncs may be a strict subset of the frame —
+                        # VERDICT r7 ask #5): per spec/libjpeg the MCU
+                        # grid always comes from the FRAME's hmax/vmax,
+                        # and each MCU holds ch×cv blocks of each
+                        # component present in THIS scan, in scan order.
                         for m in range(
                             (-(-width // (8 * hmax)))
                             * (-(-height // (8 * vmax)))
                         ):
                             maybe_restart(m)
-                            for cid, ch, cv, tq in comps:
+                            for cid, ch, cv, tq in scan_comps:
                                 for _ in range(ch * cv):
                                     block(cid, tq)
                 except _EndOfScan:
@@ -643,16 +668,10 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                             sum(block_means) / len(block_means)
                         ),
                     }
-                # more scans follow (one-scan-per-component file):
-                # resume the marker walk past this scan's entropy data
-                # — r.pos sits at/before the next marker; skip stuffed
-                # FF00s and entropy bytes up to a real marker.
-                p2 = max(r.pos, pos + seg_len)
-                while p2 + 1 < len(payload) and not (
-                    payload[p2] == 0xFF and payload[p2 + 1] != 0x00
-                ):
-                    p2 += 1
-                pos = p2
+                # more scans follow (multi-scan file): resume the
+                # marker walk past this scan's entropy data — r.pos
+                # sits at/before the next marker.
+                pos = _skip_entropy(payload, max(r.pos, pos + seg_len))
                 continue
             pos += seg_len
         return None
