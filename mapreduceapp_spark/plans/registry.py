@@ -143,7 +143,10 @@ _CHECK_ROTATION = [
     "q_contamination", "q_corr_subquery", "q_count_distinct", "q_cube",
     "q_curation_pipeline", "q_data_audit", "q_dedup_clusters",
     "q_dedup_survivors", "q_distinct", "q_domain_mix", "q_dup_degree",
-    "q_embedding_neardup", "q_embedding_neardup_lsh", "q_equijoin",
+    # (q_embedding_neardup_lsh was redefined in round 8 — depth-
+    # independent plane family + count(*)-derived oracle depth — and
+    # re-checks as brand-new; see _NEW_SINCE_ROTATION.)
+    "q_embedding_neardup", "q_equijoin",
     "q_exact_dedup", "q_except", "q_filter_project", "q_fingerprint",
     "q_frame_sample", "q_groupby_agg", "q_grouping_sets", "q_intersect",
     "q_inverted_index_salted", "q_pii_scrub", "q_rollup",

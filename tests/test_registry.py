@@ -92,6 +92,10 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_approx_distinct",
     # new round 8: df-relative segmented posting lists (VERDICT r7 ask #3)
     "q_inverted_index_segmented",
+    # redefined round 8: depth-independent hyperplane family +
+    # count(*)-derived oracle depth (ADVICE r7 — the pair set shifts
+    # with the new plane family, so the r7 row is stale evidence)
+    "q_embedding_neardup_lsh",
 }
 
 

@@ -88,52 +88,75 @@ def test_ivf_stride_sqrt_balance_and_cross_engine_parity():
 
 def test_emb_lsh_rows_derivation():
     """Signature depth must grow with N so an expected band bucket
-    stays ≤ EMB_LSH_TARGET_BUCKET rows; the floor r=4 is the regime
-    the registered SQL oracle hard-codes, so every driver/test scale
-    (N ≤ target) must land exactly on the floor."""
+    stays ≤ EMB_LSH_TARGET_BUCKET rows, floored at EMB_LSH_MIN_ROWS
+    and capped at EMB_LSH_R_MAX (the oracle's rendered-bit ceiling)."""
     from mapreduceapp_spark.operators.similarity import (
         EMB_LSH_MIN_ROWS,
+        EMB_LSH_R_MAX,
         EMB_LSH_TARGET_BUCKET,
         _emb_lsh_rows,
     )
 
-    for n in (500, 2000, 5000, EMB_LSH_TARGET_BUCKET):
+    for n in (0, 500, 2000, 5000, EMB_LSH_TARGET_BUCKET):
         assert _emb_lsh_rows(n) == EMB_LSH_MIN_ROWS
     for n in (10**6, 10**8, 10**9):
         r = _emb_lsh_rows(n)
         assert n / 2**r <= EMB_LSH_TARGET_BUCKET
         assert n / 2 ** (r - 1) > EMB_LSH_TARGET_BUCKET or r == EMB_LSH_MIN_ROWS
+    # cap binds exactly at the documented ceiling
+    assert _emb_lsh_rows(10**15) == EMB_LSH_R_MAX
 
 
-def test_emb_lsh_oracle_depth_generated_from_driver_table():
-    """The registered q_embedding_neardup_lsh oracle must be generated
-    for exactly the signature depth the Spark builder derives at the
-    driver's correctness-check scale — equality by construction, not
-    a hard-coded constant guarded only by a stderr warning (VERDICT
-    r6 ask #4). Checked for every local test scale too: they share
-    the ≤65k-row floor regime."""
-    import os
+def test_emb_lsh_depth_sql_twin_is_bit_identical():
+    """The oracle derives the signature depth from count(*) inside
+    the SQL (ADVICE r7 — no import-time path/env dependency). The
+    SQL expression must agree with the Python derivation at every N,
+    including the exact regime boundaries: both sides are pure
+    integer bit-length arithmetic, so this is equality by
+    construction, checked here over the boundary sweep."""
+    import duckdb
 
     from mapreduceapp_spark.operators.similarity import (
-        EMB_LSH_ORACLE_ROWS,
+        _EMB_LSH_ROWS_SQL,
+        EMB_LSH_TARGET_BUCKET,
         _emb_lsh_rows,
     )
     from mapreduceapp_spark.plans.registry import get_query
-    from mapreduceapp_spark.sources.parquet import _footer_row_count
 
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        path = f"/root/testdata/{sf}/embeddings.parquet"
-        n = _footer_row_count(path)
-        if n is None:
-            continue
-        assert _emb_lsh_rows(n) == EMB_LSH_ORACLE_ROWS, (sf, n)
-    # the depth the oracle SQL was actually rendered with: r bits per
-    # band => the largest per-band weight literal is 2^(r-1)
+    con = duckdb.connect()
+    sweep = [0, 1, 2, 500, EMB_LSH_TARGET_BUCKET - 1, EMB_LSH_TARGET_BUCKET,
+             EMB_LSH_TARGET_BUCKET + 1]
+    for k in range(1, 26):
+        edge = EMB_LSH_TARGET_BUCKET * (2**k)
+        sweep += [edge - 1, edge, edge + 1]
+    for n in sweep:
+        sql_r = con.execute(
+            f"SELECT {_EMB_LSH_ROWS_SQL} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()[0]
+        assert sql_r == _emb_lsh_rows(n), (n, sql_r, _emb_lsh_rows(n))
+    # the registered oracle embeds exactly this derivation and the
+    # masked-bit rendering up to the cap
+    from mapreduceapp_spark.operators.similarity import EMB_LSH_R_MAX
+
     sql = get_query("q_embedding_neardup_lsh").oracle
-    assert f"THEN {1 << (EMB_LSH_ORACLE_ROWS - 1)} ELSE 0" in sql
-    assert f"THEN {1 << EMB_LSH_ORACLE_ROWS} ELSE 0" not in sql
-    # and the env override is how a different driver dir would retarget
-    assert os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    assert _EMB_LSH_ROWS_SQL in sql
+    assert f"WHEN {EMB_LSH_R_MAX - 1} < r AND" in sql
+    assert f"WHEN {EMB_LSH_R_MAX} < r AND" not in sql
+
+
+def test_emb_lsh_plane_family_is_depth_independent():
+    """Plane (band, bit) must be the same vector at every signature
+    depth — the property that lets ONE rendered oracle serve all
+    scales (the flat-indexed family broke this)."""
+    from mapreduceapp_spark.operators.similarity import (
+        _band_hyperplane_signs,
+    )
+
+    shallow = _band_hyperplane_signs(3, 2)
+    deep = _band_hyperplane_signs(3, 5)
+    for b in range(3):
+        for p in range(2):
+            assert shallow[b * 2 + p] == deep[b * 5 + p], (b, p)
 
 
 def test_embedding_neardup_lsh_subset_and_planted_recall(spark, tmp_path):
