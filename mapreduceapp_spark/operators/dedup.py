@@ -62,8 +62,9 @@ JACCARD_THRESHOLD = 0.8  # the data's pair distribution is bimodal: â‰¤0.31 / â‰
 # still grew ~N^1.55 under the bucket cap: ubiquitous shingles make
 # unrelated documents' signatures collide. Signatures are therefore
 # computed over each document's shingles with df â‰¤ SHINGLE_DF_CAP
-# (full-set fallback when that leaves nothing â€” a doc made ONLY of
-# stopword shingles still gets a deterministic signature). Exact
+# (full-set fallback when fewer than SHINGLE_MIN_KEPT survive â€” a doc
+# made mostly of stopword shingles keeps a deterministic,
+# recall-conservative signature). Exact
 # VERIFICATION still uses the FULL shingle sets, so the query's output
 # semantics â€” exact-Jaccard pairs â€” and its SQL oracle are unchanged;
 # the cap only redirects which pairs become candidates. Sizing follows
@@ -75,6 +76,17 @@ JACCARD_THRESHOLD = 0.8  # the data's pair distribution is bimodal: â‰¤0.31 / â‰
 # df-based curation step, it costs one dedicated aggregate pass over
 # the corpus per process (memoized; the standard price of knowing df).
 SHINGLE_DF_CAP = 16_384
+
+# Fallback floor for the df cap (ADVICE r7): a document whose capped
+# shingle set falls BELOW this count reverts to its full set. The
+# empty-set-only fallback left a near-boundary hole: a doc with, say,
+# 2 surviving shingles gets a signature dominated by those two â€” a
+# true near-dup pair whose overlap sits in the dropped stopword mass
+# could stop colliding in every band. Falling back keeps such docs on
+# the conservative (more-candidates) side; since the output is
+# exact-verified, recall is the only thing at stake. Never triggers
+# at oracle scales (drop-set empty there â€” headroom test).
+SHINGLE_MIN_KEPT = 8
 
 # MinHash: 64 permutations = 16 bands Ã— 4 rows. For true Jaccard j the
 # candidate probability is 1-(1-j^4)^16: â‰ˆ1-3e-10 at j=.93 (the data's
@@ -244,12 +256,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (sf_dir, cap) -> (session, frozenset of over-cap shingles). The
+# (sf_dir, cap) -> (weakref to session, frozenset, Broadcast). The
 # drop-set is part of the staged-signature derivation: computed once
 # per process per corpus (like a stage() slot â€” bench's prewarm covers
-# it), never reset between timed runs. Hits require the SAME session
-# object (the _CLUSTERS_MEMO identity convention â€” an ``id()`` key
-# could alias a garbage-collected session's address).
+# it), never reset between timed runs. Hits require the memoized
+# session weakref to still resolve to the SAME session object (the
+# _CLUSTERS_MEMO identity convention â€” an ``id()`` key could alias a
+# garbage-collected session's address; a STRONG reference would pin
+# every session this memo ever saw for the life of the process,
+# ADVICE r7).
 _SHINGLE_DROPSET_MEMO: dict[tuple[str, int], tuple] = {}
 
 
@@ -258,6 +273,16 @@ def high_df_shingles(
 ) -> frozenset:
     """The over-cap shingle drop-set for a corpus (see
     :data:`SHINGLE_DF_CAP`), memoized per (session, corpus, cap).
+
+    CONTRACT NOTE: this runs an EAGER distributed aggregate +
+    driver ``collect()`` â€” deliberately outside the builders-are-
+    pure-plans rule, because the drop-set is derivation STATE the
+    signature UDF closes over, not part of any query's result. The
+    one builder that calls it (:func:`_doc_shingles_with_minhash`,
+    via every MinHash consumer) is therefore on the ``staged``
+    exempt list in tests/test_registry.py, same as the stage()-slot
+    builders; the cost is one memoized aggregate per (session,
+    corpus, cap) â€” bench's prewarm covers it.
 
     One distributed aggregate: explode distinct shingles, count docs
     per shingle (map-side partial agg â€” the key space is the shingle
@@ -268,14 +293,32 @@ def high_df_shingles(
     memory at any corpus size. Empty at every oracle/bench scale
     (max df 3,923 at sf0.1 vs cap 16,384 â€” headroom test-asserted).
     """
+    return _shingle_dropset_entry(spark, sf_dir, cap)[0]
+
+
+def _shingle_dropset_broadcast(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+):
+    """The drop-set as a Spark Broadcast (ADVICE r7): the signature
+    UDF references ``bc.value`` instead of closure-capturing the
+    frozenset, so a large drop-set (low cap on a degenerate corpus)
+    ships to each executor ONCE via the broadcast mechanism rather
+    than re-serializing inside every task's closure."""
+    return _shingle_dropset_entry(spark, sf_dir, cap)[1]
+
+
+def _shingle_dropset_entry(
+    spark: SparkSession, sf_dir: str, cap: int | None
+) -> tuple:
     import sys
+    import weakref
 
     if cap is None:  # read at call time so tests can plant a low cap
         cap = SHINGLE_DF_CAP
     key = (sf_dir, cap)
     hit = _SHINGLE_DROPSET_MEMO.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
+    if hit is not None and hit[0]() is spark:
+        return hit[1], hit[2]
     rows = (
         _doc_shingles(spark, sf_dir)
         .select(F.explode("sh").alias("s"))
@@ -290,8 +333,9 @@ def high_df_shingles(
         f"[shingle-df] {sf_dir}: {len(drop)} shingle(s) over df cap {cap}",
         file=sys.stderr,
     )
-    _SHINGLE_DROPSET_MEMO[key] = (spark, drop)
-    return drop
+    bc = spark.sparkContext.broadcast(drop)
+    _SHINGLE_DROPSET_MEMO[key] = (weakref.ref(spark), drop, bc)
+    return drop, bc
 
 
 def shingle_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,6 +357,49 @@ def shingle_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row per-corpus diagnostics of the df cap's bite AT
+    SIGNATURE TIME (ADVICE r7): how many documents lost shingles to
+    the cap, how many fell back to their full set (capped set below
+    :data:`SHINGLE_MIN_KEPT`), and the dropped-shingle volume. The
+    rehearsal harness records this next to the band stats so a
+    recall-risky regime (many capped docs, many fallbacks) is
+    observable instead of inferred."""
+    import pandas as pd
+
+    drop_bc = _shingle_dropset_broadcast(spark, sf_dir)
+    d = tables(spark, sf_dir).documents
+    k = SHINGLE_K
+    min_kept = SHINGLE_MIN_KEPT
+
+    def batches(it):
+        drop = drop_bc.value
+        for pdf in it:
+            n_sh, n_dropped, fell_back = [], [], []
+            for t in pdf["text"].str.lower():
+                sh = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+                kept = len(sh) - sum(1 for s in sh if s in drop)
+                n_sh.append(len(sh))
+                n_dropped.append(len(sh) - kept)
+                fell_back.append(int(kept < min_kept and kept < len(sh)))
+            yield pd.DataFrame(
+                {"n_sh": n_sh, "n_dropped": n_dropped, "fell_back": fell_back}
+            )
+
+    per_doc = d.select("text").mapInPandas(
+        batches, "n_sh int, n_dropped int, fell_back int"
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0)).alias(
+            "n_docs_capped"
+        ),
+        F.sum("fell_back").alias("n_docs_fallback"),
+        F.sum("n_dropped").alias("total_dropped"),
+        F.max("n_dropped").alias("max_dropped"),
+    )
+
+
 def _doc_shingles_with_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Arrow pass: shingle set + 64-element MinHash signature.
 
@@ -329,7 +416,8 @@ def _doc_shingles_with_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures are computed over the df-capped shingle subset (see
     :data:`SHINGLE_DF_CAP`): stopword shingles are dropped BEFORE the
     min-reduction so they can't dominate the minima, with a full-set
-    fallback for documents the cap would empty out. The ``sh`` column
+    fallback for documents the cap would leave with fewer than
+    :data:`SHINGLE_MIN_KEPT` shingles (ADVICE r7). The ``sh`` column
     stays the FULL set â€” exact verification and the ground-truth
     queries are untouched.
     """
@@ -337,9 +425,10 @@ def _doc_shingles_with_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     import zlib
 
-    drop = high_df_shingles(spark, sf_dir)
+    drop_bc = _shingle_dropset_broadcast(spark, sf_dir)
     d = tables(spark, sf_dir).documents
     k = SHINGLE_K
+    min_kept = SHINGLE_MIN_KEPT
     rng = np.random.RandomState(0x5EED)
     A = (rng.randint(1, 2**62, size=MINHASH_PERMS, dtype=np.uint64) * 2 + 1).astype(
         np.uint64
@@ -347,12 +436,15 @@ def _doc_shingles_with_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = rng.randint(0, 2**63, size=MINHASH_PERMS, dtype=np.uint64)
 
     def batches(it):
+        drop = drop_bc.value  # broadcast-shipped, not closure-captured
         for pdf in it:
             sh_col, sig_col = [], []
             for t in pdf["text"].str.lower():
                 sh = sorted({t[i : i + k] for i in range(max(len(t) - k + 1, 1))})
                 kept = [s for s in sh if s not in drop] if drop else sh
-                if not kept:  # all-stopword doc: deterministic fallback
+                if len(kept) < min_kept and len(kept) < len(sh):
+                    # near-empty capped set: revert to the full set
+                    # (SHINGLE_MIN_KEPT note â€” recall-conservative)
                     kept = sh
                 h = np.fromiter(
                     (zlib.crc32(s.encode()) for s in kept),

@@ -286,8 +286,68 @@ def test_shingle_df_cap_drops_planted_ubiquitous_shingle(spark, tmp_path):
         rows2 = {r["doc_id"]: r for r in sh.collect()}
         assert common in rows2[0]["sh"]
         assert len(rows2[2000]["sig"]) == 64
+        # signature-time diagnostics (ADVICE r7): every doc lost at
+        # least the planted shingle; only the all-stopword doc fell
+        # below SHINGLE_MIN_KEPT and reverted to its full set
+        stats = dd.minhash_signature_stats(spark, sf).collect()[0]
+        assert stats["n_docs"] == 63
+        assert stats["n_docs_capped"] == 63
+        assert stats["n_docs_fallback"] == 1
+        assert stats["max_dropped"] >= 1
     finally:
         dd.SHINGLE_DF_CAP = orig
+
+
+def test_shingle_min_kept_fallback_widens_past_empty(spark, tmp_path):
+    """A doc whose capped set is tiny-but-nonempty (below
+    SHINGLE_MIN_KEPT) must ALSO revert to its full shingle set
+    (ADVICE r7 — the empty-only fallback left near-boundary docs
+    with signatures built from 1-2 surviving shingles), and its
+    signature must therefore equal the one computed with no cap."""
+    import mapreduceapp_spark.operators.dedup as dd
+
+    import hashlib
+
+    common = "zqxwv"
+    # filler tails are per-doc hex hashes, so each filler doc keeps
+    # ~28 discriminating shingles after the cap — well above the floor
+    rows = [
+        (i, f"{common} " + hashlib.sha256(str(i).encode()).hexdigest()[:30])
+        for i in range(40)
+    ]
+    # the boundary doc: the stopword run plus ONE discriminating char
+    # => a handful of shingles, only ~2 survive the cap
+    rows.append((900, f"{common}{common}Q"))
+    sf = str(tmp_path / "minkept")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    orig = dd.SHINGLE_DF_CAP
+    dd.SHINGLE_DF_CAP = 30
+    try:
+        drop = dd.high_df_shingles(spark, sf, cap=30)
+        assert common in drop
+        sig_capped = {
+            r["doc_id"]: list(r["sig"])
+            for r in dd._doc_shingles_with_minhash(spark, sf).collect()
+        }
+        stats = dd.minhash_signature_stats(spark, sf).collect()[0]
+        assert stats["n_docs_fallback"] >= 1
+    finally:
+        dd.SHINGLE_DF_CAP = orig
+        dd._SHINGLE_DROPSET_MEMO.clear()
+    # uncapped signatures for comparison: same corpus, cap high
+    # enough that the drop-set is empty
+    sig_full = {
+        r["doc_id"]: list(r["sig"])
+        for r in dd._doc_shingles_with_minhash(spark, sf).collect()
+    }
+    dd._SHINGLE_DROPSET_MEMO.clear()
+    # the fallback doc's signature is the FULL-set signature
+    assert sig_capped[900] == sig_full[900]
+    # a doc with plenty of surviving shingles is NOT reverted: its
+    # capped signature differs from the full-set one
+    assert any(sig_capped[i] != sig_full[i] for i in range(40))
 
 
 def test_dedup_clusters_memoized_per_session(spark, sf_dir):
