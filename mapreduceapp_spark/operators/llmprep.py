@@ -605,7 +605,19 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Spark aggregates in partition order, DuckDB in its own; summing raw
 # doubles would make the hash check flaky by construction). The keep
 # decision compares integers cross-multiplied (sum_lp ≥ thresh·n), so
-# it cannot drift either. The threshold sits in the corpus's observed
+# it cannot drift either.
+#
+# Residual (ADVICE r7, documented deliberately): the PRESENTATION
+# column avg_lp = round(sum_lp/n/1e6, 4) rounds the exact integer
+# quotient once per row, and the three engines involved disagree on
+# exact .00005 ties — Spark rounds half-up (BigDecimal HALF_UP),
+# DuckDB half-away-from-zero (C round()), and the property test's
+# Python reference half-even. A tie requires sum_lp·10⁴ ≡ n·5·10¹
+# (mod n·10²) exactly — measure-zero in practice and absent at every
+# test scale; the integer keep flag (the decision column) is immune
+# regardless. If a corpus ever lands on a tie, emit (sum_lp, n_toks)
+# and round in presentation instead — the keep flag's discipline.
+# The threshold sits in the corpus's observed
 # score gap (avg_lp concentrates near ln(1/vocab)); docs whose tokens
 # are systematically rarer than the corpus average fall below it.
 UNIGRAM_LP_MICRO = 1_000_000

@@ -55,15 +55,14 @@ def _drain(query) -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-
+def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
+    """Drive every streaming runner over the events table at
+    ``sf_dir`` through the real file-source multi-batch path and
+    return the per-runner stats dict (the artifact body). Shared by
+    ``main()`` (bench artifact) and the floor-asserting test in
+    tests/test_streaming_throughput.py (VERDICT r7 ask #6)."""
     from pyspark.sql import functions as F
 
-    from mapreduceapp_spark.session import get_spark
     from mapreduceapp_spark.sources import load_table
     from mapreduceapp_spark.streaming.joins import (
         CLICK_TYPE,
@@ -74,13 +73,6 @@ def main() -> None:
     from mapreduceapp_spark.streaming.latedata import run_late_data_demo
     from mapreduceapp_spark.streaming.stateful import user_totals_stream
     from mapreduceapp_spark.streaming.windows import WATERMARK
-
-    spark = get_spark(
-        app_name="mapreduceapp-spark-streaming-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
     work = tempfile.mkdtemp(prefix="stream_bench_")
     results: dict[str, dict] = {}
@@ -152,15 +144,34 @@ def main() -> None:
             ),
         )
 
-        t0 = time.perf_counter()
-        late = run_late_data_demo(spark, sf_dir)
-        results["late_data_demo"] = {
-            "wall_sec": round(time.perf_counter() - t0, 2),
-            "result_rows": len(late),
-        }
+        if include_late:
+            t0 = time.perf_counter()
+            late = run_late_data_demo(spark, sf_dir)
+            results["late_data_demo"] = {
+                "wall_sec": round(time.perf_counter() - t0, 2),
+                "result_rows": len(late),
+            }
         results["_table"] = {"sf_dir": sf_dir, "events": n_events, "users": n_users}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    return results
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from mapreduceapp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mapreduceapp-spark-streaming-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = measure(spark, sf_dir)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     from bench import next_round  # shared round-derivation (ADVICE r5)
