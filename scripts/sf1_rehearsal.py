@@ -12,11 +12,24 @@ interpretable):
   k·1e9 per replica so intra-replica foreign keys stay valid and
   replicas never join to each other; region/nation stay fixed (real
   dimension-table behavior).
-- documents: every second token is salted with the replica index, so
-  a replica is NOT a near-duplicate of its base (Jaccard ≈ 1/3).
-  Replicating text verbatim would plant 45·N cross-replica near-dup
-  pairs and turn the dedup queries into output-volume benchmarks of
-  data that can't exist under the engine's own exact-dedup step.
+- documents: every second token is salted per replica, so a replica
+  is NOT a near-duplicate of its base (Jaccard ≈ 1/3). Replicating
+  text verbatim would plant 45·N cross-replica near-dup pairs and
+  turn the dedup queries into output-volume benchmarks of data that
+  can't exist under the engine's own exact-dedup step.
+  Salt FORM matters (round-8 finding): the old ``token_{k}`` suffix
+  planted replica-universal shingles — the fixed suffix + the token
+  boundary form complete k-grams shared by every salted token in the
+  replica, with the effect growing with the index's digit count
+  (per-replica kept-pair decomposition measured 147k pairs/replica
+  for 1-digit salts vs ~430k for 2-digit at the same drop-set) —
+  an intra-replica stopword mass invisible to the GLOBAL shingle-df
+  cap, which made kept candidates grow ~N² at the margin for
+  generator reasons, not engine reasons. The salt is now a
+  fixed-width per-(token, replica) hash REPLACEMENT: docs share a
+  salted token exactly when they shared the base token, so each
+  replica preserves the base corpus's token-sharing structure and
+  per-replica candidate volume stays flat as replicas accumulate.
 - embeddings: regenerated per id from xxhash64 (uniform[-2,2] per
   dim, matching the observed iid/symmetric per-dim distribution), for
   the same reason: verbatim or lightly-perturbed replicas sit above
@@ -112,10 +125,15 @@ def build_sf1(spark, n_replicas: int) -> None:
                 df = df.withColumn(c, F.col(c) + F.lit(k * OFFSET))
             if t == "documents":
                 toks = F.split(F.col("text"), " ")
+                # fixed-width per-(token, replica) hash replacement —
+                # see the construction note in the module docstring
                 salted = F.transform(
                     toks,
                     lambda x, i: F.when(
-                        (i + F.lit(k)) % 2 == 0, F.concat(x, F.lit(f"_{k}"))
+                        (i + F.lit(k)) % 2 == 0,
+                        F.substring(
+                            F.lower(F.hex(F.xxhash64(x, F.lit(k)))), 1, 8
+                        ),
                     ).otherwise(x),
                 )
                 df = df.withColumn("text", F.array_join(salted, " "))
