@@ -66,6 +66,23 @@ def test_inverted_index_segmented_bounds_hot_token(spark, tmp_path):
     assert len(rare) == 1 and rare[0]["bucket"] == 0
 
 
+def test_inverted_index_segmented_plan_shape(spark, sf_dir):
+    """Pin the executed plan the builder was tuned to (round 8): the
+    distinct-pair exchange must be REUSED for the df aggregate (one
+    pair shuffle feeds both sides of the join), and the vocabulary
+    dimension must reach the pair stream as a broadcast join — a
+    regression to two scans or a sort-merge join would double the
+    shuffle volume at scale."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    df = get_query("q_inverted_index_segmented").builder(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "df aggregate re-scans instead of reusing"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_inverted_index_salted_equals_unsalted_and_is_two_phase(spark, sf_dir):
     """The salted build must produce the identical index row-for-row,
     and its physical plan must actually carry the two-phase shape —
