@@ -834,6 +834,114 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental split: docs with doc_id % 10 >= 8 play the "freshly
+# crawled batch" (~20% of the corpus); the rest are the already-
+# ingested corpus. Deterministic in both engines — pure integer
+# arithmetic on the key.
+INCR_BATCH_MOD = 10
+INCR_BATCH_RESIDUE = 8
+
+
+@register(
+    "q_incremental_dedup",
+    # Same exact-Jaccard ground truth as q_minhash_neardup, restricted
+    # to cross-split pairs and re-keyed as (corpus_doc, new_doc). The
+    # LSH-miss / cap-headroom argument carries over unchanged (the
+    # split sides band the SAME signatures into buckets that are
+    # subsets of the full corpus's, so every headroom measured for
+    # q_minhash_neardup bounds this query's too).
+    oracle=f"""
+        WITH {ORACLE_JACCARD_PAIR_CTES}
+        SELECT CASE WHEN doc_a % {INCR_BATCH_MOD} < {INCR_BATCH_RESIDUE}
+                    THEN doc_a ELSE doc_b END AS corpus_doc,
+               CASE WHEN doc_a % {INCR_BATCH_MOD} < {INCR_BATCH_RESIDUE}
+                    THEN doc_b ELSE doc_a END AS new_doc,
+               inter, uni, round(inter::DOUBLE / uni, 4) AS jac
+        FROM jpairs
+        WHERE (doc_a % {INCR_BATCH_MOD} < {INCR_BATCH_RESIDUE})
+           <> (doc_b % {INCR_BATCH_MOD} < {INCR_BATCH_RESIDUE})
+    """,
+    doc="Incremental near-dup: a new-batch split LSH-probed against the "
+    "existing corpus only — the crawl-ingest dedup shape (C2 family).",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus MinHash dedup — the shape a production ingest
+    actually runs: each fresh crawl batch is checked against the
+    already-deduplicated corpus, NOT all-pairs over corpus ∪ batch.
+
+    Why this is its own operator and not a filter over
+    q_minhash_neardup: the candidate join here is band-bucket
+    batch×corpus, so candidate volume scales with |batch| × bucket
+    occupancy instead of the full corpus's pair mass — at 100 TB the
+    corpus side is a persisted signature index (the staged table
+    standing in for it) and each nightly batch re-probes it without
+    recomputing or re-pairing the corpus against itself. Intra-batch
+    duplicates are deliberately out of scope (a real pipeline runs
+    the self-join dedup on the batch alone first — that operator is
+    q_minhash_neardup).
+
+    Stages: shared staged signature pass → split by the batch
+    predicate → band both sides → equi-join batch bands against
+    CORPUS bands (bucket cap applied to the corpus side, where
+    degenerate buckets live; a batch band with no corpus twin dies
+    map-side in the join) → signature-agreement prefilter → exact
+    Jaccard verification on the full shingle sets. Output re-keyed
+    (corpus_doc, new_doc) — the consumer drops or links new docs,
+    never corpus ones.
+    """
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    is_new = (F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
+    corpus_bands = _capped_band_entries(
+        _minhash_band_entries(sh.filter(~is_new)), ["band_key"], LSH_BUCKET_CAP
+    )
+    batch_bands = _minhash_band_entries(sh.filter(is_new))
+    cand = (
+        batch_bands.alias("b")
+        .join(corpus_bands.alias("c"), ["band_key"])
+        .select(
+            F.col("c.doc_id").alias("corpus_doc"),
+            F.col("b.doc_id").alias("new_doc"),
+        )
+    )
+    sig_c = sh.select(F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c"))
+    sig_n = sh.select(F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n"))
+    est = (
+        cand.join(sig_c, "corpus_doc")
+        .join(sig_n, "new_doc")
+        .withColumn(
+            "sig_agree",
+            F.aggregate(
+                F.zip_with(
+                    "sig_c",
+                    "sig_n",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("sig_agree") >= MINHASH_PERMS // 2)
+        # distinct after the prefilter, same ordering argument as
+        # q_minhash_neardup: candidates arrive once per colliding
+        # band and the prefilter survivor set is tiny.
+        .select("corpus_doc", "new_doc")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c"))
+    sb = sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n"))
+    return (
+        est.join(sa, "corpus_doc")
+        .join(sb, "new_doc")
+        .withColumn("inter", F.size(F.array_intersect("sh_c", "sh_n")))
+        .withColumn("uni", F.size("sh_c") + F.size("sh_n") - F.col("inter"))
+        .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
+        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        .select(
+            "corpus_doc", "new_doc", "inter", "uni", F.round("jacc", 4).alias("jac")
+        )
+    )
+
+
 # MATERIALIZED pair CTEs are essential here: inside WITH RECURSIVE a
 # plain CTE would be re-evaluated on every iteration of ``reach``
 # (measured 71 s -> 0.7 s at sf0.01 after materializing).

@@ -292,3 +292,70 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+# Per-order quantity sum above which an order counts as "large
+# volume" (TPC-H Q18's qty > 300). On this synthetic corpus the cut
+# keeps ~0.03% of orders (46 at sf0.01) — selective enough that the
+# surviving set broadcasts, populated at every sf.
+Q18_QTY_THRESHOLD = 300
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        HAVING sum(CAST(l.l_quantity AS BIGINT)) > {Q18_QTY_THRESHOLD}
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — pre-aggregated having "
+    "filter feeding broadcast joins (B5+B7 composition).",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-order query (TPC-H Q18 shape): customers whose
+    order exceeds 300 total units.
+
+    The naive plan (the oracle's literal shape) joins all three
+    tables FIRST and aggregates the joined width — at 100 TB that
+    shuffles customer name / order columns for every lineitem row.
+    This plan inverts it: aggregate lineitem alone down to
+    (l_orderkey, sum_qty), filter to the ~0.03% surviving orders,
+    and only then join — the surviving side is small enough to
+    BROADCAST into the orders scan, and that result (46 rows at
+    sf0.01) broadcasts into the customer scan. Neither fact table
+    shuffles; the one exchange is lineitem's own pre-aggregation,
+    keyed by l_orderkey with map-side partials.
+
+    l_quantity is whole-valued by construction, so casting to long
+    before summation makes sum_qty integer-exact (order-independent)
+    in both engines; the other output columns pass through from
+    parquet unchanged — nothing float-derived to drift.
+    """
+    t = tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    hit = t.orders.join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty")
+    return (
+        t.customer.join(
+            F.broadcast(hit), F.col("c_custkey") == F.col("o_custkey")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )

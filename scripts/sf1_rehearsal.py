@@ -75,10 +75,14 @@ FIXED_TABLES = ["region", "nation"]
 # standalone run (157 s) re-derived the whole detect→cluster chain.
 DEFAULT_QUERIES = [
     "q_knn_cosine", "q_semantic_prune", "q_minhash_neardup",
+    # q_incremental_dedup AFTER q_minhash_neardup: shares the staged
+    # signature slot, so its time is the marginal cost of the
+    # batch-vs-corpus band probe — the number a nightly ingest pays.
+    "q_incremental_dedup",
     "q_simhash_neardup", "q_repetition_filter", "q_contamination",
     "q_embedding_neardup", "q_embedding_neardup_lsh", "q_ann_ivf",
     "q_dedup_clusters", "q_dedup_survivors", "q_curation_pipeline",
-    "q_tpch_q5",
+    "q_tpch_q5", "q_tpch_q18",
 ]
 
 

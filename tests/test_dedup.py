@@ -33,6 +33,42 @@ def test_minhash_equals_exact_jaccard(spark, sf_dir):
     assert len(exact) > 0, "fixture should contain planted near-duplicates"
 
 
+def test_incremental_dedup_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_incremental_dedup", sf_dir)
+
+
+def test_incremental_dedup_is_cross_split_slice_of_full(spark, sf_dir):
+    """The batch-vs-corpus query must equal the full all-pairs query
+    restricted to cross-split pairs, re-keyed (corpus_doc, new_doc) —
+    and both sides of every emitted pair must sit on opposite sides
+    of the split."""
+    from mapreduceapp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+    )
+    from mapreduceapp_spark.plans.registry import get_query
+
+    def is_new(doc_id: int) -> bool:
+        return doc_id % INCR_BATCH_MOD >= INCR_BATCH_RESIDUE
+
+    full = get_query("q_minhash_neardup").builder(spark, sf_dir).collect()
+    expected = {
+        (
+            (r.doc_a, r.doc_b) if is_new(r.doc_b) else (r.doc_b, r.doc_a)
+        )
+        + (r.inter, r.uni, r.jac)
+        for r in full
+        if is_new(r.doc_a) != is_new(r.doc_b)
+    }
+    got = {
+        (r.corpus_doc, r.new_doc, r.inter, r.uni, r.jac)
+        for r in get_query("q_incremental_dedup").builder(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) > 0, "fixture should contain cross-split near-dups"
+    assert all(not is_new(c) and is_new(n) for c, n, *_ in got)
+
+
 def test_simhash_banded_join_equals_brute_force(spark, sf_dir):
     """The pigeonhole band join is an exact strategy, not an
     approximation: it must find precisely the hamming ≤ 3 pairs."""

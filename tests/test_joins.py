@@ -14,6 +14,7 @@ ORACLE_QUERIES = [
     "q_anti_join",
     "q_outer_join",
     "q_tpch_q5",
+    "q_tpch_q18",
 ]
 
 
@@ -31,6 +32,19 @@ def test_broadcast_join_is_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q18_joins_are_broadcast(spark, sf_dir):
+    """Q18's scale contract: after the lineitem pre-aggregation the
+    surviving-order side broadcasts into both fact scans — neither
+    orders nor customer may shuffle for the join."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    df = get_query("q_tpch_q18").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_semi_anti_partition_customers(spark, sf_dir):

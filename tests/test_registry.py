@@ -96,6 +96,10 @@ _NEW_SINCE_ROTATION: set[str] = {
     # count(*)-derived oracle depth (ADVICE r7 — the pair set shifts
     # with the new plane family, so the r7 row is stale evidence)
     "q_embedding_neardup_lsh",
+    # new round 8: batch-vs-corpus incremental MinHash dedup
+    "q_incremental_dedup",
+    # new round 8: TPC-H Q18 large-volume-order shape
+    "q_tpch_q18",
 }
 
 
