@@ -10,6 +10,8 @@ Detection operators, smallest to largest hammer:
                           inverted-index self-join (no cross join).
 - ``q_containment``     — asymmetric shingle containment (subset
                           duplication symmetric Jaccard misses).
+- ``q_containment_prefix`` — the same pairs via ppjoin-style prefix
+                          filtering (exact; 65× fewer candidates).
 - ``q_minhash_neardup`` — MinHash signatures + banded LSH candidate
                           generation, then exact-Jaccard verification.
 - ``q_simhash_neardup`` — 60-bit SimHash + pigeonhole band join for
@@ -611,9 +613,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.9
 
 
-@register(
-    "q_containment",
-    oracle=f"""
+_ORACLE_CONTAINMENT = f"""
         WITH {ORACLE_SHINGLE_CTES}
         SELECT doc_a, doc_b, inter,
                least(ca.n, cb.n) AS n_small,
@@ -621,7 +621,12 @@ CONTAINMENT_THRESHOLD = 0.9
         FROM sh_co JOIN sh_cnt ca ON ca.doc_id = sh_co.doc_a
                    JOIN sh_cnt cb ON cb.doc_id = sh_co.doc_b
         WHERE inter::DOUBLE / least(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "q_containment",
+    oracle=_ORACLE_CONTAINMENT,
     doc="Asymmetric near-dup: shingle containment ≥ 0.9 of the smaller "
     "document in the larger (C2 family — subset duplication).",
     # bench=False for the same reason as q_ngram_jaccard: the exact
@@ -662,6 +667,119 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cont", F.col("inter").cast("double") / F.col("n_small"))
         .filter(F.col("cont") >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", "inter", "n_small", F.round("cont", 4).alias("cont"))
+    )
+
+
+# Containment-threshold numerator/denominator as integers (0.9 = 9/10)
+# so the prefix length is computed in pure integer arithmetic. With a
+# float, 0.9·n picks up an ulp at multiples of 10 (0.9*10 →
+# 9.000000000000002, ceil → 10) and the prefix silently shortens by
+# one — which for prefix filtering is a RECALL bug, not a rounding
+# nit. ⌈(t_num·n)/t_den⌉ = (t_num·n + t_den − 1) div t_den.
+CONTAINMENT_T_NUM = 9
+CONTAINMENT_T_DEN = 10
+assert CONTAINMENT_T_NUM / CONTAINMENT_T_DEN == CONTAINMENT_THRESHOLD
+
+
+@register(
+    "q_containment_prefix",
+    # EXACT scale path, so it shares q_containment's oracle with no
+    # recall condition: prefix filtering provably generates every
+    # qualifying pair at every scale (see the proof in the docstring),
+    # and verification is the same exact integer arithmetic.
+    oracle=_ORACLE_CONTAINMENT,
+    doc="Containment via ppjoin-style prefix filtering — the exact "
+    "scale path for subset-duplication detection (C2 family).",
+    # bench=False like the rest of the exact-containment family, with
+    # measurement: the prefix filter cuts candidate rows 65x vs the
+    # full posting self-join (sf0.1: 13.8M vs 769M; sf0.01: 119k vs
+    # 7.8M) but this corpus's 31-token vocabulary keeps even
+    # rarest-first prefixes dense (6.2M distinct candidates against
+    # 256 true pairs at sf0.1 — background Jaccard ~0.3 defeats every
+    # exact method; ppjoin's positional filter was measured too: 13.79M
+    # -> 13.69M, ineffective because matches land at early ranks). On
+    # natural text, rare-shingle df ~ 1 and this IS the production
+    # exact path; here it stays the quarantined ground-truth tier.
+    bench=False,
+)
+def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs via prefix filtering (the ppjoin family,
+    Xiao et al., WWW'08) — the production replacement for
+    q_containment's full posting-list self-join, EXACT at any scale.
+
+    The filter: order the shingle universe canonically by (global df
+    asc, shingle asc). For the smaller set S of a qualifying pair,
+    |S ∩ T| ≥ ⌈t·|S|⌉, so among ANY |S| − ⌈t·|S|⌉ + 1 of S's
+    shingles at least one is shared with T (else the intersection
+    fits inside the remaining ⌈t·|S|⌉ − 1). Taking that prefix in
+    rarest-first order makes the candidate join's per-shingle
+    fan-out prefix_df(s) · df(s) instead of df(s)² — stopword
+    shingles have huge df but ~never appear in a rarest-first
+    prefix, so the blow-up term vanishes while recall stays exactly
+    1. At t = 0.9 the prefix is ~10% of each doc's shingles.
+
+    Plan: df aggregate (shuffle by shingle) → rarest-first
+    row_number window per doc (shuffle by doc_id) → prefix(smaller
+    role) ⋈ full-postings(larger role) on shingle (shuffle by
+    shingle; the smaller role is canonicalized by (n_sh, doc_id) so
+    each unordered pair generates once) → distinct candidates →
+    exact array_intersect verification against the staged shingle
+    sets. Every stage's key fan-out is bounded by the prefix
+    construction; no LSH-style cap (and therefore no cap headroom
+    condition) is needed for correctness.
+    """
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    posting = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    dfc = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(
+            f"({CONTAINMENT_T_NUM} * n_sh + {CONTAINMENT_T_DEN - 1}) "
+            f"DIV {CONTAINMENT_T_DEN}"
+        )
+        + F.lit(1)
+    )
+    pref = (
+        posting.join(dfc, "s")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc_id", "n_sh", "s")
+    )
+    cand = (
+        pref.alias("a")
+        .join(posting.alias("b"), ["s"])
+        .filter(
+            (F.col("a.n_sh") < F.col("b.n_sh"))
+            | (
+                (F.col("a.n_sh") == F.col("b.n_sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("small_doc"),
+            F.col("b.doc_id").alias("big_doc"),
+        )
+        .distinct()
+    )
+    ss = sh.select(F.col("doc_id").alias("small_doc"), F.col("sh").alias("sh_s"))
+    sb = sh.select(F.col("doc_id").alias("big_doc"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(ss, "small_doc")
+        .join(sb, "big_doc")
+        .withColumn("inter", F.size(F.array_intersect("sh_s", "sh_b")))
+        .withColumn("n_small", F.least(F.size("sh_s"), F.size("sh_b")))
+        .withColumn("cont", F.col("inter").cast("double") / F.col("n_small"))
+        .filter(F.col("cont") >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.least("small_doc", "big_doc").alias("doc_a"),
+            F.greatest("small_doc", "big_doc").alias("doc_b"),
+            "inter",
+            "n_small",
+            F.round("cont", 4).alias("cont"),
+        )
     )
 
 

@@ -306,7 +306,7 @@ Q18_QTY_THRESHOLD = 300
     oracle=f"""
         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
                o.o_totalprice,
-               sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey

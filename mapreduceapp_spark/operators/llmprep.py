@@ -607,17 +607,20 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decision compares integers cross-multiplied (sum_lp ≥ thresh·n), so
 # it cannot drift either.
 #
-# Residual (ADVICE r7, documented deliberately): the PRESENTATION
-# column avg_lp = round(sum_lp/n/1e6, 4) rounds the exact integer
-# quotient once per row, and the three engines involved disagree on
-# exact .00005 ties — Spark rounds half-up (BigDecimal HALF_UP),
-# DuckDB half-away-from-zero (C round()), and the property test's
-# Python reference half-even. A tie requires sum_lp·10⁴ ≡ n·5·10¹
-# (mod n·10²) exactly — measure-zero in practice and absent at every
-# test scale; the integer keep flag (the decision column) is immune
-# regardless. If a corpus ever lands on a tie, emit (sum_lp, n_toks)
-# and round in presentation instead — the keep flag's discipline.
-# The threshold sits in the corpus's observed
+# avg_lp rounding (ADVICE r7, escape hatch APPLIED round 8): ties in
+# round(sum_lp/n/1e6, 4) are NOT measure-zero — the quotient is a
+# ratio of integers, so exact .00005 ties occur whenever
+# sum_lp·2·10⁴ ≡ n·10⁶ (mod 2n·10⁶); the hypothesis sweep found one
+# (sum_lp=-13,593,200, n=8 → exactly -1.69915), where Spark's
+# BigDecimal.valueOf(double) rounds the SHORTEST decimal string
+# half-up to -1.6992 while C-library round() on the binary double
+# (just below the tie) gives -1.6991. The fix is the keep flag's
+# integer discipline applied to the presentation column too: the
+# 4-decimal value is computed as a pure-integer half-away-from-zero
+# division r = sign·((2·|sum_lp| + n·S) div (2·n·S)) with
+# S = UNIGRAM_LP_MICRO/10⁴, then r/10⁴ — both engines derive the
+# SAME integer r and the same double from it, so no float rounding
+# mode is involved anywhere. The threshold sits in the corpus's observed
 # score gap (avg_lp concentrates near ln(1/vocab)); docs whose tokens
 # are systematically rarer than the corpus average fall below it.
 UNIGRAM_LP_MICRO = 1_000_000
@@ -644,13 +647,22 @@ UNIGRAM_KEEP_MICRO = -3_450_000
                         AS BIGINT) AS lp_w
             FROM counts, tot
         )
-        SELECT t2.doc_id,
-               count(*) AS n_toks,
-               round(sum(lp_w) / count(*) / {UNIGRAM_LP_MICRO}.0, 4) AS avg_lp,
-               CASE WHEN sum(lp_w) >= {UNIGRAM_KEEP_MICRO} * count(*)
+        ,
+        per_doc AS (
+            SELECT t2.doc_id,
+                   count(*) AS n_toks,
+                   CAST(sum(lp_w) AS BIGINT) AS sum_lp
+            FROM t2 JOIN lp USING (w)
+            GROUP BY t2.doc_id
+        )
+        SELECT doc_id, n_toks,
+               (CASE WHEN sum_lp < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(sum_lp) + n_toks * {UNIGRAM_LP_MICRO // 10_000})
+                   // (2 * n_toks * {UNIGRAM_LP_MICRO // 10_000})))
+               / 10000.0 AS avg_lp,
+               CASE WHEN sum_lp >= {UNIGRAM_KEEP_MICRO} * n_toks
                     THEN 1 ELSE 0 END AS keep
-        FROM t2 JOIN lp USING (w)
-        GROUP BY t2.doc_id
+        FROM per_doc
     """,
     doc="Unigram-LM quality score per document (mean token log-probability "
     "under the corpus's own unigram model) with an integer-exact keep flag "
@@ -697,11 +709,21 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_toks"),
         F.sum("lp_w").alias("sum_lp"),
     )
+    scale = UNIGRAM_LP_MICRO // 10_000
+    # integer half-away-from-zero: r = sign · ((2|a| + b) div 2b) for
+    # q = a/b in 1e-4 units — see the UNIGRAM_LP_MICRO note. DIV is
+    # integer division on longs in both engines; operands are kept
+    # non-negative so truncation direction can't differ.
     return per_doc.select(
         "doc_id",
         "n_toks",
-        F.round(
-            F.col("sum_lp") / F.col("n_toks") / UNIGRAM_LP_MICRO, 4
+        (
+            F.expr(
+                f"CASE WHEN sum_lp < 0 THEN -1 ELSE 1 END"
+                f" * ((2 * abs(sum_lp) + n_toks * {scale})"
+                f" DIV (2 * n_toks * {scale}))"
+            )
+            / F.lit(10000.0)
         ).alias("avg_lp"),
         (F.col("sum_lp") >= F.lit(UNIGRAM_KEEP_MICRO) * F.col("n_toks"))
         .cast("int")

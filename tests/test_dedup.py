@@ -395,6 +395,27 @@ def test_dedup_clusters_memoized_per_session(spark, sf_dir):
     assert b(spark, sf_dir) is b(spark, sf_dir)
 
 
+def test_containment_prefix_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_containment_prefix", sf_dir)
+
+
+def test_containment_prefix_equals_exact(spark, sf_dir):
+    """Prefix filtering is exact by proof; pin it by measurement too:
+    the prefix-filtered query must emit exactly the full posting-list
+    self-join's pair set."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    exact = {
+        tuple(r) for r in get_query("q_containment").builder(spark, sf_dir).collect()
+    }
+    pref = {
+        tuple(r)
+        for r in get_query("q_containment_prefix").builder(spark, sf_dir).collect()
+    }
+    assert pref == exact
+    assert len(pref) > 0, "fixture should contain containment pairs"
+
+
 def test_containment_oracle(spark, sf_dir):
     assert_matches_oracle(spark, "q_containment", sf_dir)
 

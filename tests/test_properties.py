@@ -313,9 +313,13 @@ def test_jpeg_progressive_roundtrip_law(spark, grays, refine):
 @SETTINGS
 def test_unigram_logprob_matches_python_oracle(spark, docs):
     """The micro-nat grid law, against an independent Python
-    reference: avg_lp equals round(sum(round(ln(cnt/total)*1e6)) / n
-    / 1e6, 4) computed driver-side, for any small corpus — i.e. the
-    distributed aggregation adds nothing float-order-dependent."""
+    reference: avg_lp equals the pure-integer half-away-from-zero
+    rounding of sum(round(ln(cnt/total)*1e6)) / n to 4 decimals,
+    computed driver-side, for any small corpus — i.e. the
+    distributed aggregation adds nothing float-order-dependent AND
+    no engine's float rounding mode is involved (hypothesis found an
+    exact .00005 tie where round()-based references diverge — the
+    reason avg_lp is integer-derived; see UNIGRAM_LP_MICRO)."""
     import math
 
     from mapreduceapp_spark.plans.registry import get_query
@@ -340,5 +344,8 @@ def test_unigram_logprob_matches_python_oracle(spark, docs):
     lp = {w: round(math.log(c / total) * 1e6) for w, c in cnt.items()}
     for i, words in enumerate(docs):
         n = len(words)
-        want = round(sum(lp[w] for w in words) / n / 1e6, 4)
+        a = sum(lp[w] for w in words)
+        b = n * 100  # micro-nats -> 1e-4 units
+        r = (-((2 * -a + b) // (2 * b))) if a < 0 else ((2 * a + b) // (2 * b))
+        want = r / 10000.0
         assert got[i] == (n, want), (i, got[i], (n, want))

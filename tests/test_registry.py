@@ -100,6 +100,12 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_incremental_dedup",
     # new round 8: TPC-H Q18 large-volume-order shape
     "q_tpch_q18",
+    # new round 8: exact prefix-filtered containment (scale path)
+    "q_containment_prefix",
+    # redefined round 8: avg_lp is now integer-derived (hypothesis
+    # found an exact .00005 tie where Spark/DuckDB/Python round()
+    # diverge — the ADVICE r7 escape hatch applied for real)
+    "q_unigram_logprob",
 }
 
 
