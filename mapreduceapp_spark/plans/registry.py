@@ -152,7 +152,10 @@ _CHECK_ROTATION = [
     "q_inverted_index_salted", "q_pii_scrub", "q_rollup",
     "q_sample_split", "q_scalar_funcs", "q_semi_join",
     "q_session_window", "q_simhash_neardup", "q_text_normalize",
-    "q_tumbling_window", "q_udf_quality", "q_unigram_logprob",
+    # (q_unigram_logprob was redefined in round 8 — avg_lp is now
+    # integer-derived after a hypothesis-found .00005 rounding tie —
+    # and re-checks as brand-new; see _NEW_SINCE_ROTATION.)
+    "q_tumbling_window", "q_udf_quality",
     "q_union_all", "q_unpivot", "q_user_totals", "q_window_rank",
     "q_window_running",
 ]
