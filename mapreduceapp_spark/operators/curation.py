@@ -327,6 +327,118 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature resampling: overall budget = half the corpus, mixture
+# weights w_s ∝ cnt_s^α with α = 0.5 — the multilingual/domain
+# re-balancing exponent family (α=1 keeps the natural mixture, α=0
+# forces uniform; 0.5 is the classic compromise). α is fixed at 0.5
+# SPECIFICALLY because cnt^0.5 = sqrt(cnt) is IEEE-correctly-rounded
+# in both engines (pow(x, 0.5) is not guaranteed to be), so with
+# floor() — which is exact on any double — the integer micro-weight
+# needs NO decimal rounding anywhere: the avg_lp tie class (see
+# llmprep.UNIGRAM_LP_MICRO) cannot occur by construction.
+TEMP_WEIGHT_MICRO = 1_000_000
+TEMP_BUDGET_DEN = 2  # sample n_total DIV 2 docs overall
+
+
+@register(
+    "q_temperature_resample",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        ),
+        wts AS (
+            SELECT source, cnt,
+                   CAST(floor(sqrt(cnt::DOUBLE) * {TEMP_WEIGHT_MICRO})
+                        AS BIGINT) AS w_micro
+            FROM counts
+        ),
+        tot AS (
+            SELECT CAST(sum(w_micro) AS BIGINT) AS w_total,
+                   CAST(sum(cnt) AS BIGINT) AS n_total
+            FROM wts
+        ),
+        targets AS (
+            SELECT source, cnt,
+                   least(cnt,
+                         (n_total // {TEMP_BUDGET_DEN}) * w_micro // w_total)
+                       AS target_k
+            FROM wts, tot
+        ),
+        ranked AS (
+            SELECT d.source, d.doc_id, t.cnt AS n_source, t.target_k,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY sha256(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS rn
+            FROM documents d JOIN targets t USING (source)
+        )
+        SELECT source, doc_id, n_source, CAST(target_k AS BIGINT) AS target_k
+        FROM ranked WHERE rn <= target_k
+    """,
+    doc="Temperature (α=0.5) mixture resampling: per-source targets "
+    "∝ sqrt(count), deterministic hash-rank selection.",
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture temperature resampling — the re-balancing step of
+    multilingual/multi-domain pretraining pipelines: sample sources
+    ∝ cnt^α (α = 0.5) so dominant sources shrink and rare ones keep
+    representation, under a global budget of half the corpus.
+
+    Determinism: per-source weight = floor(sqrt(cnt)·1e6) — sqrt and
+    floor are both exact on identical doubles in every IEEE engine
+    (see TEMP_WEIGHT_MICRO note), integer sums/divisions from there,
+    and selection is the sha256-hash-rank convention of
+    q_stratified_sample — so the kept SET is a pure function of the
+    data: stable across runs, engines, partitionings, and backfills.
+    The output carries no float column at all.
+
+    Plan: source counts (one shuffle over a handful of keys) → 1-row
+    stats crossJoin (the module's broadcast convention) → targets
+    broadcast back to the corpus scan → one row_number window per
+    source. At 100 TB the window's per-source sort is the cost; the
+    same quantile-threshold pre-filter documented on
+    q_stratified_sample applies verbatim (keep digest < approximate
+    target_k/cnt quantile, then exact-rank the survivors). The
+    int64 grid bounds: budget · w_micro < 2^63 holds to ~10^9 docs
+    per source at this grid; a 100 TB corpus rescales
+    TEMP_WEIGHT_MICRO down one decade per decade of corpus growth
+    (both engines derive the identical rescaled integers).
+    """
+    t = tables(spark, sf_dir)
+    d = t.documents
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    wts = counts.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("cnt").cast("double")) * TEMP_WEIGHT_MICRO),
+    )
+    tot = wts.agg(
+        F.sum("w_micro").alias("w_total"), F.sum("cnt").alias("n_total")
+    )
+    targets = (
+        wts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_k",
+            F.least(
+                F.col("cnt"),
+                F.expr(
+                    f"((n_total DIV {TEMP_BUDGET_DEN}) * w_micro) DIV w_total"
+                ),
+            ),
+        )
+        .select("source", F.col("cnt").alias("n_source"), "target_k")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
+    )
+    return (
+        d.select("source", "doc_id")
+        .join(F.broadcast(targets), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("target_k"))
+        .select("source", "doc_id", "n_source", "target_k")
+    )
+
+
 CHUNK_SIZE = 64  # tokens per chunk
 CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
 

@@ -133,6 +133,60 @@ def test_stratified_sample_exact_k_and_stable(spark, sf_dir):
     assert again == {(r["lang"], r["doc_id"]) for r in rows}
 
 
+def test_temperature_resample_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_temperature_resample", sf_dir)
+
+
+def test_temperature_resample_rebalances_toward_uniform(spark, sf_dir):
+    """The α=0.5 law: per-source kept counts hit the integer target
+    formula exactly, the budget is respected, and kept FRACTIONS are
+    anti-monotone in source size (a strictly smaller source never
+    keeps a smaller fraction than a strictly larger one — the whole
+    point of temperature < 1)."""
+    import math
+
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.operators.curation import (
+        TEMP_BUDGET_DEN,
+        TEMP_WEIGHT_MICRO,
+    )
+    from mapreduceapp_spark.sources import tables
+
+    rows = get_query("q_temperature_resample").builder(spark, sf_dir).collect()
+    kept: dict[str, int] = {}
+    meta: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        kept[r.source] = kept.get(r.source, 0) + 1
+        meta[r.source] = (r.n_source, r.target_k)
+
+    # derive counts independently (plain groupBy)
+    from pyspark.sql import functions as F
+
+    cnts = {
+        r["source"]: r["cnt"]
+        for r in tables(spark, sf_dir)
+        .documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_total = sum(cnts.values())
+    w = {s: math.floor(math.sqrt(c) * TEMP_WEIGHT_MICRO) for s, c in cnts.items()}
+    w_total = sum(w.values())
+    budget = n_total // TEMP_BUDGET_DEN
+    for s, c in cnts.items():
+        want = min(c, budget * w[s] // w_total)
+        if want == 0:
+            assert s not in kept
+            continue
+        assert kept[s] == want, (s, kept[s], want)
+        assert meta[s] == (c, want)
+    assert sum(kept.values()) <= budget
+    sources = sorted(cnts, key=cnts.get)
+    fracs = [kept.get(s, 0) / cnts[s] for s in sources]
+    for a, b in zip(fracs, fracs[1:]):
+        assert a >= b - 1e-12, (fracs, sources)
+
+
 def test_chunk_documents_oracle(spark, sf_dir):
     assert_matches_oracle(spark, "q_chunk_documents", sf_dir)
 

@@ -106,6 +106,8 @@ _NEW_SINCE_ROTATION: set[str] = {
     # found an exact .00005 tie where Spark/DuckDB/Python round()
     # diverge — the ADVICE r7 escape hatch applied for real)
     "q_unigram_logprob",
+    # new round 8: α=0.5 mixture temperature resampling
+    "q_temperature_resample",
 }
 
 
