@@ -13,6 +13,7 @@ from mapreduceapp_spark.sources.formats import (  # noqa: F401
     from_rows,
     read_csv,
     read_jsonl,
+    write_bucketed_table,
     write_csv,
     write_parquet,
     write_sorted_parquet,

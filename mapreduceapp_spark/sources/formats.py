@@ -208,6 +208,46 @@ def compact_parquet(
     return _parquet_tree_stats(spark, out_path)[1]
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed-table sink — the co-located
+    join layout.
+
+    ``bucketBy(n, key)`` hash-partitions rows into n buckets per
+    write task and records the bucketing spec in the catalog. A later
+    join or aggregation on the bucket key between tables bucketed the
+    SAME way reads bucket i against bucket i directly: the exchange
+    that dominates fact⋈fact joins disappears from the plan entirely
+    (asserted in tests/test_sources.py::test_bucketed_join_elides_
+    shuffle). With ``sort_cols`` each bucket file is also sorted, so
+    a sort-merge join skips its sort too — the full co-location
+    dividend.
+
+    At 100 TB this is the standing answer to "this join shuffles
+    400 TB every night": pay one bucketed write when the table lands,
+    then every recurring join on that key is exchange-free. Bucket
+    count is a layout decision: it bounds join parallelism, so size
+    it to the cluster (e.g. 2-4x total cores), not to the data.
+
+    Bucketing requires the table catalog (``saveAsTable``) — a plain
+    ``.parquet(path)`` write cannot carry the bucket spec.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def _parquet_tree_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(total_bytes, file_count) over ``*.parquet`` files under
     ``path``. Schemed URIs go through the Hadoop FileSystem API —

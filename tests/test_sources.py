@@ -374,3 +374,60 @@ def test_compact_parquet_sizes_schemed_uris(spark, sf_dir, tmp_path):
     assert spark.read.parquet(compacted).count() == load_table(
         spark, sf_dir, "orders"
     ).count()
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """The co-location contract: two tables bucketed the same way on
+    the join key sort-merge-join with NO exchange on either side —
+    the layout, not the optimizer, pays for the shuffle, once, at
+    write time."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.sources import load_table, write_bucketed_table
+
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "bkt_orders",
+        ["o_custkey"],
+        num_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        "bkt_customer",
+        ["c_custkey"],
+        num_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    conf = spark.conf
+    old_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    try:
+        # force the sort-merge path so the assertion is about
+        # bucketing, not about the dims being broadcastable
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the result is the real join
+        expect = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expect
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
