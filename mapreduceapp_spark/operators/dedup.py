@@ -438,12 +438,22 @@ def _doc_shingles_with_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays the FULL set — exact verification and the ground-truth
     queries are untouched.
     """
+    drop_bc = _shingle_dropset_broadcast(spark, sf_dir)
+    return minhash_signatures_for(tables(spark, sf_dir).documents, drop_bc)
+
+
+def minhash_signatures_for(docs: DataFrame, drop_bc) -> DataFrame:
+    """The shingle+signature Arrow pass over an arbitrary
+    ``(doc_id, text)`` DataFrame — batch or STREAMING (mapInPandas is
+    legal on streaming DataFrames, which is what lets the streaming
+    ingest-dedup runner reuse the exact signature family the corpus
+    index was built with; see streaming/probe.py). ``drop_bc`` is the
+    corpus-derived shingle drop-set broadcast: probes must cap their
+    vocabulary by the INDEX's decisions, not their own batch's."""
     import numpy as np
     import pandas as pd
     import zlib
 
-    drop_bc = _shingle_dropset_broadcast(spark, sf_dir)
-    d = tables(spark, sf_dir).documents
     k = SHINGLE_K
     min_kept = SHINGLE_MIN_KEPT
     rng = np.random.RandomState(0x5EED)
@@ -477,7 +487,7 @@ def _doc_shingles_with_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "sh": sh_col, "sig": sig_col}
             )
 
-    return d.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").mapInPandas(
         batches, "doc_id bigint, sh array<string>, sig array<bigint>"
     )
 
@@ -783,21 +793,24 @@ def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def band_key_array():
+    """The 16-element band-key column over a ``sig`` column — the
+    LSH band family as one expression, shared by the batch candidate
+    generators here and the streaming probe (streaming/probe.py), so
+    a probe's band keys are bit-identical to the index's."""
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS))
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
 def _minhash_band_entries(sh: DataFrame) -> DataFrame:
     """(doc_id, band_key) rows — 16 per doc — from the signature
     table. Band key folds the band index into the hash so one long
     column keys the shuffle."""
-    return sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.lit(b), F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS))
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    return sh.select("doc_id", F.explode(band_key_array()).alias("band_key"))
 
 
 def minhash_candidates(sh: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:

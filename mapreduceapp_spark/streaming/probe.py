@@ -1,0 +1,142 @@
+"""Streaming ingest dedup: live documents probed against the static
+corpus signature index.
+
+This is the streaming twin of ``q_incremental_dedup``
+(operators/dedup.py) — the shape a production ingest pipeline runs
+continuously instead of nightly: documents arrive on a stream, each
+micro-batch computes MinHash signatures with the SAME hash family,
+shingle drop-set, and band keys the corpus index was built with
+(``minhash_signatures_for`` / ``band_key_array`` are shared code, not
+re-implementations), probes the index's band buckets, and emits
+exact-verified (corpus_doc, new_doc) near-dup pairs. tests/
+test_streaming.py asserts the drained stream equals the batch twin's
+output row-for-row.
+
+Reference grounding: the reference has no streaming surface
+(``MapReduceFramework.cpp`` runs one finite job); this extends the
+engine's ingest-dedup operator to the unbounded case the same way the
+windowed aggregations extend its batch aggregations.
+
+Scale posture (100 TB corpus, streaming ingest):
+- Every join here is STREAM-STATIC: the corpus band index and the
+  signature/shingle lookup sides are batch DataFrames re-planned per
+  micro-batch, so there is no join state to watermark — the only
+  stateful operator is the final ``dropDuplicates``, whose state is
+  one row per EMITTED pair (bounded by true-duplicate volume, not by
+  traffic; a pair can recur only via multi-band collisions).
+- The probe's cost per micro-batch is |batch| × bucket occupancy of
+  the buckets the batch's own bands hit (measured constant in corpus
+  size on the rehearsal corpus — NOTES_r08.md); the corpus is never
+  re-paired against itself.
+- In production the staged signature table is a persisted,
+  band-partitioned index; micro-batches prune to the band buckets
+  they touch. Re-staging happens only on corpus compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    LSH_BUCKET_CAP,
+    MINHASH_PERMS,
+    _capped_band_entries,
+    _doc_shingles_with_minhash,
+    _minhash_band_entries,
+    _shingle_dropset_broadcast,
+    band_key_array,
+    minhash_signatures_for,
+)
+from mapreduceapp_spark.plans.staging import stage
+from mapreduceapp_spark.sources import load_table
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, stream_dir: str
+) -> DataFrame:
+    """documents as a file-source stream (schema from the batch
+    table, same convention as events_stream). Callers stage document
+    parquet files into ``stream_dir``; in production this is the
+    crawl-ingest topic."""
+    batch = load_table(spark, sf_dir, "documents")
+    return (
+        spark.readStream.schema(batch.schema).format("parquet").load(stream_dir)
+    )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession, sf_dir: str, docs_stream: DataFrame
+) -> DataFrame:
+    """Probe a document stream against ``sf_dir``'s corpus signature
+    index; emit exact-verified near-dup pairs (corpus_doc, new_doc,
+    inter, uni, jac) — the same schema and values as the batch twin
+    when the stream carries the batch split's documents.
+
+    Static sides (corpus index) come from the SAME staged slot the
+    batch queries share; the corpus here is the batch twin's split
+    (doc_id % 10 < 8) so batch ≡ stream is directly assertable. The
+    stream side carries its shingle set and signature THROUGH the
+    band join (×16 fan-out of array columns — fine for a probe
+    stream; the batch plan instead joins back to the staged table,
+    which a stream cannot).
+    """
+    from mapreduceapp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+    )
+
+    corpus_sh = stage(
+        _doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures"
+    ).filter((F.col("doc_id") % INCR_BATCH_MOD) < INCR_BATCH_RESIDUE)
+    corpus_bands = _capped_band_entries(
+        _minhash_band_entries(corpus_sh), ["band_key"], LSH_BUCKET_CAP
+    ).withColumnRenamed("doc_id", "corpus_doc")
+    sig_c = corpus_sh.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("sig").alias("sig_c"),
+        F.col("sh").alias("sh_c"),
+    )
+
+    drop_bc = _shingle_dropset_broadcast(spark, sf_dir)
+    probe_sh = minhash_signatures_for(docs_stream, drop_bc)
+    probe_bands = probe_sh.select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("sh").alias("sh_n"),
+        F.col("sig").alias("sig_n"),
+        F.explode(band_key_array()).alias("band_key"),
+    )
+    cand = probe_bands.join(corpus_bands, "band_key")
+    verified = (
+        cand.join(sig_c, "corpus_doc")
+        .withColumn(
+            "sig_agree",
+            F.aggregate(
+                F.zip_with(
+                    "sig_c",
+                    "sig_n",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("sig_agree") >= MINHASH_PERMS // 2)
+        .withColumn("inter", F.size(F.array_intersect("sh_c", "sh_n")))
+        .withColumn("uni", F.size("sh_c") + F.size("sh_n") - F.col("inter"))
+        .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
+        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        .select(
+            "corpus_doc",
+            "new_doc",
+            "inter",
+            "uni",
+            F.round("jacc", 4).alias("jac"),
+        )
+    )
+    # multi-band collisions emit a pair once per colliding band;
+    # dedup AFTER the exact verify (survivor set = true pairs only),
+    # so dropDuplicates state is one row per emitted pair — bounded
+    # by duplicate volume, not traffic.
+    return verified.dropDuplicates(["corpus_doc", "new_doc"])

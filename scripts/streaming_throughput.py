@@ -144,6 +144,34 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
             ),
         )
 
+        # streaming ingest dedup: the batch split's documents probed
+        # against the corpus signature index, multi-batch
+        from pyspark.sql import functions as FF
+
+        from mapreduceapp_spark.operators.dedup import (
+            INCR_BATCH_MOD,
+            INCR_BATCH_RESIDUE,
+        )
+        from mapreduceapp_spark.streaming.probe import incremental_dedup_stream
+
+        docs_dir = f"{work}/docs"
+        docs = load_table(spark, sf_dir, "documents")
+        batch_docs = docs.filter(
+            (FF.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
+        )
+        n_probe_docs = batch_docs.count()
+        batch_docs.repartition(4).write.parquet(docs_dir)
+        probe_src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+        )
+        run(
+            "ingest_dedup_probe",
+            incremental_dedup_stream(spark, sf_dir, probe_src),
+            {"probe_docs": n_probe_docs},
+        )
+
         if include_late:
             t0 = time.perf_counter()
             late = run_late_data_demo(spark, sf_dir)

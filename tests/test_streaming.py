@@ -221,3 +221,42 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
     assert len(rows) == ev.count()  # left join drops nothing
     want = {r.user_id: r.hist_events for r in dim.collect()}
     assert all(r.hist_events == want[r.user_id] for r in rows)
+
+
+def test_incremental_dedup_batch_equals_stream(spark, sf_dir, tmp_path):
+    """Streaming ingest dedup: feeding the batch split's documents
+    through the stream probe must reproduce q_incremental_dedup's
+    pairs exactly — same signatures, same band keys, same exact
+    verification, across multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+    )
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.streaming.probe import (
+        documents_stream,
+        incremental_dedup_stream,
+    )
+
+    stream_dir = str(tmp_path / "docs_stream")
+    batch_docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
+    )
+    # several files => several micro-batches with maxFilesPerTrigger=1
+    batch_docs.repartition(3).write.parquet(stream_dir)
+
+    probe = incremental_dedup_stream(
+        spark, sf_dir, documents_stream(spark, sf_dir, stream_dir)
+    )
+    stream_rows = _run_stream_to_rows(spark, probe, mode="append")
+    got = {tuple(r) for r in stream_rows}
+
+    want = {
+        tuple(r)
+        for r in get_query("q_incremental_dedup").builder(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0, "fixture should contain cross-split near-dups"

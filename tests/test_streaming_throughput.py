@@ -44,3 +44,14 @@ def test_streaming_throughput_floors(spark):
     assert res["stream_stream_join"]["state_rows"] * 100 < (
         res["stream_stream_join"]["input_rows"]
     )
+
+    # ingest-dedup probe: multi-batch, whole batch split drained,
+    # ≥30 docs/s (~1/4 of the calm local[32] 124 docs/s — the
+    # per-micro-batch floor is the corpus static-side re-plan), and
+    # dropDuplicates state holds exactly one row per EMITTED pair
+    probe = res["ingest_dedup_probe"]
+    assert probe["batches"] >= 2
+    assert probe["input_rows"] == probe["probe_docs"]
+    assert probe["rows_per_sec"] >= 30, res
+    assert probe["state_rows"] == probe["output_rows"]
+    assert 0 < probe["output_rows"] < probe["probe_docs"]
