@@ -22,5 +22,6 @@ from mapreduceapp_spark.sources.parquet import (  # noqa: F401
     TABLE_NAMES,
     Tables,
     load_table,
+    register_views,
     tables,
 )

@@ -202,6 +202,24 @@ def tables(spark: SparkSession, sf_dir: str) -> Tables:
     return Tables(spark, sf_dir)
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every star-schema table as a session temp view so
+    users can drive the engine with raw ``spark.sql(...)`` — the
+    same names the DuckDB oracle layer registers, making any oracle
+    SQL in this repo directly runnable against Spark too. Views are
+    lazy scans (no data read); returns the registered names.
+    Missing files are skipped so partial directories (e.g. a
+    stream-staging dir holding only ``documents``) register what
+    they have."""
+    out = []
+    for name in TABLE_NAMES:
+        if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            continue
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        out.append(name)
+    return out
+
+
 @lru_cache(maxsize=256)
 def _footer_row_count(path: str) -> int | None:
     """Sum of footer ``num_rows`` over a parquet file or directory —

@@ -431,3 +431,20 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_register_views_runs_oracle_sql_on_spark(spark, sf_dir):
+    """register_views makes the oracle-layer SQL directly runnable on
+    Spark: a registered query's ANSI oracle (one whose dialect is
+    common to both engines) returns the same rows through
+    spark.sql(...) as through its DataFrame builder."""
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import register_views
+
+    names = register_views(spark, sf_dir)
+    assert "orders" in names and "lineitem" in names
+
+    q = get_query("q_count_distinct")
+    via_sql = {tuple(r) for r in spark.sql(q.oracle).collect()}
+    via_df = {tuple(r) for r in q.builder(spark, sf_dir).collect()}
+    assert via_sql == via_df and len(via_df) > 0
