@@ -448,3 +448,18 @@ def test_register_views_runs_oracle_sql_on_spark(spark, sf_dir):
     via_sql = {tuple(r) for r in spark.sql(q.oracle).collect()}
     via_df = {tuple(r) for r in q.builder(spark, sf_dir).collect()}
     assert via_sql == via_df and len(via_df) > 0
+
+
+def test_register_views_partial_directory(spark, sf_dir, tmp_path):
+    """A directory holding only some tables registers what it has —
+    the stream-staging shape (e.g. a docs-only ingest dir)."""
+    from mapreduceapp_spark.sources import load_table, register_views
+
+    part = str(tmp_path / "partial_sf")
+    load_table(spark, sf_dir, "documents").write.parquet(
+        f"{part}/documents.parquet"
+    )
+    names = register_views(spark, part)
+    assert names == ["documents"]
+    n = spark.sql("SELECT count(*) AS n FROM documents").first().n
+    assert n == load_table(spark, sf_dir, "documents").count()
