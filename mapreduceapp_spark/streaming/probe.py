@@ -90,6 +90,16 @@ def incremental_dedup_stream(
     corpus_sh = stage(
         _doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures"
     ).filter((F.col("doc_id") % INCR_BATCH_MOD) < INCR_BATCH_RESIDUE)
+    # Deliberately NOT staged to its own slot: A/B-measured in one
+    # process (4-batch drain at sf0.1, alternating builds), staging
+    # the capped band index made the drain ~2x SLOWER (12.5-14.5 s
+    # vs 6.7-8.6 s, twice each) — per micro-batch, the staged scan's
+    # small size estimate makes Spark rebuild a broadcast of it every
+    # batch, which costs more than re-running the cap window over the
+    # already-staged signature scan. The persisted band-partitioned
+    # index remains the CORPUS-scale design (module docstring), where
+    # re-deriving corpus-wide bands per batch is prohibitive and the
+    # index is pruned to touched buckets rather than re-broadcast.
     corpus_bands = _capped_band_entries(
         _minhash_band_entries(corpus_sh), ["band_key"], LSH_BUCKET_CAP
     ).withColumnRenamed("doc_id", "corpus_doc")
