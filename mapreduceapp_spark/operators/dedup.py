@@ -681,11 +681,14 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Containment-threshold numerator/denominator as integers (0.9 = 9/10)
-# so the prefix length is computed in pure integer arithmetic. With a
-# float, 0.9·n picks up an ulp at multiples of 10 (0.9*10 →
-# 9.000000000000002, ceil → 10) and the prefix silently shortens by
-# one — which for prefix filtering is a RECALL bug, not a rounding
-# nit. ⌈(t_num·n)/t_den⌉ = (t_num·n + t_den − 1) div t_den.
+# so the prefix length is computed in pure integer arithmetic:
+# ⌈(t_num·n)/t_den⌉ = (t_num·n + t_den − 1) div t_den, exact for any
+# threshold and any n by construction. A float ceil(t·n) is correct
+# only when t·n's double rounding never crosses an integer the wrong
+# way — empirically true for t=0.9 over n ≤ 1e5 (0.9·10 rounds DOWN
+# to exactly 9.0) but a per-(t, range) proof obligation; an unlucky
+# threshold would silently SHORTEN the prefix, a recall bug, not a
+# rounding nit. Integer arithmetic deletes the obligation.
 CONTAINMENT_T_NUM = 9
 CONTAINMENT_T_DEN = 10
 assert CONTAINMENT_T_NUM / CONTAINMENT_T_DEN == CONTAINMENT_THRESHOLD
