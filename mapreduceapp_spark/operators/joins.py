@@ -296,7 +296,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-order quantity sum above which an order counts as "large
 # volume" (TPC-H Q18's qty > 300). On this synthetic corpus the cut
-# keeps ~0.03% of orders (46 at sf0.01) — selective enough that the
+# keeps ~0.3% of orders (46 at sf0.01) — selective enough that the
 # surviving set broadcasts, populated at every sf.
 Q18_QTY_THRESHOLD = 300
 
@@ -325,12 +325,17 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables FIRST and aggregates the joined width — at 100 TB that
     shuffles customer name / order columns for every lineitem row.
     This plan inverts it: aggregate lineitem alone down to
-    (l_orderkey, sum_qty), filter to the ~0.03% surviving orders,
+    (l_orderkey, sum_qty), filter to the ~0.3% surviving orders,
     and only then join — the surviving side is small enough to
     BROADCAST into the orders scan, and that result (46 rows at
     sf0.01) broadcasts into the customer scan. Neither fact table
     shuffles; the one exchange is lineitem's own pre-aggregation,
-    keyed by l_orderkey with map-side partials.
+    keyed by l_orderkey with map-side partials. Broadcast-size
+    arithmetic at the extreme: ~0.3% of 1.5e9 orders (sf1000) is
+    ~5M (key, long) rows ≈ tens of MB — still broadcastable; past
+    that, drop the hints and AQE picks the shuffled join for exactly
+    the sides that outgrew it while the pre-aggregation inversion
+    (the actual win) is unchanged.
 
     l_quantity is whole-valued by construction, so casting to long
     before summation makes sum_qty integer-exact (order-independent)
