@@ -399,10 +399,11 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same quantile-threshold pre-filter documented on
     q_stratified_sample applies verbatim (keep digest < approximate
     target_k/cnt quantile, then exact-rank the survivors). The
-    int64 grid bounds: budget · w_micro < 2^63 holds to ~10^9 docs
-    per source at this grid; a 100 TB corpus rescales
-    TEMP_WEIGHT_MICRO down one decade per decade of corpus growth
-    (both engines derive the identical rescaled integers).
+    int64 grid bounds: the binding product is budget · w_micro ≈
+    (n/2) · √n · 1e6 < 2^63, i.e. n ≲ 7·10^8 TOTAL docs at this
+    grid; a 100 TB corpus rescales TEMP_WEIGHT_MICRO down (one
+    decade of grid per 10^(2/3) of corpus), with both engines
+    deriving the identical rescaled integers.
     """
     t = tables(spark, sf_dir)
     d = t.documents
