@@ -393,7 +393,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's mixed distinct/non-distinct rewrite keys the FIRST
     aggregate level by (group, distinct-key), so the rsd=0.01 HLL
     partial buffer (2^14 registers ≈ 1,638 longs ≈ 13 KB) is
-    materialized and shuffled PER DISTINCT KEY — ~GBs of aggregate
+    materialized and shuffled PER DISTINCT KEY — ~570 MB of aggregate
     state at sf0.1, measured 3.9 s calm vs ~0.9 s for this split
     (and catastrophic at scale). Split, each side is the canonical
     two-level plan with per-(group × partition) partial state only.
