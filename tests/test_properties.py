@@ -349,3 +349,51 @@ def test_unigram_logprob_matches_python_oracle(spark, docs):
         r = (-((2 * -a + b) // (2 * b))) if a < 0 else ((2 * a + b) // (2 * b))
         want = r / 10000.0
         assert got[i] == (n, want), (i, got[i], (n, want))
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6)
+)
+@SETTINGS
+def test_temperature_resample_target_law(spark, counts):
+    """The α=0.5 integer target law, against an independent Python
+    reference over arbitrary tiny corpora — exercising the edges the
+    fixture can't: a single source, all-equal counts, 1-doc sources,
+    and sources whose integer target truncates to 0 (which must then
+    be absent from the output entirely)."""
+    import math
+    import tempfile
+
+    from mapreduceapp_spark.operators.curation import (
+        TEMP_BUDGET_DEN,
+        TEMP_WEIGHT_MICRO,
+    )
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows, doc_id = [], 0
+    for si, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((doc_id, f"s{si}", f"text {doc_id}"))
+            doc_id += 1
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string"
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = get_query("q_temperature_resample").builder(spark, td).collect()
+
+    kept = Counter(r.source for r in out)
+    w = {
+        f"s{i}": math.floor(math.sqrt(c) * TEMP_WEIGHT_MICRO)
+        for i, c in enumerate(counts)
+    }
+    w_total = sum(w.values())
+    budget = sum(counts) // TEMP_BUDGET_DEN
+    for i, c in enumerate(counts):
+        s = f"s{i}"
+        want = min(c, budget * w[s] // w_total)
+        assert kept.get(s, 0) == want, (s, kept.get(s, 0), want, counts)
+    # emitted metadata rows must carry the same law
+    for r in out:
+        si = int(r.source[1:])
+        assert r.n_source == counts[si]
+        assert r.target_k == min(counts[si], budget * w[r.source] // w_total)
