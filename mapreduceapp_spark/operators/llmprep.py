@@ -237,6 +237,79 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- exact-substring passage dedup
+
+# Window length and pair threshold for verbatim-passage detection: a
+# 16-token window is long enough that cross-document recurrence means
+# real shared text, not chance (measured max window df is 4 at sf0.1
+# on this corpus — no stopword-gram blow-up at this length), and ≥5
+# shared windows ≈ a ≥20-token verbatim run.
+PASSAGE_NGRAM = 16
+PASSAGE_MIN_SHARED = 5
+
+
+@register(
+    "q_duplicate_passages",
+    oracle=f"""
+        WITH toks AS MATERIALIZED ({_oracle_words()}),
+        g AS (
+            SELECT DISTINCT doc_id, sha256(gram) AS gh
+            FROM ({_oracle_grams(PASSAGE_NGRAM)})
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS shared_windows
+            FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, shared_windows
+        FROM pairs WHERE shared_windows >= {PASSAGE_MIN_SHARED}
+    """,
+    doc="Exact-substring passage dedup: doc pairs sharing ≥5 verbatim "
+    "16-token windows (cross-document boilerplate/quotation detector).",
+)
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-passage overlap between documents — the
+    exact-substring half of training-data dedup (the technique behind
+    suffix-array passage dedup in published pipelines): two docs
+    sharing ≥ PASSAGE_MIN_SHARED distinct 16-token windows contain a
+    near-verbatim run the shingle-Jaccard detectors can miss when the
+    surrounding documents differ (quotation, syndicated boilerplate,
+    license headers).
+
+    Plan shape: explode per-doc 16-token windows → DISTINCT (doc,
+    window-hash) — the shuffle key is sha256 of the window (32 bytes,
+    the q_exact_dedup convention: never shuffle passage TEXT) — then
+    an equi-self-join on the hash and one pair-keyed count. Fan-out
+    per key is df², and df at this window length is structurally tiny
+    (boilerplate-heavy corpora cap it the same way the LSH bucket cap
+    does: a window shared by everything identifies nothing — drop
+    keys past a df cap, exactly :data:`SHINGLE_DF_CAP`'s argument).
+    A suffix-array build is the single-node alternative; this is the
+    distributed, oracle-checkable form.
+    """
+    d = tables(spark, sf_dir).documents
+    w = tokens("text")
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(word_grams(w, PASSAGE_NGRAM)).alias("gram"),
+        )
+        .select("doc_id", F.sha2("gram", 256).alias("gh"))
+        .distinct()
+    )
+    return (
+        g.alias("a")
+        .join(g.alias("b"), ["gh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .filter(F.col("shared_windows") >= PASSAGE_MIN_SHARED)
+    )
+
+
 # ------------------------------------------------------------------- BM25
 
 

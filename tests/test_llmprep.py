@@ -12,6 +12,7 @@ QUERIES = [
     "q_bm25",
     "q_domain_mix",
     "q_repetition_filter",
+    "q_duplicate_passages",
 ]
 
 
@@ -196,3 +197,34 @@ def test_unigram_logprob_scores_rare_tokens_lower(spark, tmp_path):
     assert out[0]["keep"] == 1  # dominant token ⇒ near-zero logprob
     assert out[100]["keep"] == 0  # three singleton tokens of ~1000
     assert out[100]["n_toks"] == 3
+
+
+def test_duplicate_passages_law(spark, sf_dir):
+    """Every emitted pair must actually share >= PASSAGE_MIN_SHARED
+    distinct 16-token windows, verified in plain Python on the raw
+    texts; and the fixture must make the check non-vacuous."""
+    from mapreduceapp_spark.operators.llmprep import (
+        PASSAGE_MIN_SHARED,
+        PASSAGE_NGRAM,
+    )
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import load_table
+    import re
+
+    rows = get_query("q_duplicate_passages").builder(spark, sf_dir).collect()
+    assert len(rows) > 0, "fixture should contain verbatim passage overlap"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def windows(t: str) -> set[str]:
+        w = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        return {
+            " ".join(w[i : i + PASSAGE_NGRAM])
+            for i in range(len(w) - PASSAGE_NGRAM + 1)
+        }
+
+    for r in rows[:50]:
+        shared = windows(texts[r.doc_a]) & windows(texts[r.doc_b])
+        assert len(shared) == r.shared_windows >= PASSAGE_MIN_SHARED

@@ -108,6 +108,8 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_unigram_logprob",
     # new round 8: α=0.5 mixture temperature resampling
     "q_temperature_resample",
+    # new round 8: exact-substring passage dedup
+    "q_duplicate_passages",
 }
 
 
