@@ -247,14 +247,79 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 PASSAGE_NGRAM = 16
 PASSAGE_MIN_SHARED = 5
 
+# Per-window document-frequency cap (same number and argument as
+# :data:`~mapreduceapp_spark.operators.dedup.LSH_BUCKET_CAP`): the
+# self-join's fan-out per window hash is df·(df−1)/2, and a 16-token
+# run shared by MORE than ~1k documents is boilerplate (license
+# headers, navigation chrome, legal footers) — it identifies a
+# template, not a duplicated passage, and on a web-scale corpus its
+# df can reach the millions (10¹² pairs from one window). Over-cap
+# windows are dropped from pairing in BOTH engines, so the oracle
+# hash check stays exact. Enforced as a window count over the same
+# gh partitioning the self-join shuffles on anyway (the SimHash
+# bucket-cap discipline, dedup.py LSH_CAP_TWO_PASS notes — no
+# standalone aggregate pass). Never binds at test scales: measured
+# max df is 3 at sf0.01 and 4 at sf0.1 (256× headroom, asserted in
+# tests/test_llmprep.py).
+PASSAGE_DF_CAP = 1024
+
+
+def duplicate_passage_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cap: int = PASSAGE_DF_CAP,
+    min_shared: int = PASSAGE_MIN_SHARED,
+) -> DataFrame:
+    """Doc pairs sharing ≥ ``min_shared`` distinct verbatim
+    :data:`PASSAGE_NGRAM`-token windows, ignoring windows whose
+    document frequency exceeds ``cap`` (boilerplate). Parameterized
+    so tests can plant a tiny cap; the registered query binds the
+    production constants.
+
+    The capped window set is materialized through a ``stage()`` slot:
+    the self-join's two branches would otherwise each re-run the
+    tokenize → 16-gram explode → distinct → df-window lineage (the
+    expensive part — the corpus scan and the text explode), measured
+    4.4 s warm vs 1.1 s staged at sf0.1."""
+    d = tables(spark, sf_dir).documents
+    w = tokens("text")
+    g = stage(
+        d.select(
+            "doc_id",
+            F.explode(word_grams(w, PASSAGE_NGRAM)).alias("gram"),
+        )
+        .select("doc_id", F.sha2("gram", 256).alias("gh"))
+        .distinct()
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("df") <= cap)
+        .drop("df"),
+        "passage_windows",
+    )
+    return (
+        g.alias("a")
+        .join(g.alias("b"), ["gh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .filter(F.col("shared_windows") >= min_shared)
+    )
+
 
 @register(
     "q_duplicate_passages",
     oracle=f"""
         WITH toks AS MATERIALIZED ({_oracle_words()}),
         g AS (
-            SELECT DISTINCT doc_id, sha256(gram) AS gh
-            FROM ({_oracle_grams(PASSAGE_NGRAM)})
+            SELECT doc_id, gh FROM (
+                SELECT DISTINCT doc_id, sha256(gram) AS gh
+                FROM ({_oracle_grams(PASSAGE_NGRAM)})
+            )
+            QUALIFY count(*) OVER (PARTITION BY gh) <= {PASSAGE_DF_CAP}
         ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -266,7 +331,8 @@ PASSAGE_MIN_SHARED = 5
         FROM pairs WHERE shared_windows >= {PASSAGE_MIN_SHARED}
     """,
     doc="Exact-substring passage dedup: doc pairs sharing ≥5 verbatim "
-    "16-token windows (cross-document boilerplate/quotation detector).",
+    "16-token windows (cross-document boilerplate/quotation detector); "
+    "windows with df > 1024 dropped as boilerplate in both engines.",
 )
 def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim-passage overlap between documents — the
@@ -280,34 +346,17 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode per-doc 16-token windows → DISTINCT (doc,
     window-hash) — the shuffle key is sha256 of the window (32 bytes,
     the q_exact_dedup convention: never shuffle passage TEXT) — then
-    an equi-self-join on the hash and one pair-keyed count. Fan-out
-    per key is df², and df at this window length is structurally tiny
-    (boilerplate-heavy corpora cap it the same way the LSH bucket cap
-    does: a window shared by everything identifies nothing — drop
-    keys past a df cap, exactly :data:`SHINGLE_DF_CAP`'s argument).
-    A suffix-array build is the single-node alternative; this is the
-    distributed, oracle-checkable form.
+    the :data:`PASSAGE_DF_CAP` boilerplate filter as a window count
+    over the SAME gh partitioning the following equi-self-join
+    shuffles on (one exchange serves both), and one pair-keyed
+    count. Post-cap fan-out per window is ≤ cap²/2 and in practice
+    df ≤ 4 at measured scales; the cap is what bounds the plan on a
+    boilerplate-heavy web corpus, where uncapped df² on a shared
+    license header alone is quadratic in corpus size. A suffix-array
+    build is the single-node alternative; this is the distributed,
+    oracle-checkable form.
     """
-    d = tables(spark, sf_dir).documents
-    w = tokens("text")
-    g = (
-        d.select(
-            "doc_id",
-            F.explode(word_grams(w, PASSAGE_NGRAM)).alias("gram"),
-        )
-        .select("doc_id", F.sha2("gram", 256).alias("gh"))
-        .distinct()
-    )
-    return (
-        g.alias("a")
-        .join(g.alias("b"), ["gh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_windows"))
-        .filter(F.col("shared_windows") >= PASSAGE_MIN_SHARED)
-    )
+    return duplicate_passage_pairs(spark, sf_dir)
 
 
 # ------------------------------------------------------------------- BM25

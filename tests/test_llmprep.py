@@ -228,3 +228,65 @@ def test_duplicate_passages_law(spark, sf_dir):
     for r in rows[:50]:
         shared = windows(texts[r.doc_a]) & windows(texts[r.doc_b])
         assert len(shared) == r.shared_windows >= PASSAGE_MIN_SHARED
+
+
+def test_passage_df_cap_headroom(spark, sf_dir):
+    """PASSAGE_DF_CAP must never bind at oracle/bench scales (so the
+    hash check stays exact): assert ≥4× headroom on the measured max
+    window df, the LSH_BUCKET_CAP discipline."""
+    from mapreduceapp_spark.functions.text import tokens
+    from mapreduceapp_spark.operators.llmprep import (
+        PASSAGE_DF_CAP,
+        PASSAGE_NGRAM,
+        word_grams,
+    )
+    from mapreduceapp_spark.sources import tables
+    from pyspark.sql import functions as F
+
+    max_df = (
+        tables(spark, sf_dir)
+        .documents.select(
+            "doc_id",
+            F.explode(word_grams(tokens("text"), PASSAGE_NGRAM)).alias("g"),
+        )
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("m"))
+        .first()["m"]
+    )
+    assert max_df * 4 <= PASSAGE_DF_CAP, (
+        f"max window df {max_df} within 4x of cap {PASSAGE_DF_CAP}; "
+        "raise the cap or re-measure before trusting the oracle"
+    )
+
+
+def test_passage_df_cap_drops_planted_boilerplate(spark, tmp_path):
+    """With a planted tiny cap, a window shared by every doc
+    (boilerplate) must stop generating pairs, while a genuine
+    two-doc verbatim passage (df=2, under the cap) must survive."""
+    from mapreduceapp_spark.operators.llmprep import (
+        duplicate_passage_pairs,
+    )
+
+    boiler = " ".join(f"bp{i}" for i in range(16))  # one shared window
+    passage = " ".join(f"uniq{i}" for i in range(21))  # 6 shared windows
+    rows = [(i, f"{boiler} doc{i}only filler{i}") for i in range(10)]
+    rows += [(100, f"{passage} tail100"), (101, f"{passage} tail101")]
+    sf = str(tmp_path / "pass")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    capped = duplicate_passage_pairs(
+        spark, sf, cap=4, min_shared=1
+    ).collect()
+    # only the true passage pair survives; the df=10 boilerplate
+    # window generated none of its 45 cross-boilerplate pairs
+    assert [(r.doc_a, r.doc_b, r.shared_windows) for r in capped] == [
+        (100, 101, 6)
+    ]
+    uncapped = duplicate_passage_pairs(
+        spark, sf, cap=10_000, min_shared=1
+    ).collect()
+    # sanity: without the cap the boilerplate window pairs everything
+    assert len(uncapped) == (10 * 9) // 2 + 1
