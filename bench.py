@@ -43,12 +43,14 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 
 # Queries whose builders materialize every shared stage() slot the
 # bench surface reads (minhash_signatures, minhash_pairs, simhash_fp,
-# kmeans_assign). Run untimed, in this order, before the loop.
+# kmeans_assign, passage_windows). Run untimed, in this order, before
+# the loop.
 PREWARM_QUERIES = (
     "q_minhash_neardup",
     "q_dedup_clusters",
     "q_simhash_neardup",
     "q_kmeans",
+    "q_duplicate_passages",
 )
 
 

@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.numeric import (
@@ -362,5 +362,317 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             "o_totalprice",
             "sum_qty",
+        )
+    )
+
+
+# TPC-H Q13 shape: the priority class that COUNTS toward the
+# per-customer order total (stands in for Q13's o_comment NOT LIKE
+# pattern — this schema has no comment column). Counting one class
+# of five keeps the LEFT join's zero bucket non-empty at every SF
+# (18 zero-urgent customers at sf0.001, 1,986 at sf0.1): with the
+# spec's ~80%-keep filter this corpus's 10-orders-per-customer
+# density leaves bucket 0 empty and the outer join untested.
+Q13_COUNTED_PRIORITY = "1-URGENT"
+
+
+@register(
+    "q_tpch_q13",
+    oracle=f"""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '{Q13_COUNTED_PRIORITY}'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution through a "
+    "filtered LEFT join — the zero-orders bucket is the point.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution (TPC-H Q13 shape): histogram of
+    per-customer counts of qualifying (urgent) orders — customers
+    with NO qualifying order land in the c_count=0 bucket, which
+    only a LEFT join preserves.
+
+    The oracle's literal shape outer-joins the full orders table
+    against customer and counts the joined width. This plan
+    pre-aggregates orders alone down to (o_custkey, c_count) — the
+    filter is pushed into the orders scan, the one fact shuffle
+    carries (key, long) pairs with map-side partials — then LEFT
+    joins customer against that small aggregate (AQE broadcasts it
+    at these SFs; at 100 TB it is |active customers| rows, and the
+    join shuffles on c_custkey). ``coalesce(c_count, 0)`` recovers
+    the zero bucket. The second aggregate (histogram over c_count)
+    has ~tens of distinct keys — partial aggregation collapses it
+    before the exchange, so the final shuffle is negligible at any
+    scale. Both counts are int64 in both engines; nothing
+    float-derived to drift.
+    """
+    t = tables(spark, sf_dir)
+    cnt = (
+        t.orders.filter(F.col("o_orderpriority") == Q13_COUNTED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        t.customer.select("c_custkey")
+        .join(cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# TPC-H Q17 shape: the part filter standing in for the spec's
+# brand+container predicate (this schema has brand and size).
+Q17_BRAND = "Brand#17"
+Q17_MAX_SIZE = 10
+
+
+@register(
+    "q_tpch_q17",
+    oracle=f"""
+        WITH li AS (
+            SELECT CAST(l.l_quantity AS BIGINT) AS qty,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS px100,
+                   count(*) OVER (PARTITION BY l.l_partkey) AS c,
+                   sum(CAST(l.l_quantity AS BIGINT))
+                       OVER (PARTITION BY l.l_partkey) AS s
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = '{Q17_BRAND}' AND p.p_size <= {Q17_MAX_SIZE}
+        )
+        SELECT CAST(sum(px100) AS BIGINT) / 1000.0 AS avg_yearly
+        FROM li WHERE 5 * qty * c < s
+    """,
+    doc="TPC-H Q17 shape: small-quantity-order revenue — correlated "
+    "per-part average rewritten as one window pass, integer-exact "
+    "threshold.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): revenue from
+    lineitems whose quantity is below 20% of the average quantity
+    for their (filtered) part.
+
+    The spec's correlated scalar subquery (avg per part, re-probed
+    per lineitem) would scan lineitem twice. This plan does it in
+    ONE scan: broadcast the filtered part keys (~1% of part) into
+    the lineitem scan as a semi-filter, then compute the per-part
+    count and quantity sum as window aggregates over the SAME
+    l_partkey shuffle the correlation needs anyway — the filtered
+    subset (~1% of lineitem) is the only thing exchanged, once.
+
+    The threshold ``qty < 0.2 · avg`` is evaluated as the integer
+    cross-multiplication ``5·qty·cnt < sum`` (quantities are
+    whole-valued, cast to long) — no float division on either
+    engine, so the boundary row can't flip on a last-ulp
+    difference (the q_unigram_logprob lesson). Revenue sums the
+    x100-scaled price as exact integers; the single final division
+    by 1000.0 (÷100 scale, ÷10 for the yearly normalization) is an
+    exact-integer-to-double conversion, identical in both engines.
+    """
+    t = tables(spark, sf_dir)
+    pf = t.part.filter(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_MAX_SIZE)
+    ).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    li = (
+        t.lineitem.join(
+            F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("px100"),
+        )
+        .withColumn("c", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("qty").over(w))
+    )
+    return li.filter(
+        F.lit(5) * F.col("qty") * F.col("c") < F.col("s")
+    ).agg(
+        (F.sum(F.col("px100").cast("decimal(38,0)")) / F.lit(1000.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+# TPC-H Q21 shape: a lineitem is "late" when it ships more than this
+# many days after its order's first shipment (this schema has no
+# commit/receipt dates; first-ship-relative lateness keeps the
+# analysis inside lineitem — no orders join at all).
+Q21_LATE_DAYS = 30
+
+
+@register(
+    "q_tpch_q21",
+    oracle=f"""
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey,
+                   CASE WHEN l_shipdate >
+                             min(l_shipdate) OVER (PARTITION BY l_orderkey)
+                             + INTERVAL {Q21_LATE_DAYS} DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem
+        ),
+        so AS (
+            SELECT l_orderkey, l_suppkey, max(late) AS late
+            FROM li GROUP BY 1, 2
+        ),
+        os AS (
+            SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+            FROM so GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, count(*) AS waiting_orders
+        FROM so
+        JOIN os USING (l_orderkey)
+        JOIN supplier s ON s.s_suppkey = so.l_suppkey
+        WHERE so.late = 1 AND os.n_supp >= 2 AND os.n_late = 1
+        GROUP BY 1, 2
+    """,
+    doc="TPC-H Q21 shape: sole-late supplier on multi-supplier orders "
+    "— EXISTS/NOT-EXISTS self-joins rewritten as one-shuffle "
+    "per-order aggregates.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): count,
+    per supplier, the multi-supplier orders on which that supplier
+    was the ONLY late one (late = shipped > 30 days after the
+    order's first shipment).
+
+    The spec's plan is lineitem × lineitem EXISTS plus a NOT-EXISTS
+    — two self-joins of the biggest table. The rewrite does it with
+    ZERO self-joins and ONE pass over lineitem: a window pass marks
+    lateness against the per-order first ship date, a grouped dedup
+    collapses to (order, supplier, any-late), and the per-order
+    supplier/late counts come back as window aggregates — every
+    step clusters by l_orderkey, so the single orderkey exchange
+    serves the whole chain (a groupBy+self-join formulation of the
+    per-order counts was measured to re-derive the window subtree
+    twice — two lineitem scans — exactly the shape this avoids;
+    .explain shows one lineitem FileScan, two hash exchanges
+    total). The EXISTS becomes ``n_supp >= 2`` and the NOT-EXISTS
+    becomes ``n_late = 1 AND late = 1`` — set semantics as integer
+    aggregates, exact in both engines. The final per-supplier count
+    shuffles |qualifying (order, supplier)| rows (≤ one per failing
+    order), and the supplier name join runs on the aggregated
+    ~|suppliers|-row side (AQE broadcasts it here; it shuffles
+    cheaply at any scale). Timestamp + INTERVAL arithmetic is exact
+    midnight math in both engines.
+    """
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey")
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").withColumn(
+        "late",
+        (
+            F.col("l_shipdate")
+            > F.min("l_shipdate").over(w)
+            + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        ).cast("int"),
+    )
+    so = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    flagged = (
+        so.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("waiting_orders"))
+    )
+    return flagged.join(
+        t.supplier, F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "waiting_orders")
+
+
+# TPC-H Q22 shape: a customer is "inactive" with no order on/after
+# this date (stands in for the spec's no-orders-at-all NOT EXISTS —
+# on this corpus every customer has at least one order).
+Q22_CUTOFF = "2001-07-01"
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+        WITH s AS (
+            SELECT count(*) AS cnt,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot
+            FROM customer WHERE c_acctbal > 0
+        ),
+        cand AS (
+            SELECT c.c_custkey, c.c_nationkey,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal
+            FROM customer c, s
+            WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * s.cnt > s.tot
+        )
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(bal) AS BIGINT) / 100.0 AS totacctbal
+        FROM cand
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = cand.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}'
+        )
+        GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: wealthy inactive customers — scalar-average "
+    "broadcast + anti join, integer-exact threshold.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity query (TPC-H Q22 shape): per nation,
+    customers whose balance beats the positive-balance average and
+    who placed no order since the cutoff.
+
+    Plan: the scalar average is ONE row (count, sum over
+    positive-balance customers, x100-scaled exact integers) — the
+    house 1-row-crossJoin-broadcast convention, so the threshold
+    never shuffles anything. ``bal > avg`` is the integer
+    cross-multiplication ``bal·cnt > tot`` — no float division on
+    either engine. The inactivity test is a LEFT ANTI join against
+    recent orders: the date predicate pushes into the orders scan
+    (parquet min/max pruning skips whole old row-groups), only
+    o_custkey survives projection, and the anti join ships keys —
+    never order rows. AQE broadcasts whichever side shrank below
+    threshold; at 100 TB both sides shuffle on custkey, the
+    candidate side already cut ~50% by the balance filter.
+    totacctbal is an exact integer sum divided once by 100.0 —
+    identical doubles in both engines.
+    """
+    t = tables(spark, sf_dir)
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = (
+        t.customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(bal).alias("tot"),
+        )
+    )
+    cand = (
+        t.customer.select("c_custkey", "c_nationkey", bal.alias("bal"))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("bal") * F.col("cnt") > F.col("tot"))
+    )
+    recent = t.orders.filter(
+        F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cand.join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(F.col("bal").cast("decimal(38,0)")).cast("long") / F.lit(100.0)).alias(
+                "totacctbal"
+            ),
         )
     )

@@ -110,6 +110,11 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_temperature_resample",
     # new round 8: exact-substring passage dedup
     "q_duplicate_passages",
+    # new round 8: TPC-H plan-shape closure (Q13/Q17/Q21/Q22)
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_tpch_q21",
+    "q_tpch_q22",
 }
 
 
