@@ -418,6 +418,71 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(CAST(quantile_cont(CAST(l_quantity AS BIGINT), 0.5) * 2
+                    AS BIGINT) AS BIGINT) / 2.0 AS exact_p50,
+               1 AS approx_err_le_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Approximate percentile (GK sketch) with a hash-checked error "
+    "bound — the quantile twin of q_approx_distinct (B22).",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile = Greenwald-Khanna sketch: bounded-size
+    mergeable state per group, so at 100 TB the shuffle carries
+    KB-sized summaries where the exact ``percentile`` must gather
+    every value of the group into one aggregation buffer (the same
+    cost contrast as q_count_distinct vs q_approx_distinct).
+
+    The sketch's chosen value is engine- and accuracy-specific, so
+    (the q_approx_distinct convention, VERDICT r7 ask #4) the query
+    emits the EXACT median plus an integer bound flag, and the
+    oracle hard-codes the flag at 1 — sketch drift past the bound
+    fails the driver's hash check itself.
+
+    Exactness across engines is arranged by domain choice:
+    l_quantity is whole-valued, so the exact interpolated median
+    lands on the half-integer grid (..., 24.0, 24.5, 25.0, ...) —
+    doubling it is an exact long in BOTH engines (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` may differ in
+    interpolation FORMULA, but on halves both formulas are exact).
+    All flag arithmetic runs on the doubled-integer grid:
+    ``40·|approx₂ − exact₂| ≤ exact₂`` is the 5% bound with zero
+    float division (approx_percentile returns an actual data value,
+    so approx₂ = 2·approx is an even long). GK with accuracy 10⁴
+    has rank error ≤ 10⁻⁴ — orders of magnitude inside 5% on any
+    non-degenerate distribution; the generous bound keeps the flag
+    stable under partition-order variation in the sketch build.
+    exact_p50 is the doubled long divided once by 2.0 — identical
+    doubles in both engines.
+    """
+    t = tables(spark, sf_dir)
+    exact2 = (
+        F.percentile(F.col("l_quantity").cast("long"), F.lit(0.5)) * 2
+    ).cast("long")
+    approx2 = (
+        F.percentile_approx(
+            F.col("l_quantity").cast("long"), F.lit(0.5), F.lit(10_000)
+        )
+        * 2
+    ).cast("long")
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(exact2.alias("e2"), approx2.alias("a2"))
+        .select(
+            "l_returnflag",
+            (F.col("e2") / F.lit(2.0)).alias("exact_p50"),
+            (F.abs(F.col("a2") - F.col("e2")) * 40 <= F.col("e2"))
+            .cast("int")
+            .alias("approx_err_le_5pct"),
+        )
+    )
+
+
+@register(
     "q_data_audit",
     oracle="""
         SELECT 'lineitem_null_shipdate' AS check_name,

@@ -115,6 +115,8 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_tpch_q17",
     "q_tpch_q21",
     "q_tpch_q22",
+    # new round 8: oracle-enforced percentile-sketch error bound
+    "q_approx_percentile",
 }
 
 

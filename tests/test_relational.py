@@ -19,6 +19,7 @@ ORACLE_QUERIES = [
     "q_histogram",
     "q_count_distinct",
     "q_approx_distinct",
+    "q_approx_percentile",
 ]
 
 
@@ -47,6 +48,19 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         for r in get_query("q_count_distinct").builder(spark, sf_dir).collect()
     }
     assert {r["o_orderstatus"]: r["exact_customers"] for r in rows} == exact
+
+
+def test_approx_percentile_flag_and_half_grid(spark, sf_dir):
+    """The GK sketch must land within the 5% flag bound on every
+    group, and the exact median must sit on the half-integer grid —
+    the property the cross-engine exactness argument rests on."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_approx_percentile").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["approx_err_le_5pct"] == 1, r
+        assert (r["exact_p50"] * 2) == int(r["exact_p50"] * 2), r
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
