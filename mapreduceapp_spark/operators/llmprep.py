@@ -853,6 +853,139 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Zipf fit: how many top-ranked tokens enter the regression (a
+# CONSTANT, so the single-partition ranking step is bounded at any
+# corpus size), and the log grid (the UNIGRAM_LP_MICRO discipline:
+# one ln per ranked token, snapped to integer micro-nats before any
+# aggregation, so no float ever enters a sum).
+ZIPF_TOP_K = 500
+ZIPF_MICRO = 1_000_000
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+        WITH toks AS ({_oracle_words()}),
+        t2 AS (SELECT doc_id, unnest(w) AS w FROM toks),
+        counts AS (SELECT w, count(*) AS cnt FROM t2 GROUP BY w),
+        topk AS (
+            SELECT cnt, w FROM counts
+            ORDER BY cnt DESC, w LIMIT {ZIPF_TOP_K}
+        ),
+        ranked AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, w) AS rank
+            FROM topk
+        ),
+        xy AS (
+            SELECT CAST(round(ln(rank) * {ZIPF_MICRO}) AS BIGINT) AS x,
+                   CAST(round(ln(cnt) * {ZIPF_MICRO}) AS BIGINT) AS y
+            FROM ranked
+        ),
+        s AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+            FROM xy
+        ),
+        f AS (
+            SELECT n, sx, sy,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS den
+            FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n_tokens,
+               (CASE WHEN num < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(num) * 10000 + den) // (2 * den))) / 10000.0
+                   AS slope,
+               (CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(sy * den - num * sx) * 10000
+                    + n * den * {ZIPF_MICRO})
+                   // (2 * n * den * {ZIPF_MICRO}))) / 10000.0
+                   AS intercept
+        FROM f
+    """,
+    doc="Zipf power-law fit of the token rank-frequency curve: OLS "
+    "slope/intercept of ln(freq) vs ln(rank) over the top-500 tokens, "
+    "all arithmetic on the integer micro-nat grid.",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health diagnostic every tokenizer/data team runs: fit
+    ln(freq) = slope·ln(rank) + intercept over the top-K tokens. A
+    natural-language corpus sits near slope ≈ −1 (Zipf's law);
+    template-heavy or deduplicated-to-death corpora bend away from
+    it, so the slope is a cheap drift alarm on ingestion.
+
+    Plan shape, 100 TB posture: token counts are one vocabulary-key
+    shuffle with map-side partials; the top-K cut is
+    TakeOrderedAndProject (no global sort — each partition keeps K,
+    the driver merges); ranking then runs a single-partition window
+    over exactly K = ``ZIPF_TOP_K`` rows — a CONSTANT, so the
+    narrow stage is bounded at any corpus size; the regression
+    moments reduce to ONE row.
+
+    Cross-engine exactness (the UNIGRAM_LP_MICRO discipline): the
+    two ``ln`` evaluations per ranked token are grid-snapped to
+    integer micro-nats, every moment (Σx, Σy, Σxy, Σx²) is an exact
+    integer sum in decimal(38,0)/HUGEINT — immune to summation
+    order — and slope = num/den is presented by the pure-integer
+    half-away-from-zero division (the avg_lp fix), so no float
+    rounding mode is involved. Residual risk is the documented
+    1-ulp-ln-on-a-grid-boundary class, per ranked token (~500
+    evaluations, not per row).
+    """
+    d = tables(spark, sf_dir).documents
+    toks = d.select(F.explode(tokens("text")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(ZIPF_TOP_K)
+    from pyspark.sql import Window as W
+
+    ranked = topk.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("w")))
+        .alias("rank"),
+    )
+    dec = "decimal(38,0)"
+    xy = ranked.select(
+        F.round(F.ln("rank") * ZIPF_MICRO).cast("long").alias("x"),
+        F.round(F.ln("cnt") * ZIPF_MICRO).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        (
+            F.expr(
+                "CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
+                " * ((2 * abs(n * sxy - sx * sy) * 10000"
+                "     + (n * sxx - sx * sx))"
+                "    DIV (2 * (n * sxx - sx * sx)))"
+            )
+            / F.lit(10000.0)
+        ).alias("slope"),
+        (
+            F.expr(
+                "CASE WHEN sy * (n * sxx - sx * sx)"
+                "          - (n * sxy - sx * sy) * sx < 0"
+                " THEN -1 ELSE 1 END"
+                " * ((2 * abs(sy * (n * sxx - sx * sx)"
+                "             - (n * sxy - sx * sy) * sx) * 10000"
+                f"     + n * (n * sxx - sx * sx) * {ZIPF_MICRO})"
+                f"    DIV (2 * n * (n * sxx - sx * sx) * {ZIPF_MICRO}))"
+            )
+            / F.lit(10000.0)
+        ).alias("intercept"),
+    )
+
+
 @register(
     "q_source_gini",
     oracle="""

@@ -13,6 +13,7 @@ QUERIES = [
     "q_domain_mix",
     "q_repetition_filter",
     "q_duplicate_passages",
+    "q_zipf_fit",
 ]
 
 
@@ -290,3 +291,45 @@ def test_passage_df_cap_drops_planted_boilerplate(spark, tmp_path):
     ).collect()
     # sanity: without the cap the boilerplate window pairs everything
     assert len(uncapped) == (10 * 9) // 2 + 1
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_dir):
+    """The grid-snapped OLS must agree with a plain-Python fit on the
+    same snapped points to the emitted 1e-4 precision, and the slope
+    must be negative (frequency falls with rank)."""
+    from mapreduceapp_spark.operators.llmprep import ZIPF_MICRO, ZIPF_TOP_K
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources import tables
+    import math
+    import re
+
+    from pyspark.sql import functions as F
+
+    row = get_query("q_zipf_fit").builder(spark, sf_dir).first()
+    counts = (
+        tables(spark, sf_dir)
+        .documents.select(F.explode_outer(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    top = sorted(((-r.cnt, r.w) for r in counts))[:ZIPF_TOP_K]
+    pts = [
+        (
+            round(math.log(i + 1) * ZIPF_MICRO),
+            round(math.log(-negc) * ZIPF_MICRO),
+        )
+        for i, (negc, _w) in enumerate(top)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    assert row.n_tokens == n
+    assert row.slope < 0
+    assert abs(row.slope - num / den) <= 1e-4
+    b = (sy * den - num * sx) / (n * den * ZIPF_MICRO)
+    assert abs(row.intercept - b) <= 1e-4

@@ -195,6 +195,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "q_lsh_recall",      # consumes q_knn_cosine + q_ann_lsh plans
         "q_unigram_logprob", # 1-row total-token-count broadcast
         "q_temperature_resample",  # 1-row (w_total, n_total) stats broadcast
+        "q_tpch_q22",        # 1-row (cnt, tot) balance-average broadcast
     }
     for name, builder in all_queries().items():
         if name in skip:

@@ -117,6 +117,8 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_tpch_q22",
     # new round 8: oracle-enforced percentile-sketch error bound
     "q_approx_percentile",
+    # new round 8: Zipf rank-frequency power-law fit
+    "q_zipf_fit",
 }
 
 
