@@ -56,6 +56,39 @@ from mapreduceapp_spark.sources import tables
 SHINGLE_K = 5
 JACCARD_THRESHOLD = 0.8  # the data's pair distribution is bimodal: ≤0.31 / ≥0.93
 
+
+def _int_round4(num: str, den: str):
+    """``round(num/den, 4)`` as a pure-integer half-up division —
+    the presentation-rounding discipline from UNIGRAM_LP_MICRO
+    (ADVICE r8): ``round4(p/q) = (2·p·10⁴ + q) div (2·q) / 10000.0``
+    for non-negative integer p, q.  Float ``F.round(p/q, 4)`` hits
+    the .00005-tie class (e.g. 18001/20000 = 0.90005, whose nearest
+    double sits BELOW the decimal tie: Spark's BigDecimal
+    shortest-repr HALF_UP yields 0.9001 while DuckDB's C ``round``
+    on the binary double yields 0.9000 — a driver hash mismatch on
+    identical data).  The integer form is engine-independent; the
+    final ``/ 10000.0`` is one exact IEEE division of a ≤5-digit
+    integer.  ``num`` is cast to BIGINT first: it may arrive as a
+    32-bit ``F.size`` result and ``2·num·10⁴`` overflows int32 past
+    num ≈ 107k.  The divisor literal needs the ``D`` (double) suffix:
+    a bare ``10000.0`` parses as DECIMAL(6,1) in Spark SQL and the
+    division would come back as a scale-7 Decimal column instead of
+    the double the oracle emits."""
+    return F.expr(
+        f"((2 * CAST({num} AS BIGINT) * 10000 + {den}) DIV (2 * {den}))"
+        " / 10000.0D"
+    )
+
+
+def _sql_round4(num: str, den: str) -> str:
+    """DuckDB twin of :func:`_int_round4` — same integer half-up
+    division, rendered for the oracle (`//` is DuckDB's integer
+    division; operands promoted to BIGINT the same way)."""
+    return (
+        f"((2 * ({num})::BIGINT * 10000 + ({den})) // (2 * ({den})))"
+        " / 10000.0"
+    )
+
 # Shingle document-frequency cap upstream of the MinHash SIGNATURES
 # (VERDICT r6 ask #3 — the mitigation the module posture named in
 # prose since r5). A shingle present in a large fraction of the corpus
@@ -336,6 +369,20 @@ def _shingle_dropset_entry(
     hit = _SHINGLE_DROPSET_MEMO.get(key)
     if hit is not None and hit[0]() is spark:
         return hit[1], hit[2]
+    # Broadcast lifecycle (ADVICE r8): entries about to be superseded
+    # (stale session on this key) and entries whose session died hold
+    # a Broadcast that nothing will ever unpersist — a slow leak in
+    # long-lived processes that rebuild sessions or sweep caps. Sweep
+    # every dead entry now (not just this key's); destroy() on a
+    # stopped context raises, so each release is best-effort.
+    for k in [
+        k for k, v in _SHINGLE_DROPSET_MEMO.items() if k == key or v[0]() is None
+    ]:
+        try:
+            _SHINGLE_DROPSET_MEMO[k][2].destroy()
+        except Exception:
+            pass
+        del _SHINGLE_DROPSET_MEMO[k]
     rows = (
         _doc_shingles(spark, sf_dir)
         .select(F.explode("sh").alias("s"))
@@ -561,7 +608,7 @@ ORACLE_JACCARD_PAIR_CTES = f"""{ORACLE_SHINGLE_CTES},
 _ORACLE_EXACT_JACCARD = f"""
         WITH {ORACLE_JACCARD_PAIR_CTES}
         SELECT doc_a, doc_b, inter, uni,
-               round(inter::DOUBLE / uni, 4) AS jac
+               {_sql_round4('inter', 'uni')} AS jac
         FROM jpairs
 """
 
@@ -596,7 +643,7 @@ def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
     )
     return j.filter(F.col("jacc") >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", "inter", "uni", F.round("jacc", 4).alias("jac")
+        "doc_a", "doc_b", "inter", "uni", _int_round4("inter", "uni").alias("jac")
     )
 
 
@@ -627,7 +674,7 @@ _ORACLE_CONTAINMENT = f"""
         WITH {ORACLE_SHINGLE_CTES}
         SELECT doc_a, doc_b, inter,
                least(ca.n, cb.n) AS n_small,
-               round(inter::DOUBLE / least(ca.n, cb.n), 4) AS cont
+               {_sql_round4('inter', 'least(ca.n, cb.n)')} AS cont
         FROM sh_co JOIN sh_cnt ca ON ca.doc_id = sh_co.doc_a
                    JOIN sh_cnt cb ON cb.doc_id = sh_co.doc_b
         WHERE inter::DOUBLE / least(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
@@ -676,7 +723,13 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_small", F.least("na", "nb"))
         .withColumn("cont", F.col("inter").cast("double") / F.col("n_small"))
         .filter(F.col("cont") >= CONTAINMENT_THRESHOLD)
-        .select("doc_a", "doc_b", "inter", "n_small", F.round("cont", 4).alias("cont"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "n_small",
+            _int_round4("inter", "n_small").alias("cont"),
+        )
     )
 
 
@@ -791,7 +844,7 @@ def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("small_doc", "big_doc").alias("doc_b"),
             "inter",
             "n_small",
-            F.round("cont", 4).alias("cont"),
+            _int_round4("inter", "n_small").alias("cont"),
         )
     )
 
@@ -964,7 +1017,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jacc") >= JACCARD_THRESHOLD)
     )
     return verified.select(
-        "doc_a", "doc_b", "inter", "uni", F.round("jacc", 4).alias("jac")
+        "doc_a", "doc_b", "inter", "uni", _int_round4("inter", "uni").alias("jac")
     )
 
 
@@ -990,7 +1043,7 @@ INCR_BATCH_RESIDUE = 8
                     THEN doc_a ELSE doc_b END AS corpus_doc,
                CASE WHEN doc_a % {INCR_BATCH_MOD} < {INCR_BATCH_RESIDUE}
                     THEN doc_b ELSE doc_a END AS new_doc,
-               inter, uni, round(inter::DOUBLE / uni, 4) AS jac
+               inter, uni, {_sql_round4('inter', 'uni')} AS jac
         FROM jpairs
         WHERE (doc_a % {INCR_BATCH_MOD} < {INCR_BATCH_RESIDUE})
            <> (doc_b % {INCR_BATCH_MOD} < {INCR_BATCH_RESIDUE})
@@ -1071,7 +1124,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
         .filter(F.col("jacc") >= JACCARD_THRESHOLD)
         .select(
-            "corpus_doc", "new_doc", "inter", "uni", F.round("jacc", 4).alias("jac")
+            "corpus_doc",
+            "new_doc",
+            "inter",
+            "uni",
+            _int_round4("inter", "uni").alias("jac"),
         )
     )
 

@@ -1,0 +1,238 @@
+"""Persisted, bucket-partitioned MinHash band index + pruned probe.
+
+The corpus-scale form of streaming ingest dedup (NOTES_r08 named it
+the next rung): ``incremental_dedup_stream`` re-plans the corpus
+signature scan — cap window included — on EVERY micro-batch, which
+is fine at rehearsal scale and prohibitive at 100 TB (the per-batch
+floor is a full corpus-index re-derivation). The production shape is:
+
+1. :func:`write_band_index` — ONCE per corpus compaction: explode
+   the staged signature table into (band_key, doc_id, sig, sh)
+   entries, apply the LSH bucket cap (same
+   :func:`~mapreduceapp_spark.operators.dedup._capped_band_entries`
+   fold the batch queries use, so index contents are bit-identical
+   to the batch candidate generator's view), and persist as parquet
+   PARTITIONED BY ``bucket = pmod(band_key, N_INDEX_BUCKETS)``.
+2. :func:`probe_band_index` — per batch: compute the batch's band
+   keys with the shared hash family, derive the touched bucket ids
+   (≤ ``16·|batch|``, collapsed to ≤ ``N_INDEX_BUCKETS`` distinct
+   ints — a bounded driver-side set, same justification class as the
+   shingle drop-set collect), and scan the index WITH a partition
+   filter on those ids. Spark prunes unlistable directories at
+   planning time, so a small batch reads a small fraction of the
+   index bytes no matter how large the corpus is; within each
+   partition, band_key equality drives the join.
+
+Why partition by ``pmod(band_key, N)`` and not ``band_key`` itself:
+band keys are 64-bit hashes — one directory per distinct value is
+millions of tiny files (the classic over-partitioning failure).
+``N_INDEX_BUCKETS`` directories keep file counts flat while still
+giving the probe ~|touched|/N byte-level pruning; within a
+partition, parquet row-group statistics on the sorted band_key
+column prune further (entries are written sorted by band_key).
+
+Registered query ``q_dedup_index_probe`` runs the full loop —
+build index for the corpus split, probe the batch split — and must
+produce EXACTLY ``q_incremental_dedup``'s rows (same oracle): the
+index is a materialized re-layout of the same capped band entries,
+the probe the same candidate→prefilter→verify chain.
+
+Reference grounding: the reference has no persistence at all (one
+in-memory job, ``MapReduceFramework.cpp:140``); this is the engine's
+index-shaped sink, the analog of its phase-output vectors made
+durable and prunable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.operators.dedup import (
+    INCR_BATCH_MOD,
+    INCR_BATCH_RESIDUE,
+    JACCARD_THRESHOLD,
+    LSH_BUCKET_CAP,
+    MINHASH_PERMS,
+    _capped_band_entries,
+    _doc_shingles_with_minhash,
+    _int_round4,
+    band_key_array,
+)
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.plans.staging import stage, staging_root
+
+# Directory-partition count for the persisted index. Sized like
+# shuffle partitions: enough that one partition's entries fit an
+# executor comfortably at the target corpus (100 TB corpus ≈ 1e11
+# docs × 16 bands / 1024 ≈ 1.6e9 entries/partition — row-group
+# pruning inside the partition does the rest), few enough that the
+# file count stays sane. Local tests use the same constant; the
+# probe's pruning contract is asserted against it.
+N_INDEX_BUCKETS = 64
+
+
+def _band_entries_with_payload(sh: DataFrame) -> DataFrame:
+    """(band_key, bucket, doc_id, sig, sh) — one row per (doc, band),
+    carrying the signature and shingle set so the probe verifies
+    without a second corpus lookup join."""
+    return (
+        sh.select(
+            "doc_id",
+            "sig",
+            "sh",
+            F.explode(band_key_array()).alias("band_key"),
+        )
+        .withColumn(
+            "bucket", F.pmod(F.col("band_key"), F.lit(N_INDEX_BUCKETS)).cast("int")
+        )
+    )
+
+
+def write_band_index(
+    spark: SparkSession, sf_dir: str, path: str, corpus_only: bool = True
+) -> str:
+    """Build and persist the corpus band index; returns ``path``.
+
+    The cap is applied at BUILD time (an over-cap band bucket carries
+    no usable signal and would otherwise be re-filtered by every
+    probe); the fold rides the repartition-by-bucket shuffle's
+    co-location. Entries are sorted by band_key within partitions so
+    parquet row-group min/max statistics prune inside a directory.
+    """
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    if corpus_only:
+        sh = sh.filter((F.col("doc_id") % INCR_BATCH_MOD) < INCR_BATCH_RESIDUE)
+    entries = _capped_band_entries(
+        _band_entries_with_payload(sh), ["band_key"], LSH_BUCKET_CAP
+    )
+    (
+        entries.repartition(N_INDEX_BUCKETS, "bucket")
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return path
+
+
+def touched_buckets(probe_bands: DataFrame) -> list[int]:
+    """Distinct index partitions a batch's band keys land in —
+    bounded at ``N_INDEX_BUCKETS`` ints by construction, so the
+    driver-side collect is a constant, not a data-sized pull."""
+    return sorted(
+        r["bucket"] for r in probe_bands.select("bucket").distinct().collect()
+    )
+
+
+def probe_band_index(
+    spark: SparkSession, index_path: str, probe_sh: DataFrame
+) -> DataFrame:
+    """Probe signature rows (doc_id, sig, sh) against a persisted
+    band index; emit exact-verified (corpus_doc, new_doc, inter, uni,
+    jac) pairs — the same chain (band join → signature-agreement
+    prefilter → exact Jaccard verify → post-verify dedup) as the
+    batch and streaming twins, with the corpus side read through
+    partition pruning instead of re-derived.
+    """
+    probe_bands = _band_entries_with_payload(probe_sh).select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("sig").alias("sig_n"),
+        F.col("sh").alias("sh_n"),
+        "band_key",
+        "bucket",
+    )
+    buckets = touched_buckets(probe_bands)
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("bucket").isin(buckets))
+        .select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col("sig").alias("sig_c"),
+            F.col("sh").alias("sh_c"),
+            "band_key",
+        )
+    )
+    cand = probe_bands.drop("bucket").join(idx, "band_key")
+    est = (
+        cand.withColumn(
+            "sig_agree",
+            F.aggregate(
+                F.zip_with(
+                    "sig_c",
+                    "sig_n",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("sig_agree") >= MINHASH_PERMS // 2)
+        # distinct AFTER the prefilter (multi-band collisions arrive
+        # once per band) and BEFORE the exact verify, so the
+        # |shingles|-wide intersect runs once per surviving pair.
+        .select("corpus_doc", "new_doc", "sh_c", "sh_n")
+        .dropDuplicates(["corpus_doc", "new_doc"])
+    )
+    return (
+        est.withColumn("inter", F.size(F.array_intersect("sh_c", "sh_n")))
+        .withColumn("uni", F.size("sh_c") + F.size("sh_n") - F.col("inter"))
+        .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
+        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        .select(
+            "corpus_doc",
+            "new_doc",
+            "inter",
+            "uni",
+            _int_round4("inter", "uni").alias("jac"),
+        )
+    )
+
+
+def _index_slot(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic per-(process, sf_dir) index path under the
+    staging root; built on first use, reused after (the write is the
+    'corpus compaction' event — probes are the steady state)."""
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(staging_root(), f"band_index_{safe}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not (path.startswith(("hdfs://", "s3a://")) or os.path.exists(marker)):
+        write_band_index(spark, sf_dir, path)
+    return path
+
+
+@register(
+    "q_dedup_index_probe",
+    # Same ground truth as q_incremental_dedup: the index is a
+    # persisted re-layout of the identical capped band entries, the
+    # probe the identical candidate→prefilter→verify chain, so the
+    # emitted pair set is the same exact cross-split Jaccard set.
+    oracle=None,  # set below — reuses q_incremental_dedup's SQL verbatim
+    doc="Batch probe against the persisted bucket-partitioned band "
+    "index — the corpus-scale ingest-dedup path (C2 family).",
+)
+def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persisted-index loop as a driver query: build (or
+    reuse) the corpus split's band index, then probe the batch split
+    against it. Equals ``q_incremental_dedup`` row-for-row — pinned
+    by the shared oracle AND tests/test_dedup_index.py."""
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    batch = sh.filter((F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE)
+    return probe_band_index(spark, _index_slot(spark, sf_dir), batch)
+
+
+# Reuse the incremental-dedup oracle verbatim (single source of truth
+# for the cross-split exact-Jaccard ground truth).
+def _adopt_incremental_oracle() -> None:
+    from mapreduceapp_spark.plans.registry import _REGISTRY, Query
+
+    q = _REGISTRY["q_dedup_index_probe"]
+    src = _REGISTRY["q_incremental_dedup"]
+    _REGISTRY["q_dedup_index_probe"] = Query(
+        q.name, q.builder, src.oracle, q.doc, q.bench
+    )
+
+
+_adopt_incremental_oracle()

@@ -896,7 +896,7 @@ ZIPF_MICRO = 1_000_000
                    n * sxx - sx * sx AS den
             FROM s
         )
-        SELECT CAST(n AS BIGINT) AS n_tokens,
+        SELECT CAST(n AS BIGINT) AS n_ranked,
                (CASE WHEN num < 0 THEN -1 ELSE 1 END
                 * ((2 * abs(num) * 10000 + den) // (2 * den))) / 10000.0
                    AS slope,
@@ -961,7 +961,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
     )
     return s.select(
-        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n").cast("long").alias("n_ranked"),
         (
             F.expr(
                 "CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"

@@ -44,6 +44,7 @@ from mapreduceapp_spark.operators.dedup import (
     MINHASH_PERMS,
     _capped_band_entries,
     _doc_shingles_with_minhash,
+    _int_round4,
     _minhash_band_entries,
     _shingle_dropset_broadcast,
     band_key_array,
@@ -142,7 +143,7 @@ def incremental_dedup_stream(
             "new_doc",
             "inter",
             "uni",
-            F.round("jacc", 4).alias("jac"),
+            _int_round4("inter", "uni").alias("jac"),
         )
     )
     # multi-band collisions emit a pair once per colliding band;

@@ -1,0 +1,103 @@
+"""Persisted band index (operators/dedup_index.py): equivalence with
+the incremental twin, pruning contract, layout contract."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduceapp_spark.operators.dedup_index import (
+    N_INDEX_BUCKETS,
+    _band_entries_with_payload,
+    probe_band_index,
+    touched_buckets,
+    write_band_index,
+)
+from mapreduceapp_spark.plans.registry import get_query
+
+
+def _pairs(rows):
+    return sorted((r["corpus_doc"], r["new_doc"], r["inter"], r["uni"], r["jac"]) for r in rows)
+
+
+def test_probe_equals_incremental_twin(spark, sf_dir):
+    """The persisted-index probe is a re-layout of the same capped
+    band entries — its output must equal q_incremental_dedup
+    row-for-row (same pairs, same exact-verified stats)."""
+    got = _pairs(get_query("q_dedup_index_probe").builder(spark, sf_dir).collect())
+    want = _pairs(get_query("q_incremental_dedup").builder(spark, sf_dir).collect())
+    assert got == want
+    assert len(got) > 0  # fixture has cross-split duplicates
+
+
+def test_index_layout(spark, sf_dir, tmp_path):
+    """Index directories are bucket=0..N-1 partitions; every entry's
+    bucket equals pmod(band_key, N); entries are band_key-sorted
+    within files (the row-group pruning contract)."""
+    path = str(tmp_path / "band_index")
+    write_band_index(spark, sf_dir, path, corpus_only=False)
+    dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert dirs  # at least one populated bucket
+    assert dirs <= {f"bucket={i}" for i in range(N_INDEX_BUCKETS)}
+    idx = spark.read.parquet(path)
+    bad = idx.filter(
+        F.pmod(F.col("band_key"), F.lit(N_INDEX_BUCKETS)).cast("int")
+        != F.col("bucket")
+    ).count()
+    assert bad == 0
+
+
+def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The scale contract: a probe's index scan must carry a
+    partition filter on the touched buckets — planning-time directory
+    pruning, not a full-index read with a post-filter."""
+    from mapreduceapp_spark.operators.dedup import (
+        _doc_shingles_with_minhash,
+    )
+    from mapreduceapp_spark.plans.staging import stage
+
+    path = str(tmp_path / "band_index")
+    write_band_index(spark, sf_dir, path)
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    # one-document batch: touches ≤16 band keys → ≤16 buckets
+    one = sh.orderBy("doc_id").limit(1)
+    bands = _band_entries_with_payload(one)
+    touched = touched_buckets(bands)
+    assert 1 <= len(touched) <= 16
+    probe = probe_band_index(spark, path, one)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # SOME scan in the plan (the index scan; the staged signature
+    # scan is unpartitioned) must carry a partition filter on bucket
+    assert any(
+        "bucket" in seg[:300] for seg in plan.split("PartitionFilters")[1:]
+    ), plan
+    # Behavioral proof that untouched directories are dead weight:
+    # delete every bucket dir the probe does NOT touch — the result
+    # must be unchanged (DataFrame.inputFiles() can't witness this:
+    # it lists the relation pre-pruning).
+    before = sorted(map(tuple, probe.collect()))
+    import shutil
+
+    removed = 0
+    for d in os.listdir(path):
+        if d.startswith("bucket=") and int(d.split("=")[1]) not in touched:
+            shutil.rmtree(os.path.join(path, d))
+            removed += 1
+    assert removed > 0  # sf0.001 populates most of the 64 buckets
+    after = sorted(map(tuple, probe_band_index(spark, path, one).collect()))
+    assert after == before
+
+
+def test_probe_of_empty_batch_is_empty(spark, sf_dir, tmp_path):
+    from mapreduceapp_spark.operators.dedup import (
+        _doc_shingles_with_minhash,
+    )
+    from mapreduceapp_spark.plans.staging import stage
+
+    path = str(tmp_path / "band_index")
+    write_band_index(spark, sf_dir, path)
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    empty = sh.filter(F.lit(False))
+    assert probe_band_index(spark, path, empty).count() == 0

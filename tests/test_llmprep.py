@@ -328,7 +328,7 @@ def test_zipf_fit_matches_python_ols(spark, sf_dir):
     sxy = sum(x * y for x, y in pts)
     sxx = sum(x * x for x, _ in pts)
     num, den = n * sxy - sx * sy, n * sxx - sx * sx
-    assert row.n_tokens == n
+    assert row.n_ranked == n
     assert row.slope < 0
     assert abs(row.slope - num / den) <= 1e-4
     b = (sy * den - num * sx) / (n * den * ZIPF_MICRO)

@@ -36,7 +36,10 @@ def test_every_query_builds_lazily(spark, sf_dir):
               # had already warmed the stage memo — order-dependent)
               "q_dup_rate_by_source",
               # share the exact-kNN result via the knn_topk slot
-              "q_knn_classify", "q_ivf_recall", "q_lsh_recall"}
+              "q_knn_classify", "q_ivf_recall", "q_lsh_recall",
+              # builds (or reuses) the persisted band index + collects
+              # the bounded touched-bucket set at plan time
+              "q_dedup_index_probe"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():
@@ -87,38 +90,35 @@ def test_bench_subset_is_registered():
 # row) are deliberately REMOVED from the rotation so they re-check
 # like brand-new queries; list them here too.
 _NEW_SINCE_ROTATION: set[str] = {
-    # redefined round 8: exact count + oracle-enforced 2% error flag
-    # replaced the raw engine-specific sketch value (VERDICT r7 ask #4)
-    "q_approx_distinct",
-    # new round 8: df-relative segmented posting lists (VERDICT r7 ask #3)
-    "q_inverted_index_segmented",
-    # redefined round 8: depth-independent hyperplane family +
-    # count(*)-derived oracle depth (ADVICE r7 — the pair set shifts
-    # with the new plane family, so the r7 row is stale evidence)
-    "q_embedding_neardup_lsh",
-    # new round 8: batch-vs-corpus incremental MinHash dedup
-    "q_incremental_dedup",
-    # new round 8: TPC-H Q18 large-volume-order shape
-    "q_tpch_q18",
-    # new round 8: exact prefix-filtered containment (scale path)
+    # redefined round 9 (ADVICE r8 #1, applied to the whole ratio
+    # family): the presentation columns jac/cont moved from float
+    # F.round(ratio, 4) to pure-integer half-up division in builder
+    # AND oracle, deleting the .00005-tie divergence class. Values
+    # are bit-identical at every fixture scale (no tie fires), but
+    # the definition changed, so they re-check as brand-new.
+    "q_containment",
     "q_containment_prefix",
-    # redefined round 8: avg_lp is now integer-derived (hypothesis
-    # found an exact .00005 tie where Spark/DuckDB/Python round()
-    # diverge — the ADVICE r7 escape hatch applied for real)
-    "q_unigram_logprob",
-    # new round 8: α=0.5 mixture temperature resampling
-    "q_temperature_resample",
-    # new round 8: exact-substring passage dedup
-    "q_duplicate_passages",
-    # new round 8: TPC-H plan-shape closure (Q13/Q17/Q21/Q22)
-    "q_tpch_q13",
-    "q_tpch_q17",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # new round 8: oracle-enforced percentile-sketch error bound
-    "q_approx_percentile",
-    # new round 8: Zipf rank-frequency power-law fit
+    "q_ngram_jaccard",
+    "q_minhash_neardup",
+    "q_incremental_dedup",
+    # redefined round 9 (ADVICE r8 #3): output column renamed
+    # n_tokens → n_ranked (it counts ranked regression points, not
+    # corpus tokens) — a schema change in builder and oracle.
     "q_zipf_fit",
+    # new round 9: TPC-H shape closure (operators/tpch.py) — every
+    # remaining TPC-H query this schema can express.
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q19",
+    # new round 9: persisted bucket-partitioned band index probe
+    "q_dedup_index_probe",
 }
 
 
@@ -153,20 +153,20 @@ def _driver_window_names(round_no: int) -> set[str]:
 
 def test_two_window_union_covers_registry():
     """Registry-aware rotation invariant (VERDICT r7 ask #1): the
-    union of the LAST driver window (CORRECTNESS_r07.json, read from
+    union of the LAST driver window (CORRECTNESS_r08.json, read from
     the recorded artifact — not a hard-coded name list) and the
     UPCOMING window (first 50 of the current order) must cover the
     whole registry. When the registry outgrows 2×50 names that is
     mathematically impossible, so the uncovered remainder must be
     (a) minimal — exactly the overflow forced by registry growth and
     redefinition re-checks, never one more — and (b) drawn only from
-    the freshest-checked names (green in the round-6 window), never
+    the freshest-checked names (green in the round-7 window), never
     from staler evidence. A future mid-round registration can grow
     the overflow only by exactly its own count, and only at the
     freshest end — it can never silently displace a stale query
     again (that was the r7 q_wordcount slip)."""
     registry = set(all_queries())
-    last = _driver_window_names(7)
+    last = _driver_window_names(8)
     upcoming = set(list(all_queries())[:_DRIVER_WINDOW])
     uncovered = registry - last - upcoming
 
@@ -179,32 +179,34 @@ def test_two_window_union_covers_registry():
         f"{len(uncovered)} uncovered > {allowed} allowed: {sorted(uncovered)}"
     )
     # Overflowed names must carry the freshest prior evidence.
-    prev = _driver_window_names(6)
+    prev = _driver_window_names(7)
     assert uncovered <= prev, sorted(uncovered - prev)
     # And every never-checked name must be in the upcoming window.
-    never_checked = registry - last - prev - _driver_window_names(5)
+    never_checked = registry - last - prev - _driver_window_names(6)
     assert never_checked <= upcoming, sorted(never_checked - upcoming)
 
 
 def test_stalest_queries_lead_the_window():
     """Priority order inside the upcoming window: brand-new /
-    redefined queries first (no trustworthy driver row), then
-    q_wordcount (the only name whose newest row predates round 6),
-    then the round-6-checked complement of r7's window. No name
-    checked in round 7 may occupy a slot while a staler candidate
-    overflows."""
+    redefined queries first (no trustworthy driver row), then the
+    16 names whose newest row is round 6 (overflowed both the r7 and
+    r8 windows), then the round-7-checked complement of r8's window.
+    No name checked in round 8 may occupy a slot while a staler
+    candidate overflows."""
     order = list(all_queries())
     window = set(order[:_DRIVER_WINDOW])
-    last = _driver_window_names(7)
+    last = _driver_window_names(8)
     # redefined queries sit in the last window by name but their
     # recorded row predates the redefinition — they re-check as new
     fresh_in_window = (window & last) - _NEW_SINCE_ROTATION
     overflow = (set(order) - last) - window
     if overflow:
-        # a round-7-fresh name in the window while stale names
+        # a round-8-fresh name in the window while stale names
         # overflow would mean the rotation is mis-ordered
         assert not fresh_in_window, sorted(fresh_in_window)
-    assert "q_wordcount" in window, "q_wordcount must re-check in round 8"
+    # every round-6-stale name must re-check in round 9
+    r6_stale = set(order) - last - _driver_window_names(7)
+    assert r6_stale <= window, sorted(r6_stale - window)
     assert _NEW_SINCE_ROTATION <= window | (set(order) - set(window))
     for name in _NEW_SINCE_ROTATION & set(order):
         assert name in window, f"redefined/new {name} missed the window"
