@@ -49,10 +49,13 @@ from mapreduceapp_spark.sources import tables
 # 0.00–0.10), so price·(1−disc) scaled by 10⁴ is an exact int64 per
 # row. Summed in decimal(38,0): immune to order and to int64
 # overflow (1e9 units/row × 1e12 rows needs ~2^100).
-_REV = (
-    F.round(F.col("l_extendedprice") * 100).cast("long")
-    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-).alias("rev_x10000")
+def _rev():
+    # lazily built: module import must not require an active
+    # SparkContext (classic-mode F.col invokes the JVM)
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).alias("rev_x10000")
 
 
 def _rev_sum(alias: str = "revenue"):
@@ -237,7 +240,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q7_HI).cast("timestamp"))
-    ).select("l_orderkey", "l_suppkey", "l_shipdate", _REV)
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", _rev())
     oc = t.orders.select("o_orderkey", "o_custkey").join(
         cust, F.col("o_custkey") == F.col("c_custkey")
     )
@@ -333,7 +336,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     )
-    li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", _REV)
+    li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", _rev())
     vol = (
         li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -402,7 +405,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_nationkey") == F.col("sn_key"),
     ).select("s_suppkey", "nation")
-    li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", _REV)
+    li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", _rev())
     return (
         li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -459,7 +462,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit(Q10_HI).cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
     li = t.lineitem.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", _REV
+        "l_orderkey", _rev()
     )
     per_cust = (
         ords.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -584,7 +587,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
-    ).select("l_partkey", _REV)
+    ).select("l_partkey", _rev())
     ptype = t.part.select("p_partkey", "p_type")
     dec = "decimal(38,0)"
     promo = F.when(
@@ -650,7 +653,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
         )
-        .select("l_suppkey", _REV)
+        .select("l_suppkey", _rev())
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("rev_x10000").cast("decimal(38,0)")).alias("rx"))
     )
@@ -716,7 +719,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part_pred = c if part_pred is None else (part_pred | c)
     parts = t.part.filter(part_pred).select("p_partkey", "p_brand", "p_size")
-    li = t.lineitem.select("l_partkey", "l_quantity", _REV)
+    li = t.lineitem.select("l_partkey", "l_quantity", _rev())
     joined = li.join(
         F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
     )

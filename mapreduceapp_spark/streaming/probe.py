@@ -151,3 +151,53 @@ def incremental_dedup_stream(
     # so dropDuplicates state is one row per emitted pair — bounded
     # by duplicate volume, not traffic.
     return verified.dropDuplicates(["corpus_doc", "new_doc"])
+
+
+def indexed_ingest_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_stream: DataFrame,
+    index_path: str,
+    collector,
+    checkpoint: str,
+):
+    """The corpus-scale ingest-dedup runner (the rung above
+    :func:`incremental_dedup_stream`, NOTES_r08): each micro-batch is
+    signed with the shared hash family and probed against the
+    PERSISTED bucket-partitioned band index
+    (operators/dedup_index.py) via ``foreachBatch``, instead of
+    re-planning the corpus signature derivation per batch.
+
+    Why foreachBatch and not a stream-static join: the probe needs
+    the batch's touched-bucket set as PLAN-TIME literals to get
+    directory pruning (a join predicate prunes rows, not files), and
+    that set only exists once the micro-batch is materialized —
+    exactly the contract foreachBatch provides. The per-batch floor
+    drops from "re-derive corpus bands + cap window" to "list and
+    scan the touched index directories": constant in corpus size for
+    a fixed batch (the same argument as the batch probe, now with
+    the bytes-read side enforced by layout instead of lineage).
+
+    ``collector(pairs_df, epoch_id)`` receives each batch's verified
+    pairs (same schema as the batch twin); cross-batch global dedup
+    is the caller's sink concern (a doc appears in exactly one
+    micro-batch, so pair keys never recur across batches — the
+    in-batch dropDuplicates in the probe already collapsed
+    multi-band collisions).
+
+    Returns the started ``StreamingQuery`` (availableNow trigger).
+    """
+    drop_bc = _shingle_dropset_broadcast(spark, sf_dir)
+
+    def _probe(bdf: DataFrame, epoch_id: int) -> None:
+        from mapreduceapp_spark.operators.dedup_index import probe_band_index
+
+        sh = minhash_signatures_for(bdf, drop_bc)
+        collector(probe_band_index(spark, index_path, sh), epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -172,6 +172,45 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
             {"probe_docs": n_probe_docs},
         )
 
+        # corpus-scale variant: same stream probed via foreachBatch
+        # against the PERSISTED bucket-partitioned band index
+        # (operators/dedup_index.py) — the per-batch floor is the
+        # touched-directory scan, not a corpus band re-derivation
+        from mapreduceapp_spark.operators.dedup_index import write_band_index
+        from mapreduceapp_spark.streaming.probe import indexed_ingest_dedup
+
+        idx_path = f"{work}/band_index"
+        t_build = time.perf_counter()
+        write_band_index(spark, sf_dir, idx_path)
+        build_sec = round(time.perf_counter() - t_build, 2)
+        out = {"n": 0, "batches": 0}
+
+        def _collect(pairs, _epoch):
+            out["n"] += pairs.count()
+            out["batches"] += 1
+
+        probe_src2 = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+        )
+        t0 = time.perf_counter()
+        q = indexed_ingest_dedup(
+            spark, sf_dir, probe_src2, idx_path, _collect,
+            f"{work}/ckpt_indexed",
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        results["ingest_dedup_indexed"] = {
+            "batches": out["batches"],
+            "input_rows": n_probe_docs,
+            "output_rows": out["n"],
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n_probe_docs / wall),
+            "index_build_sec": build_sec,
+            "probe_docs": n_probe_docs,
+        }
+
         if include_late:
             t0 = time.perf_counter()
             late = run_late_data_demo(spark, sf_dir)

@@ -101,3 +101,47 @@ def test_probe_of_empty_batch_is_empty(spark, sf_dir, tmp_path):
     sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
     empty = sh.filter(F.lit(False))
     assert probe_band_index(spark, path, empty).count() == 0
+
+
+def test_indexed_stream_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Drain the batch split through the foreachBatch indexed runner
+    in multiple micro-batches; the union of emitted pairs must equal
+    q_incremental_dedup (and therefore the batch probe)."""
+    from mapreduceapp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+    )
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.streaming.probe import indexed_ingest_dedup
+
+    idx = str(tmp_path / "band_index")
+    write_band_index(spark, sf_dir, idx)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(
+        (F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    batch.repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    got: list = []
+    epochs: set = set()
+
+    def collect(pairs, epoch_id):
+        epochs.add(epoch_id)
+        got.extend(tuple(r) for r in pairs.collect())
+
+    q = indexed_ingest_dedup(
+        spark, sf_dir, stream, idx, collect, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert len(epochs) > 1  # genuinely multi-batch
+    want = [
+        tuple(r)
+        for r in get_query("q_incremental_dedup").builder(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0
