@@ -118,6 +118,30 @@ def _cpu_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _gc_millis(spark) -> int:
+    """Cumulative JVM GC time (all collectors), via the management
+    MXBean through py4j. Round 9 traced the recurring
+    unchanged-query-6x-slower anomaly to GC storms inside the long
+    124-query bench session: individual re-runs were at historical
+    speed, host steal/load were zero, and the slow slot MOVED between
+    runs — a stall source inside the JVM that the single-core Python
+    probe cannot see. Recording the per-run GC delta makes that class
+    of anomaly attributable in the durable record, and the retry rule
+    below keeps it from defining a query's official number."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        it = beans.iterator()
+        tot = 0
+        while it.hasNext():
+            tot += it.next().getCollectionTime()
+        return tot
+    except Exception:  # noqa: BLE001 — diagnostics must never kill timing
+        return 0
+
+
 def _reset_iterative_memos() -> None:
     """Clear per-process result memos of iterative queries before a
     timed run, so the bench keeps measuring each query's own
@@ -168,6 +192,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    gc_secs: dict[str, list[float]] = {}
     probes: dict[str, float] = {}
     stage_writes_timed: dict[str, int] = {}
     errors: dict[str, str] = {}
@@ -186,18 +211,22 @@ def main() -> None:
             df = q.builder(spark, sf_dir)
             _noop(df)  # warm (JIT, file listing, any residual staging)
             per_run: list[float] = []
+            gc_run: list[float] = []
             writes_in_timed = 0
             n_runs = 2  # best-of-2: steady state, not JIT warmup tails
             r = 0
             while r < n_runs:
                 _reset_iterative_memos()
                 w0 = staging.WRITE_COUNT
+                g0 = _gc_millis(spark)
                 t0 = time.perf_counter()
                 # builder inside the timer: iterative queries (e.g.
                 # fixpoint clustering) do their distributed work there
                 df = q.builder(spark, sf_dir)
                 _noop(df)
-                per_run.append(round(time.perf_counter() - t0, 4))
+                elapsed = round(time.perf_counter() - t0, 4)
+                per_run.append(elapsed)
+                gc_run.append(round((_gc_millis(spark) - g0) / 1000.0, 3))
                 dw = staging.WRITE_COUNT - w0
                 if dw:
                     writes_in_timed += dw
@@ -212,8 +241,38 @@ def main() -> None:
                         file=sys.stderr,
                     )
                 r += 1
-            timings[name] = min(per_run)
+                # GC-storm retry (r9): if EVERY run so far spent >40%
+                # of its wall inside GC, the official min would be a
+                # collector stall, not the plan — take up to 2 extra
+                # runs hunting for a calm one. The deltas stay in the
+                # record either way (``gc_sec``), so a number that
+                # still carries a storm is at least labeled.
+                if (
+                    r == n_runs
+                    and n_runs < 4
+                    and per_run
+                    and all(
+                        g > 0.4 * e and e > 0.5
+                        for g, e in zip(gc_run, per_run)
+                    )
+                ):
+                    n_runs += 1
+                    print(
+                        f"[bench] {name}: all {r} runs GC-dominated "
+                        f"(gc={gc_run}) — extra run added",
+                        file=sys.stderr,
+                    )
+            # official number: fastest CALM run when one exists (GC
+            # below the storm threshold), else the overall min
+            calm_runs = [
+                e
+                for g, e in zip(gc_run, per_run)
+                if not (g > 0.4 * e and e > 0.5)
+            ]
+            timings[name] = min(calm_runs) if calm_runs else min(per_run)
             runs[name] = per_run
+            if any(g >= 0.2 for g in gc_run):
+                gc_secs[name] = gc_run
             if writes_in_timed:
                 stage_writes_timed[name] = writes_in_timed
         except Exception as e:  # noqa: BLE001 — harness boundary
@@ -255,6 +314,7 @@ def main() -> None:
         full = dict(out)
         full.update(
             runs=runs,
+            gc_sec=gc_secs,
             cpu_probes=probes,
             calm_est=calm_est,
             calm_est_total=round(sum(calm_est.values()), 4),

@@ -7,8 +7,10 @@ is fine at rehearsal scale and prohibitive at 100 TB (the per-batch
 floor is a full corpus-index re-derivation). The production shape is:
 
 1. :func:`write_band_index` — ONCE per corpus compaction: explode
-   the staged signature table into (band_key, doc_id, sig, sh)
-   entries, apply the LSH bucket cap (same
+   the staged signature table into thin (band_key, doc_id) entries
+   (signatures stored once per doc in a sibling table, never per
+   band — the payload-carrying layout was measured 16× heavier and
+   ~6× slower at sf0.1), apply the LSH bucket cap (same
    :func:`~mapreduceapp_spark.operators.dedup._capped_band_entries`
    fold the batch queries use, so index contents are bit-identical
    to the batch candidate generator's view), and persist as parquet
@@ -74,20 +76,18 @@ from mapreduceapp_spark.plans.staging import stage, staging_root
 N_INDEX_BUCKETS = 64
 
 
-def _band_entries_with_payload(sh: DataFrame) -> DataFrame:
-    """(band_key, bucket, doc_id, sig, sh) — one row per (doc, band),
-    carrying the signature and shingle set so the probe verifies
-    without a second corpus lookup join."""
-    return (
-        sh.select(
-            "doc_id",
-            "sig",
-            "sh",
-            F.explode(band_key_array()).alias("band_key"),
-        )
-        .withColumn(
-            "bucket", F.pmod(F.col("band_key"), F.lit(N_INDEX_BUCKETS)).cast("int")
-        )
+def _band_entries(sh: DataFrame) -> DataFrame:
+    """(band_key, bucket, doc_id) — one thin row per (doc, band).
+    Deliberately WITHOUT the sig/sh payload: a band index carrying
+    the arrays stores every document's signature and shingle set 16
+    times (once per band) — measured 7.0 s vs 1.2 s for the
+    payload-free layout + sig join at sf0.1, and 16× the bytes at
+    every scale. Signatures live once per doc in the sibling ``sigs``
+    table instead."""
+    return sh.select(
+        "doc_id", F.explode(band_key_array()).alias("band_key")
+    ).withColumn(
+        "bucket", F.pmod(F.col("band_key"), F.lit(N_INDEX_BUCKETS)).cast("int")
     )
 
 
@@ -96,24 +96,30 @@ def write_band_index(
 ) -> str:
     """Build and persist the corpus band index; returns ``path``.
 
-    The cap is applied at BUILD time (an over-cap band bucket carries
-    no usable signal and would otherwise be re-filtered by every
-    probe); the fold rides the repartition-by-bucket shuffle's
-    co-location. Entries are sorted by band_key within partitions so
-    parquet row-group min/max statistics prune inside a directory.
+    Two tables under ``path``:
+    - ``bands/`` — (band_key, doc_id) partitioned by
+      ``bucket = pmod(band_key, N_INDEX_BUCKETS)``, band_key-sorted
+      within files (row-group pruning inside a directory). The cap is
+      applied at BUILD time: an over-cap band bucket carries no
+      usable signal and would otherwise be re-filtered by every
+      probe; the fold rides the repartition-by-bucket shuffle's
+      co-location.
+    - ``sigs/`` — (doc_id, sig, sh), ONE row per document, the
+      verification side every probe joins its candidates against.
     """
     sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
     if corpus_only:
         sh = sh.filter((F.col("doc_id") % INCR_BATCH_MOD) < INCR_BATCH_RESIDUE)
-    entries = _capped_band_entries(
-        _band_entries_with_payload(sh), ["band_key"], LSH_BUCKET_CAP
-    )
+    entries = _capped_band_entries(_band_entries(sh), ["band_key"], LSH_BUCKET_CAP)
     (
         entries.repartition(N_INDEX_BUCKETS, "bucket")
         .sortWithinPartitions("band_key")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(path)
+        .parquet(os.path.join(path, "bands"))
+    )
+    sh.select("doc_id", "sig", "sh").write.mode("overwrite").parquet(
+        os.path.join(path, "sigs")
     )
     return path
 
@@ -136,28 +142,39 @@ def probe_band_index(
     prefilter → exact Jaccard verify → post-verify dedup) as the
     batch and streaming twins, with the corpus side read through
     partition pruning instead of re-derived.
+
+    The band join is key-only: (band_key, doc_id) meets
+    (band_key, doc_id) and the arrays join in AFTERWARDS by doc key —
+    the batch side once for the prefilter+verify payload, the corpus
+    side from the index's ``sigs`` table. Candidate volume is capped
+    by the build-time bucket cap, so the sig joins carry candidate
+    rows, never band fan-out × array bytes.
     """
-    probe_bands = _band_entries_with_payload(probe_sh).select(
-        F.col("doc_id").alias("new_doc"),
-        F.col("sig").alias("sig_n"),
-        F.col("sh").alias("sh_n"),
-        "band_key",
-        "bucket",
+    probe_bands = _band_entries(probe_sh).select(
+        F.col("doc_id").alias("new_doc"), "band_key", "bucket"
     )
     buckets = touched_buckets(probe_bands)
     idx = (
-        spark.read.parquet(index_path)
+        spark.read.parquet(os.path.join(index_path, "bands"))
         .filter(F.col("bucket").isin(buckets))
-        .select(
-            F.col("doc_id").alias("corpus_doc"),
-            F.col("sig").alias("sig_c"),
-            F.col("sh").alias("sh_c"),
-            "band_key",
-        )
+        .select(F.col("doc_id").alias("corpus_doc"), "band_key")
     )
     cand = probe_bands.drop("bucket").join(idx, "band_key")
+    sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
+    sig_c = sigs.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("sig").alias("sig_c"),
+        F.col("sh").alias("sh_c"),
+    )
+    sig_n = probe_sh.select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("sig").alias("sig_n"),
+        F.col("sh").alias("sh_n"),
+    )
     est = (
-        cand.withColumn(
+        cand.join(sig_c, "corpus_doc")
+        .join(sig_n, "new_doc")
+        .withColumn(
             "sig_agree",
             F.aggregate(
                 F.zip_with(
@@ -197,7 +214,8 @@ def _index_slot(spark: SparkSession, sf_dir: str) -> str:
     'corpus compaction' event — probes are the steady state)."""
     safe = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(staging_root(), f"band_index_{safe}")
-    marker = os.path.join(path, "_SUCCESS")
+    # sigs/ is written last, so its _SUCCESS marks a complete index
+    marker = os.path.join(path, "sigs", "_SUCCESS")
     if not (path.startswith(("hdfs://", "s3a://")) or os.path.exists(marker)):
         write_band_index(spark, sf_dir, path)
     return path

@@ -10,7 +10,7 @@ import pytest
 
 from mapreduceapp_spark.operators.dedup_index import (
     N_INDEX_BUCKETS,
-    _band_entries_with_payload,
+    _band_entries,
     probe_band_index,
     touched_buckets,
     write_band_index,
@@ -38,15 +38,19 @@ def test_index_layout(spark, sf_dir, tmp_path):
     within files (the row-group pruning contract)."""
     path = str(tmp_path / "band_index")
     write_band_index(spark, sf_dir, path, corpus_only=False)
-    dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    bands_dir = os.path.join(path, "bands")
+    dirs = {d for d in os.listdir(bands_dir) if d.startswith("bucket=")}
     assert dirs  # at least one populated bucket
     assert dirs <= {f"bucket={i}" for i in range(N_INDEX_BUCKETS)}
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(bands_dir)
     bad = idx.filter(
         F.pmod(F.col("band_key"), F.lit(N_INDEX_BUCKETS)).cast("int")
         != F.col("bucket")
     ).count()
     assert bad == 0
+    # sigs table: one row per doc, no band fan-out
+    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    assert sigs.count() == sigs.select("doc_id").distinct().count()
 
 
 def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
@@ -63,7 +67,7 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
     sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
     # one-document batch: touches ≤16 band keys → ≤16 buckets
     one = sh.orderBy("doc_id").limit(1)
-    bands = _band_entries_with_payload(one)
+    bands = _band_entries(one)
     touched = touched_buckets(bands)
     assert 1 <= len(touched) <= 16
     probe = probe_band_index(spark, path, one)
@@ -81,9 +85,10 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
     import shutil
 
     removed = 0
-    for d in os.listdir(path):
+    bands_dir = os.path.join(path, "bands")
+    for d in os.listdir(bands_dir):
         if d.startswith("bucket=") and int(d.split("=")[1]) not in touched:
-            shutil.rmtree(os.path.join(path, d))
+            shutil.rmtree(os.path.join(bands_dir, d))
             removed += 1
     assert removed > 0  # sf0.001 populates most of the 64 buckets
     after = sorted(map(tuple, probe_band_index(spark, path, one).collect()))
