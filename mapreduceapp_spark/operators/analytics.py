@@ -546,3 +546,92 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean("s_b", "n_b").alias("mean_b_x100"),
         ((mean("s_a", "n_a") - mean("s_b", "n_b")) / se).alias("z_score"),
     )
+
+
+# Heavy hitters: keys with frequency >= N / HH_PHI_INV. The sketch
+# pass keeps HH_PHI_INV counters per partition — Misra-Gries needs
+# k + 1 > phi_inv, so k = phi_inv exactly meets the guarantee.
+HH_PHI_INV = 125
+
+
+def heavy_hitters(df: DataFrame, key: str, phi_inv: int = HH_PHI_INV) -> DataFrame:
+    """EXACT heavy hitters — every key with count*phi_inv >= N — via a
+    two-pass candidates scheme that never shuffles the long tail.
+
+    Pass 1 (map-only, zero shuffle): a per-partition Misra-Gries
+    summary with k = phi_inv counters over Arrow batches
+    (``mapInPandas`` carries the counter dict across batches inside
+    one partition). MG's guarantee: a key whose partition-local count
+    exceeds n_p/(k+1) survives the partition's summary; any key with
+    global count >= N/phi_inv has, by averaging, at least one
+    partition where its local share >= n_p/phi_inv > n_p/(k+1) — so
+    the union of partition summaries is a SUPERSET of the true heavy
+    hitters (no false negatives, whatever the partitioning; the
+    planted-Zipf test exercises adversarial layouts).
+
+    Pass 2 (exact recount): the candidate union is at most
+    k x partitions keys — broadcast it, filter the stream, and run
+    the ordinary partial-agg count on survivors only. False positives
+    from pass 1 die at the threshold filter, so the result is exact:
+    the sketch only ever PRUNES work, never decides membership.
+
+    Why this beats plain groupBy-count at 100 TB: the plain plan's
+    shuffle carries one partial row per DISTINCT key per partition —
+    for web-scale key spaces (URLs, n-grams, user agents) that is the
+    dominant cost and mostly tail keys that can never matter. Here
+    the shuffle carries only candidate keys (bounded by k x P), the
+    tail dies map-side inside the sketch, and the second scan is a
+    column-pruned re-read. The threshold N comes from a 1-row count
+    joined by broadcast (the module's stats-crossJoin convention).
+    """
+    import pandas as pd
+
+    mg_k = phi_inv
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key_val, c in pdf[key].value_counts().items():
+                counters[key_val] = counters.get(key_val, 0) + int(c)
+            if len(counters) > mg_k:
+                vals = sorted(counters.values())
+                d = vals[len(counters) - mg_k - 1]  # (len-k)-th smallest
+                counters = {kv: c - d for kv, c in counters.items() if c > d}
+        yield pd.DataFrame({key: list(counters.keys())})
+
+    field = df.schema[key]
+    cands = (
+        df.select(key)
+        .mapInPandas(mg_partition, schema=f"{key} {field.dataType.simpleString()}")
+        .distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.select(key)
+        .join(F.broadcast(cands), key, "inner")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * phi_inv >= F.col("_n"))
+        .select(key, "cnt")
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+        SELECT user_id, count(*) AS cnt
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) * {HH_PHI_INV} >= (SELECT count(*) FROM events)
+    """,
+    doc="Exact heavy hitters (count >= N/125) via per-partition "
+    "Misra-Gries candidates + exact recount — tail never shuffles.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users contributing >= 1/125 of all events. The oracle is the
+    plain HAVING query; the Spark plan is the two-pass sketch from
+    ``heavy_hitters`` — exactness is the point: sketch prunes,
+    recount decides (same contract as q_approx_distinct's bound
+    flag, but here the answer itself is exact)."""
+    return heavy_hitters(tables(spark, sf_dir).events, "user_id", HH_PHI_INV)

@@ -230,3 +230,54 @@ def test_abtest_agrees_with_python_statistics(spark, sf_dir):
     z = (ma - mb) / math.sqrt(va / na + vb / nb)
     assert abs(row.z_score - z) < 1e-9
     assert abs(row.mean_a_x100 - ma) < 1e-9
+
+
+def test_heavy_hitters_oracle(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(spark, "q_heavy_hitters", sf_dir)
+
+
+def test_heavy_hitters_planted_zipf_any_partitioning(spark):
+    """No false negatives, no false positives, exact counts — under
+    adversarial layouts. A Zipf-ish corpus (one dominant key, a mid
+    key exactly at threshold, a huge tail of singletons) is planted,
+    then the two-pass sketch runs over several partitionings
+    including one that splits the heavy key's occurrences across all
+    partitions and one that concentrates the tail into the same
+    partition as the heavy key (the MG-eviction-pressure case)."""
+    from mapreduceapp_spark.operators.analytics import heavy_hitters
+
+    phi_inv = 10
+    # N = 2000: heavy A=600, B=200 (exactly N/10), C=199 (just under),
+    # tail = 1001 singletons
+    rows = (
+        [("A",)] * 600 + [("B",)] * 200 + [("C",)] * 199
+        + [(f"t{i}",) for i in range(1001)]
+    )
+    expected = {("A", 600), ("B", 200)}
+    for layout in ("as-is", "spread", "shuffled"):
+        df = spark.createDataFrame(rows, "k string")
+        if layout == "spread":
+            df = df.repartition(32)
+        elif layout == "shuffled":
+            df = df.repartition(3, "k")
+        got = {(r.k, r.cnt) for r in heavy_hitters(df, "k", phi_inv).collect()}
+        assert got == expected, (layout, got)
+
+
+def test_heavy_hitters_plan_prunes_and_broadcasts(spark, sf_dir):
+    """The sketch pass must read ONLY the key column (column-pruned
+    scan) and the recount must be a broadcast join — a sort-merge
+    join here would mean the candidate set shuffles the fact side."""
+    from mapreduceapp_spark.plans.inspect import inspect_plan
+    from mapreduceapp_spark.plans.registry import get_query
+
+    f = inspect_plan(get_query("q_heavy_hitters").builder(spark, "/root/testdata/sf0.001"))
+    # two key-only scans (sketch + recount) and the zero-column
+    # count-total scan; nothing ever reads a second column
+    assert all(
+        s in ("struct<user_id:bigint>", "struct<>") for s in f.scans_read_schemas
+    ), f.scans_read_schemas
+    assert "SortMergeJoin" not in f.join_strategies, f.join_strategies
+    assert "BroadcastHashJoin" in f.join_strategies

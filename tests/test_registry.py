@@ -119,6 +119,8 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_tpch_q19",
     # new round 9: persisted bucket-partitioned band index probe
     "q_dedup_index_probe",
+    # new round 9: two-pass Misra-Gries heavy hitters (exact recount)
+    "q_heavy_hitters",
 }
 
 
