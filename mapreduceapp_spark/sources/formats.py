@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -274,3 +275,102 @@ def _parquet_tree_stats(spark: SparkSession, path: str) -> tuple[int, int]:
                 total += _os.path.getsize(_os.path.join(root, f))
                 count += 1
     return total, count
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 6) -> DataFrame:
+    """Append ``_z``: the Morton (Z-curve) interleave of the given
+    columns' rank-bucket indices.
+
+    Each column is first normalized to a ``2^bits``-bucket rank index
+    via its approximate quantiles (one sampling pass per column —
+    the same statistics ``repartitionByRange`` gathers; quantile
+    normalization, not min/max scaling, so skewed distributions still
+    fill all buckets). The bucket index is computed as a BINARY
+    SEARCH over the literal cut array — ``bits`` chained
+    ``element_at`` comparisons, each a named intermediate column so
+    no subexpression duplicates. (The naive 2^bits-term comparison
+    sum compiles to >64 KB of Java at bits=8 and kicks the whole
+    stage out of codegen; an ``aggregate()`` HOF is CodegenFallback;
+    the descent is O(bits) per row AND stays in codegen.) Indices
+    are then bit-interleaved with shift/or expressions: bit b of
+    column i lands at position ``b*len(cols)+i`` of ``_z``, so a
+    prefix of ``_z`` constrains EVERY column at once. bits=6 → 64
+    buckets per column, ample for file/row-group-level pruning where
+    the file count, not the bucket count, bounds resolution.
+    """
+    n = len(cols)
+    buckets = 1 << bits
+    # cut points at the 1/buckets quantile grid; relativeError trades
+    # one sampling pass's precision against balance — 1/(4*buckets)
+    # keeps buckets within ~25% of even under any distribution.
+    # Duplicate cuts (low-cardinality columns) are kept: the descent
+    # stays monotone, some buckets are just empty.
+    out = df
+    idx_cols = []
+    for c in cols:
+        cuts = df.stat.approxQuantile(
+            c, [i / buckets for i in range(1, buckets)], 1 / (4 * buckets)
+        )
+        arr = F.array(*[F.lit(cut) for cut in cuts])
+        ic = f"_zb_{c}"
+        out = out.withColumn(ic, F.lit(0).cast("long"))
+        for level in range(bits):
+            step = 1 << (bits - level - 1)
+            # 1-based cut index of this level's pivot in the complete tree
+            pivot = (F.col(ic) * 2 + 1) * step
+            out = out.withColumn(
+                ic,
+                F.col(ic) * 2
+                + (F.col(c) > F.element_at(arr, pivot.cast("int"))).cast("long"),
+            )
+        idx_cols.append(ic)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, ic in enumerate(idx_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(ic), b).bitwiseAND(F.lit(1)),
+                    b * n + i,
+                )
+            )
+    return out.withColumn("_z", z).drop(*idx_cols)
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    bits: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink clustered on a Z-curve over SEVERAL columns.
+
+    :func:`write_sorted_parquet` gives perfect skipping on its first
+    sort key and none on the others (the second key's min/max spans
+    nearly the full domain in every file). Z-ordering interleaves the
+    rank bits of each column, so consecutive ``_z`` ranges — hence
+    files, hence row groups — are small HYPER-RECTANGLES in the
+    column space: a selective predicate on ANY of the columns prunes
+    most files via ordinary parquet min/max stats, at the cost of
+    each column's skipping being ~sqrt of what a dedicated sort would
+    give. This is the standard layout for fact tables probed along
+    multiple independent dimensions (time AND user; key AND size) —
+    at 100 TB it's a write-once shuffle that every later scan
+    amortizes. The curve column is dropped before write; the layout
+    IS the index (nothing to maintain, readable by any engine).
+
+    Evidence: tests/test_sources.py measures footer min/max overlap —
+    a range predicate on EITHER column touches a minority of
+    z-ordered files, vs all files for the single-sort layout's
+    second column.
+    """
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    zdf = zorder_value(df, cols, bits=bits)
+    (
+        zdf.repartitionByRange(parts, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -107,3 +107,48 @@ def test_bucketed_join_skips_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert n == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+
+
+def test_runtime_bloom_filter_engages_in_large_fact_regime(spark, sf_dir):
+    """In the large-fact regime (functions/runtime_filters.py) the
+    optimizer must inject a bloom semi-filter on the fact side of a
+    selective dim join: `bloom_filter_agg` over the filtered dim keys
+    and a `might_contain` probe BEFORE the fact's shuffle — and the
+    result must equal the stock-regime join exactly (the filter only
+    prunes non-matching rows; the join decides)."""
+    from mapreduceapp_spark.functions.runtime_filters import bloom_regime
+    from mapreduceapp_spark.sources import load_table
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("v"))
+        )
+
+    stock = {(r.c_mktsegment, r.n, round(r.v, 2)) for r in build().collect()}
+    with bloom_regime(spark):
+        j = build()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom filter not injected"
+        assert "might_contain" in plan.lower(), plan
+        regime = {(r.c_mktsegment, r.n, round(r.v, 2)) for r in j.collect()}
+    assert regime == stock
+
+
+def test_bloom_regime_restores_confs(spark):
+    """The context manager must leave the session exactly as found —
+    a leaked autoBroadcastJoinThreshold=-1 would silently degrade
+    every later broadcast-join gate."""
+    from mapreduceapp_spark.functions.runtime_filters import bloom_regime
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with bloom_regime(spark):
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

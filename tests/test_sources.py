@@ -463,3 +463,65 @@ def test_register_views_partial_directory(spark, sf_dir, tmp_path):
     assert names == ["documents"]
     n = spark.sql("SELECT count(*) AS n FROM documents").first().n
     assert n == load_table(spark, sf_dir, "documents").count()
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """The z-ordered layout must deliver what single-key sorting
+    can't: file-level min/max pruning on EITHER clustered column. A
+    narrow range predicate on each dimension must intersect a
+    minority of files (single-sort gives 100% touch on its second
+    key — measured in the module docstring's A/B), and the rewrite
+    must preserve content exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.sources.formats import write_zordered_parquet
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "zord")
+    write_zordered_parquet(
+        orders, out, ["o_custkey", "o_totalprice"], num_files=16
+    )
+
+    def touched(col, lo, hi):
+        files = sorted(glob.glob(out + "/*.parquet"))
+        n = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            ci = md.schema.names.index(col)
+            st = [md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)]
+            if not (max(s.max for s in st) < lo or min(s.min for s in st) > hi):
+                n += 1
+        return n, len(files)
+
+    # ~3%-of-domain ranges on each dimension (custkey 1..15k·sf,
+    # totalprice roughly 1k..600k at any sf)
+    n_cust, total = touched("o_custkey", 100, 150)
+    n_price, _ = touched("o_totalprice", 400_000.0, 410_000.0)
+    assert total >= 8, "expected a multi-file layout"
+    assert n_cust <= total // 2, f"custkey prunes nothing: {n_cust}/{total}"
+    assert n_price <= total // 2, f"totalprice prunes nothing: {n_price}/{total}"
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, orders.collect()))
+    assert got == want
+
+
+def test_zorder_value_stays_in_codegen(spark, sf_dir):
+    """The bucket descent is O(bits) element_at comparisons per
+    column precisely so the projection stays inside whole-stage
+    codegen (the naive 2^bits comparison sum is >64 KB of generated
+    Java and falls back to interpreted rows)."""
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.sources.formats import zorder_value
+
+    z = zorder_value(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        ["o_custkey", "o_totalprice"],
+    )
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan, plan[:2000]
