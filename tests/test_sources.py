@@ -525,3 +525,57 @@ def test_zorder_value_stays_in_codegen(spark, sf_dir):
     )
     plan = z._jdf.queryExecution().executedPlan().toString()
     assert "*(1)" in plan, plan[:2000]
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """MERGE semantics (update matched keys, insert new ones) with
+    the scale contract: partitions the update batch doesn't touch
+    keep their exact files — same names, same bytes — because the
+    merge never opens them."""
+    import glob
+    import hashlib
+
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.sources.formats import merge_upsert_parquet
+
+    base_dir = str(tmp_path / "orders_part")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.partitionBy("o_orderstatus").parquet(base_dir)
+
+    def file_hashes(status):
+        out = {}
+        for f in sorted(glob.glob(f"{base_dir}/o_orderstatus={status}/*.parquet")):
+            out[f] = hashlib.sha256(open(f, "rb").read()).hexdigest()
+        return out
+
+    before_p = file_hashes("P")
+
+    # updates: replace two existing 'F' orders, insert one new one
+    existing = [
+        r.o_orderkey
+        for r in orders.filter("o_orderstatus = 'F'").limit(2).collect()
+    ]
+    new_key = 10_000_000
+    updates = spark.createDataFrame(
+        [(k, 1, 999.99, "F") for k in existing]
+        + [(new_key, 1, 111.11, "F")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    n = merge_upsert_parquet(
+        spark, base_dir, updates, ["o_orderkey"], "o_orderstatus"
+    )
+    assert n == 1  # only the F partition was touched
+
+    after = spark.read.parquet(base_dir)
+    # matched keys carry the update's values
+    got = {
+        r.o_orderkey: r.o_totalprice
+        for r in after.filter(F.col("o_orderkey").isin(existing + [new_key])).collect()
+    }
+    assert got == {k: 999.99 for k in existing} | {new_key: 111.11}
+    # row count: base + 1 insert, no duplicates from the replaced keys
+    assert after.count() == orders.count() + 1
+    # untouched partition: identical file set, identical bytes
+    assert file_hashes("P") == before_p
