@@ -558,3 +558,73 @@ def q_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("orders_fk_customer", orphan, F.col("c_custkey").isNull()))
         .unionByName(check("events_value_nonnegative", t.events, F.col("value") < 0))
     )
+
+
+@register(
+    "q_hll_rollup",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               1 AS approx_err_le_2pct
+        FROM events
+        GROUP BY event_type
+        UNION ALL
+        SELECT '__ALL__' AS event_type,
+               count(DISTINCT user_id) AS exact_users,
+               1 AS approx_err_le_2pct
+        FROM events
+    """,
+    doc="Mergeable Datasketches-HLL rollup: per-group sketches unioned "
+    "into a global estimate without rescanning, 2% bound hash-enforced.",
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type AND overall, where the overall
+    estimate comes from ``hll_union_agg`` over the per-group sketches
+    — never from a second distinct pass over the data. Mergeability
+    is the property that makes sketches the 100 TB distinct-count
+    tool: per-partition/per-day sketch bytes are computed once,
+    persisted, and ANY rollup (day→month, source→corpus) is a
+    kilobyte-sized union, not a rescan. ``approx_count_distinct``
+    (q_approx_distinct) exposes only the final number; the
+    Datasketches column exposes the sketch itself as data.
+
+    Correctness contract: same as q_approx_distinct — each row
+    carries the EXACT count plus the integer flag
+    ``50·|est − exact| ≤ exact`` computed from the sketch estimate,
+    so the 2% bound is enforced by the driver's hash check (the
+    oracle hard-codes 1). The exact and sketch aggregations run as
+    separate scans joined on the tiny group key — fusing exact
+    countDistinct with a sketch agg in one ``agg()`` triggers the
+    mixed-distinct rewrite that shuffles the sketch buffer per
+    distinct key (the q_approx_distinct trap, measured there).
+    """
+    ev = tables(spark, sf_dir).events
+    exact_g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    sk_g = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    flag = lambda est: (  # noqa: E731
+        (F.abs(est - F.col("exact_users")) * 50 <= F.col("exact_users"))
+        .cast("int")
+        .alias("approx_err_le_2pct")
+    )
+    per_group = exact_g.join(F.broadcast(sk_g), "event_type").select(
+        "event_type",
+        "exact_users",
+        flag(F.hll_sketch_estimate("sk")),
+    )
+    merged = sk_g.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    overall = (
+        ev.agg(F.countDistinct("user_id").alias("exact_users"))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            F.lit("__ALL__").alias("event_type"),
+            "exact_users",
+            flag(F.col("_est")),
+        )
+    )
+    return per_group.unionByName(overall)

@@ -121,6 +121,8 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_dedup_index_probe",
     # new round 9: two-pass Misra-Gries heavy hitters (exact recount)
     "q_heavy_hitters",
+    # new round 9: mergeable Datasketches-HLL rollup
+    "q_hll_rollup",
 }
 
 

@@ -99,3 +99,37 @@ def test_data_audit_clean_fixtures(spark, sf_dir):
     for name, r in rows.items():
         assert r.checked > 0, name
         assert r.violations == 0, f"{name}: fixtures should be clean"
+
+
+def test_hll_rollup_oracle(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(spark, "q_hll_rollup", sf_dir)
+
+
+def test_hll_rollup_overall_comes_from_sketch_union(spark, sf_dir):
+    """The '__ALL__' estimate must be the union of the per-group
+    sketches, not a third distinct pass: unioning sketches built on
+    OVERLAPPING groups must deduplicate across them (users appear in
+    several event types — a SUM of per-group distincts would
+    overcount; the union must not)."""
+    import pyspark.sql.functions as F
+
+    from mapreduceapp_spark.sources import tables
+
+    ev = tables(spark, sf_dir).events
+    per_group_sum = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    true_overall = ev.select("user_id").distinct().count()
+    assert per_group_sum > true_overall, "fixture lost cross-group overlap"
+    merged_est = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(merged_est - true_overall) * 50 <= true_overall
