@@ -302,3 +302,65 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cnt", F.lit(0)).alias("cnt"),
         )
     )
+
+
+@register(
+    "q_state_intervals",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_type, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ), changes AS (
+            SELECT user_id, ts, event_type, event_id
+            FROM ordered
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               CASE WHEN lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM changes
+    """,
+    doc="SCD2-style state intervals: per-user event_type change "
+    "history as (valid_from, valid_to] rows, open-ended current row.",
+)
+def q_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval building from an
+    event log: per user, collapse consecutive same-state events and
+    emit one row per state CHANGE with its validity window — the
+    standard transform from an append-only log to a point-in-time
+    joinable history (the as-of join, q_asof_join, is this table's
+    natural consumer).
+
+    Plan: two window passes over the SAME partitioning (user_id) —
+    Catalyst plans one Exchange and reuses the sort, so the whole
+    history build is a single shuffle keyed by entity. Ties inside a
+    user's timeline are broken by event_id in BOTH engines, making
+    the interval set deterministic. At 100 TB entity timelines are
+    bounded (per-user event counts), so per-partition sorts stay
+    small; a hot entity is an application error this plan surfaces
+    rather than hides (one reducer sorting one giant timeline).
+    """
+    ev = tables(spark, sf_dir).events.select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

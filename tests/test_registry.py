@@ -123,6 +123,8 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_heavy_hitters",
     # new round 9: mergeable Datasketches-HLL rollup
     "q_hll_rollup",
+    # new round 9: SCD2 state intervals from the event log
+    "q_state_intervals",
 }
 
 

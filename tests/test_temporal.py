@@ -90,3 +90,43 @@ def test_resample_fill_shuffles_only_aggregates(spark, sf_dir):
     )
     assert len(re.findall(r"Exchange (hash|range)", plan)) <= 2
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_state_intervals_oracle(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(spark, "q_state_intervals", sf_dir)
+
+
+def test_state_intervals_tile_each_timeline(spark, sf_dir):
+    """SCD2 invariants: per user, intervals chain end-to-start with
+    no gaps or overlaps, exactly one open-ended current row, and no
+    two consecutive intervals carry the same state (else the change
+    compression failed)."""
+    from collections import defaultdict
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = get_query("q_state_intervals").builder(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        opens = [r for r in ivs if r.valid_to is None]
+        assert len(opens) == 1 and ivs[-1].valid_to is None, user
+        assert all(r.is_current == int(r.valid_to is None) for r in ivs)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            assert a.event_type != b.event_type, (user, a, b)
+
+
+def test_state_intervals_single_shuffle(spark, sf_dir):
+    """Both window passes share the user_id partitioning — the whole
+    history build must plan exactly one shuffle."""
+    from mapreduceapp_spark.plans.inspect import inspect_plan
+    from mapreduceapp_spark.plans.registry import get_query
+
+    f = inspect_plan(get_query("q_state_intervals").builder(spark, sf_dir))
+    assert f.shuffle_exchanges() == 1, f.text
