@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "mapreduceapp_spark.operators.mapreduce",
     "mapreduceapp_spark.operators.llmprep",
     "mapreduceapp_spark.operators.clustering",
+    "mapreduceapp_spark.operators.graph",
 )
 
 
