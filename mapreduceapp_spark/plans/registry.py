@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "mapreduceapp_spark.operators.llmprep",
     "mapreduceapp_spark.operators.clustering",
     "mapreduceapp_spark.operators.graph",
+    "mapreduceapp_spark.sources.txlog",
 )
 
 

@@ -1,0 +1,571 @@
+"""TxLog — a snapshot-isolated table format over plain parquet.
+
+``merge_upsert_parquet`` (formats.py) is the single-writer merge
+primitive; its docstring names the rung above it: concurrent writers
+need a TRANSACTION LOG. This module is that rung, the lakehouse
+pattern published in the Delta Lake paper (Armbrust et al., VLDB
+2020) re-built minimally on files Spark already writes:
+
+    table_root/
+      _txlog/00000000000000000001.json   one manifest per version
+      _data/<token>/part-*.parquet       one directory per commit
+
+A manifest is the COMMIT: it lists the data files the version adds
+and removes (paths relative to the root), per-file row counts and
+min/max stats for declared columns, the snapshot version the writer
+read, and an optional (app, batch) idempotency key. Readers replay
+manifests; writers race to create the next manifest file.
+
+Why each piece is the way it is:
+
+- **Atomic commit = exclusive manifest create.** ``open(path, "x")``
+  is O_CREAT|O_EXCL — exactly one of two racing writers creates
+  version N; the loser re-reads the log, re-validates, and retries at
+  N+1. On an object store the same protocol needs a conditional PUT
+  (if-none-match) or a log service; the manifest schema is unchanged.
+- **Snapshot isolation for free.** Data files are immutable and
+  never deleted by commits — an upsert REMOVES files from the live
+  set and ADDS rewritten ones, so every historical version stays
+  readable (time travel) until ``txlog_vacuum`` reclaims it.
+- **Optimistic concurrency, file-granular.** A commit that removes
+  files validates, after losing a race, that no intervening commit
+  removed any of the same files (write-write conflict on the same
+  rows' storage → ``TxConflict``); pure appends never conflict and
+  auto-retry. This is the Delta/Iceberg conflict rule at its
+  coarsest useful granularity.
+- **Manifest-level data skipping.** Commits record per-file min/max
+  (from the parquet footers Spark already wrote) for the table's
+  declared stats columns; ``txlog_read`` prunes the FILE LIST
+  against a predicate range before Spark ever lists a directory. At
+  100 TB this is the difference between "open 2 of 40,000 files"
+  and a full listing — and correctness never depends on it (the
+  stats columns are physically present in every file; pruning is
+  pure I/O avoidance, tested by result-equality with it disabled).
+- **Exactly-once streaming.** ``txlog_foreach_batch_append`` stamps
+  each commit with (app, batch_id); a replayed micro-batch (the
+  foreachBatch at-least-once contract after a failure) finds its
+  batch_id already committed and becomes a no-op, upgrading the sink
+  to exactly-once — the same idempotent-commit trick Delta's
+  ``txnAppId``/``txnVersion`` API exposes.
+
+The reference has no storage layer at all (its phase outputs are
+process-memory vectors, ``MapReduceFramework.cpp:140``); this module
+is the durable, concurrent analog its outputs would need on a
+cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.plans.registry import register
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "_data"
+_MANIFEST_WIDTH = 20
+
+
+class TxConflict(RuntimeError):
+    """A concurrent commit removed files this transaction also
+    removes — the optimistic write-write conflict. Re-read and
+    re-derive the update against the new snapshot to proceed."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, _LOG_DIR)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:0{_MANIFEST_WIDTH}d}.json")
+
+
+def txlog_versions(root: str) -> list[int]:
+    """Committed versions, ascending. Empty list = no table."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(d)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    )
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as fh:
+        return json.load(fh)
+
+
+def _live_files(root: str, version: int) -> dict[str, dict]:
+    """Replay manifests 1..version → {relative path: add entry}."""
+    live: dict[str, dict] = {}
+    for v in txlog_versions(root):
+        if v > version:
+            break
+        m = _read_manifest(root, v)
+        for rel in m["removes"]:
+            live.pop(rel, None)
+        for add in m["adds"]:
+            live[add["path"]] = add
+    return live
+
+
+def _write_data(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    stats_cols: list[str],
+    files: int | None = None,
+) -> list[dict]:
+    """Write ``df`` into a fresh commit directory and return its add
+    entries (path, rows, per-stats-col min/max from the footers).
+
+    The directory name is a random token, NOT the version — the
+    version isn't known until the manifest race is won, and a loser's
+    orphaned directory is reclaimed by vacuum. Rows are range-
+    clustered on the first stats column so per-file min/max windows
+    are tight (the whole point of recording them)."""
+    import pyarrow.parquet as pq
+
+    token = uuid.uuid4().hex[:12]
+    out = os.path.join(root, _DATA_DIR, token)
+    w = df
+    if stats_cols and not df.isStreaming:
+        # files=None lets AQE size the range shuffle from the data
+        # (the cluster default); an explicit count pins the layout
+        w = (
+            df.repartitionByRange(files, F.col(stats_cols[0]))
+            if files
+            else df.repartitionByRange(F.col(stats_cols[0]))
+        )
+    w.write.mode("error").parquet(out)
+
+    adds = []
+    for fname in sorted(os.listdir(out)):
+        if not fname.endswith(".parquet"):
+            continue
+        fpath = os.path.join(out, fname)
+        md = pq.ParquetFile(fpath).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        stats: dict[str, list] = {}
+        for c in stats_cols:
+            idx = names.index(c)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx).statistics
+                if s is None or not s.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[c] = [_json_safe(lo), _json_safe(hi)]
+        adds.append(
+            {
+                "path": os.path.join(_DATA_DIR, token, fname),
+                "rows": md.num_rows,
+                "stats": stats,
+            }
+        )
+    return adds
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _commit(
+    root: str,
+    adds: list[dict],
+    removes: list[str],
+    operation: str,
+    read_version: int,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Race for the next manifest slot; returns the committed version.
+
+    Retries transparently on lost races when the commit is
+    conflict-free against the interleaved manifests; raises
+    ``TxConflict`` when an interleaved commit removed any file this
+    commit also removes."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    # validate every commit that landed after our snapshot read —
+    # the data-write job above is long, and a writer that committed
+    # during it never collides with our manifest create, so the
+    # collision handler alone would miss it
+    version = (txlog_versions(root) or [0])[-1] + 1
+    if removes:
+        ours = set(removes)
+        for v in txlog_versions(root):
+            if v > read_version and ours & set(_read_manifest(root, v)["removes"]):
+                raise TxConflict(
+                    f"version {v} removed files this commit also removes; "
+                    f"re-derive against the new snapshot"
+                )
+    while True:
+        manifest = {
+            "version": version,
+            "operation": operation,
+            "read_version": read_version,
+            "adds": adds,
+            "removes": removes,
+            "txn": list(txn) if txn else None,
+        }
+        try:
+            with open(_manifest_path(root, version), "x") as fh:
+                json.dump(manifest, fh)
+            return version
+        except FileExistsError:
+            # lost the race: validate against every commit that landed
+            # since our snapshot, then retry at the next slot
+            interleaved = _read_manifest(root, version)
+            if removes and set(removes) & set(interleaved["removes"]):
+                raise TxConflict(
+                    f"version {version} removed files this commit also "
+                    f"removes; re-derive against the new snapshot"
+                ) from None
+            version += 1
+
+
+def txlog_create(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+    files: int | None = None,
+) -> int:
+    """Create the table (version 1) from ``df``. ``stats_cols`` are
+    recorded per file in every future manifest and drive read-time
+    file pruning; they must be stable table metadata, so they are
+    persisted in version 1 and reused by later writers."""
+    if txlog_versions(root):
+        raise FileExistsError(f"txlog table already exists at {root}")
+    stats_cols = stats_cols or []
+    adds = _write_data(spark, root, df, stats_cols, files=files)
+    os.makedirs(_log_dir(root), exist_ok=True)
+    meta = {"stats_cols": stats_cols}
+    with open(os.path.join(_log_dir(root), "_table.json"), "w") as fh:
+        json.dump(meta, fh)
+    return _commit(root, adds, [], "create", 0)
+
+
+def _stats_cols(root: str) -> list[str]:
+    try:
+        with open(os.path.join(_log_dir(root), "_table.json")) as fh:
+            return json.load(fh)["stats_cols"]
+    except FileNotFoundError:
+        return []
+
+
+def txlog_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Append-only commit. Never conflicts — lost races retry."""
+    adds = _write_data(spark, root, df, _stats_cols(root))
+    version = (txlog_versions(root) or [0])[-1]
+    return _commit(root, adds, [], "append", version, txn=txn)
+
+
+def txlog_read(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Scan the table at ``version`` (default: latest).
+
+    ``prune`` maps a stats column to an inclusive (lo, hi) window;
+    files whose recorded min/max cannot intersect it are dropped from
+    the scan list BEFORE Spark touches storage. Pruning is an I/O
+    optimization only — the predicate itself is NOT applied to rows
+    (apply a .filter for that); results must be identical with
+    ``prune=None`` over a filtered frame, which is how the tests pin
+    it."""
+    versions = txlog_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no txlog table at {root}")
+    v = versions[-1] if version is None else version
+    live = _live_files(root, v)
+    paths = []
+    for rel, add in sorted(live.items()):
+        if prune and _skippable(add.get("stats", {}), prune):
+            continue
+        paths.append(os.path.join(root, rel))
+    if not paths:
+        # preserve schema: scan one live file and return zero rows
+        any_rel = next(iter(sorted(live)), None)
+        if any_rel is None:
+            raise FileNotFoundError(f"version {v} of {root} has no files")
+        return spark.read.parquet(os.path.join(root, any_rel)).limit(0)
+    return spark.read.parquet(*paths)
+
+
+def _skippable(stats: dict[str, list], prune: dict[str, tuple]) -> bool:
+    for col, (lo, hi) in prune.items():
+        if col not in stats:
+            return False  # no stats recorded → must read
+        fmin, fmax = stats[col]
+        if fmax < lo or fmin > hi:
+            return True
+    return False
+
+
+def txlog_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """MERGE: replace rows matching ``updates`` on ``key_cols``,
+    insert the rest — against the latest snapshot, atomically.
+
+    Scale shape mirrors merge_upsert_parquet, upgraded from
+    partition- to FILE-granular: the update batch's key range prunes
+    the candidate file set via manifest stats, only candidate files'
+    rows are read and anti-joined (broadcast — daily updates are the
+    small side), and the rewrite touches exactly those files.
+    Untouched files transfer to the new version by reference in the
+    manifest replay — zero bytes moved. The anti-join survivors must
+    be fully written BEFORE the commit manifest lands, so a reader
+    never sees a half-version (the manifest IS the publish)."""
+    versions = txlog_versions(root)
+    read_version = versions[-1]
+    live = _live_files(root, read_version)
+    stats_cols = _stats_cols(root)
+
+    candidates = list(sorted(live))
+    if stats_cols and stats_cols[0] in updates.columns:
+        row = updates.agg(
+            F.min(stats_cols[0]).alias("lo"), F.max(stats_cols[0]).alias("hi")
+        ).collect()[0]
+        window = {stats_cols[0]: (_json_safe(row["lo"]), _json_safe(row["hi"]))}
+        candidates = [
+            rel
+            for rel in candidates
+            if not _skippable(live[rel].get("stats", {}), window)
+        ]
+    if candidates:
+        base = spark.read.parquet(
+            *[os.path.join(root, rel) for rel in candidates]
+        )
+        survivors = base.join(
+            F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(updates.select(*survivors.columns))
+    else:
+        merged = updates
+    adds = _write_data(spark, root, merged, stats_cols)
+    return _commit(root, adds, candidates, "upsert", read_version, txn=txn)
+
+
+def txlog_changes(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change feed between two snapshots: rows in files added in
+    (v_from, v_to] tagged ``insert``, rows in files removed tagged
+    ``delete`` — an update appears as its delete + insert pair, and
+    a row rewritten verbatim (an upsert's unmatched neighbor in the
+    same file) cancels out for any consumer that folds by key. File-
+    granular CDC is what the log can answer WITHOUT persisting row
+    diffs; exact row CDC is a key-join of the two snapshots, which
+    the caller can build from two txlog_read calls."""
+    added: list[str] = []
+    removed: list[str] = []
+    for v in txlog_versions(root):
+        if v_from < v <= v_to:
+            m = _read_manifest(root, v)
+            added += [a["path"] for a in m["adds"]]
+            removed += m["removes"]
+    # a file added then removed inside the window contributed nothing
+    net_added = [p for p in added if p not in set(removed)]
+    net_removed = [p for p in removed if p not in set(added)]
+
+    def scan(paths: list[str], tag: str) -> DataFrame | None:
+        if not paths:
+            return None
+        df = spark.read.parquet(*[os.path.join(root, p) for p in paths])
+        return df.withColumn("_change_type", F.lit(tag))
+
+    ins = scan(net_added, "insert")
+    dels = scan(net_removed, "delete")
+    if ins is None and dels is None:
+        live = txlog_read(spark, root, v_to).limit(0)
+        return live.withColumn("_change_type", F.lit(""))
+    if ins is None:
+        return dels
+    if dels is None:
+        return ins
+    return ins.unionByName(dels)
+
+
+def txlog_vacuum(root: str, retain_versions: int = 1) -> int:
+    """Delete data files unreachable from the newest
+    ``retain_versions`` snapshots (including orphans from lost
+    commit races); returns the number deleted. Time travel older
+    than the retention horizon dies here — the documented trade, as
+    in any lakehouse format."""
+    versions = txlog_versions(root)
+    keep: set[str] = set()
+    for v in versions[-retain_versions:]:
+        keep |= set(_live_files(root, v))
+    deleted = 0
+    data_root = os.path.join(root, _DATA_DIR)
+    for token in sorted(os.listdir(data_root)):
+        tdir = os.path.join(data_root, token)
+        for fname in sorted(os.listdir(tdir)):
+            rel = os.path.join(_DATA_DIR, token, fname)
+            if fname.endswith(".parquet") and rel not in keep:
+                os.remove(os.path.join(tdir, fname))
+                deleted += 1
+        if not any(f.endswith(".parquet") for f in os.listdir(tdir)):
+            import shutil
+
+            shutil.rmtree(tdir, ignore_errors=True)
+    return deleted
+
+
+def txlog_committed_batches(root: str, app: str) -> set[int]:
+    """Batch ids already committed under ``app`` — the idempotency
+    ledger the streaming sink consults."""
+    out = set()
+    for v in txlog_versions(root):
+        txn = _read_manifest(root, v).get("txn")
+        if txn and txn[0] == app:
+            out.add(int(txn[1]))
+    return out
+
+
+def txlog_foreach_batch_append(spark: SparkSession, root: str, app: str):
+    """foreachBatch sink function: exactly-once appends into the log.
+
+    foreachBatch is at-least-once — after a failure the engine
+    replays the last micro-batch with the SAME batch_id. The sink
+    consults the manifests for (app, batch_id) and no-ops on a
+    replay, so every batch lands exactly once regardless of retries.
+    The check is log-read + exclusive-create, both on the table's own
+    storage — no side ledger to drift."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in txlog_committed_batches(root, app):
+            return
+        txlog_append(spark, root, batch_df, txn=(app, int(batch_id)))
+
+    return _sink
+
+
+# ---------------------------------------------------------------------------
+# Registered query: time travel across an upsert, hash-checked.
+# ---------------------------------------------------------------------------
+
+# Deterministic mutation recipe, shared verbatim by builder and
+# oracle: keys divisible by 97 get their price doubled (an exact
+# IEEE operation), keys divisible by 131 are re-inserted shifted by
+# 1e9 (pure inserts). Cent-integer sums keep the hash engine-neutral.
+_UPD_MOD, _INS_MOD, _INS_SHIFT = 97, 131, 1_000_000_000
+
+
+def _demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process+sf_dir) the two-version demo table
+    under the staging root; returns its path. The build is the
+    txlog's own write path — create, then one upsert carrying both
+    matched updates and unmatched inserts — so the registered query
+    exercises commit, snapshot replay, and time travel end to end."""
+    from mapreduceapp_spark.plans.staging import staging_root
+
+    root = os.path.join(
+        staging_root(), f"txlog_demo_{zlib.crc32(sf_dir.encode()):08x}"
+    )
+    if txlog_versions(root):
+        return root
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    txlog_create(spark, root, orders, stats_cols=["o_orderkey"])
+    updates = orders.where(F.col("o_orderkey") % _UPD_MOD == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = orders.where(F.col("o_orderkey") % _INS_MOD == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + _INS_SHIFT
+    )
+    txlog_upsert(
+        spark, root, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    return root
+
+
+@register(
+    "q_txlog_time_travel",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        FROM orders
+    ),
+    ins AS (
+        SELECT o_orderpriority, o_totalprice AS p
+        FROM orders WHERE o_orderkey % {_INS_MOD} = 0
+    ),
+    v1 AS (
+        SELECT o_orderpriority, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders GROUP BY o_orderpriority
+    ),
+    v2 AS (
+        SELECT o_orderpriority, count(*) AS n_orders,
+               sum(CAST(round(p * 100) AS BIGINT)) AS total_cents
+        FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        GROUP BY o_orderpriority
+    )
+    SELECT 1 AS version, * FROM v1
+    UNION ALL
+    SELECT 2 AS version, * FROM v2
+    """,
+    doc="Snapshot-isolated time travel: both versions of a txlog "
+    "table (create + merge upsert) aggregated from their manifests; "
+    "the oracle re-derives each snapshot from the raw table with the "
+    "same deterministic mutation recipe.",
+)
+def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority (n_orders, total_cents) at table versions 1 and 2.
+
+    Version 1 must be readable AFTER the upsert that produced
+    version 2 — that is the snapshot-isolation claim under the hash
+    check: the upsert's manifest removed files from the LIVE set
+    only, never from disk. Cent sums are summed as integers
+    (functions/numeric.py convention) so the value hash is
+    engine-neutral regardless of shuffle order."""
+    root = _demo_table(spark, sf_dir)
+    out = None
+    for v in (1, 2):
+        snap = txlog_read(spark, root, version=v)
+        agg = snap.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("total_cents"),
+        ).select(
+            F.lit(v).alias("version"),
+            "o_orderpriority",
+            "n_orders",
+            "total_cents",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

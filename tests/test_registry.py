@@ -39,7 +39,11 @@ def test_every_query_builds_lazily(spark, sf_dir):
               "q_knn_classify", "q_ivf_recall", "q_lsh_recall",
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
-              "q_dedup_index_probe"}
+              "q_dedup_index_probe",
+              # stage the shared co-purchase edge/out-edge slots
+              "q_copurchase_triangles", "q_pagerank",
+              # builds (or reuses) the two-version txlog demo table
+              "q_txlog_time_travel"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():
@@ -105,6 +109,11 @@ _NEW_SINCE_ROTATION: set[str] = {
     # n_tokens → n_ranked (it counts ranked regression points, not
     # corpus tokens) — a schema change in builder and oracle.
     "q_zipf_fit",
+    # brand-new round 9 (registered after the rotation regeneration;
+    # never-checked names auto-sort to the window front)
+    "q_copurchase_triangles",
+    "q_pagerank",
+    "q_txlog_time_travel",
     # new round 9: TPC-H shape closure (operators/tpch.py) — every
     # remaining TPC-H query this schema can express.
     "q_tpch_q4",

@@ -1,0 +1,212 @@
+"""TxLog table format (sources/txlog.py): snapshot isolation, time
+travel, optimistic concurrency, manifest-level file skipping, CDC,
+vacuum, and the exactly-once streaming append."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.sources.txlog import (
+    TxConflict,
+    txlog_append,
+    txlog_changes,
+    txlog_committed_batches,
+    txlog_create,
+    txlog_foreach_batch_append,
+    txlog_read,
+    txlog_upsert,
+    txlog_vacuum,
+    txlog_versions,
+    _manifest_path,
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "tx")
+    base = _orders(spark, sf_dir)
+    txlog_create(spark, root, base, stats_cols=["o_orderkey"], files=4)
+    return root, base
+
+
+def test_create_read_roundtrip(spark, table):
+    root, base = table
+    assert txlog_versions(root) == [1]
+    got = txlog_read(spark, root)
+    assert got.count() == base.count()
+    assert sorted(got.columns) == sorted(base.columns)
+
+
+def test_append_and_time_travel(spark, sf_dir, table):
+    root, base = table
+    extra = _orders(spark, sf_dir).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    v2 = txlog_append(spark, root, extra)
+    assert v2 == 2
+    n = base.count()
+    assert txlog_read(spark, root, version=1).count() == n
+    assert txlog_read(spark, root, version=2).count() == 2 * n
+    assert txlog_read(spark, root).count() == 2 * n  # latest
+
+
+def test_upsert_replaces_matched_inserts_rest(spark, table):
+    root, base = table
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    inserts = base.select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice", "o_orderpriority",
+    ).limit(5)
+    n_upd = updates.count()
+    txlog_upsert(
+        spark, root, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    now = txlog_read(spark, root)
+    assert now.count() == base.count() + 5
+    # matched rows carry the doubled price
+    doubled = now.join(updates.select("o_orderkey", "o_totalprice"),
+                       ["o_orderkey", "o_totalprice"])
+    assert doubled.count() == n_upd
+    # version 1 is untouched history
+    v1 = txlog_read(spark, root, version=1)
+    assert v1.count() == base.count()
+    assert v1.join(
+        updates.select("o_orderkey", "o_totalprice"),
+        ["o_orderkey", "o_totalprice"],
+    ).count() == 0
+
+
+def test_upsert_prunes_candidate_files_by_stats(spark, table):
+    """An update batch whose key range misses a file's min/max window
+    must not remove that file — it transfers to the new version by
+    manifest reference, zero bytes rewritten."""
+    root, base = table
+    lo = base.agg(F.min("o_orderkey")).collect()[0][0]
+    before = set(
+        json.load(open(_manifest_path(root, 1)))["adds"][0].keys()
+    )  # manifest shape sanity
+    assert {"path", "rows", "stats"} <= before
+    live_v1 = txlog_read(spark, root).inputFiles()
+    assert len(live_v1) > 1, "need multiple files for a pruning test"
+    updates = base.filter(F.col("o_orderkey") == lo).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    txlog_upsert(spark, root, updates, ["o_orderkey"])
+    m2 = json.load(open(_manifest_path(root, 2)))
+    assert len(m2["removes"]) < len(live_v1), (
+        "stats pruning did not narrow the rewrite set"
+    )
+    assert txlog_read(spark, root).count() == base.count()
+
+
+def test_read_prune_skips_files_without_changing_results(spark, table):
+    root, base = table
+    lo = base.agg(F.min("o_orderkey")).collect()[0][0]
+    window = (lo, lo + 50)
+    pruned = txlog_read(spark, root, prune={"o_orderkey": window})
+    full = txlog_read(spark, root)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    want = (
+        full.filter(F.col("o_orderkey").between(*window))
+        .orderBy("o_orderkey").collect()
+    )
+    got = (
+        pruned.filter(F.col("o_orderkey").between(*window))
+        .orderBy("o_orderkey").collect()
+    )
+    assert got == want
+
+
+def test_lost_race_append_retries_conflicting_upsert_raises(
+    spark, table
+):
+    root, base = table
+    # simulate a concurrent writer owning version 2: removes one live
+    # file (as an upsert would)
+    victim = json.load(open(_manifest_path(root, 1)))["adds"][0]["path"]
+    with open(_manifest_path(root, 2), "x") as fh:
+        json.dump(
+            {"version": 2, "operation": "upsert", "read_version": 1,
+             "adds": [], "removes": [victim], "txn": None},
+            fh,
+        )
+    # an append never conflicts: lands at 3
+    extra = base.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 30_000_000
+    )
+    assert txlog_append(spark, root, extra) == 3
+    # a commit whose snapshot predates version 2 and which removes
+    # the same file must detect the write-write conflict at commit
+    # time (the interleaved writer landed DURING its data write)
+    from mapreduceapp_spark.sources.txlog import _commit
+
+    with pytest.raises(TxConflict):
+        _commit(root, [], [victim], "upsert", read_version=1)
+
+
+def test_exactly_once_streaming_append(spark, table):
+    root, base = table
+    sink = txlog_foreach_batch_append(spark, root, app="ingest-test")
+    batch = base.limit(7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 40_000_000
+    )
+    n0 = txlog_read(spark, root).count()
+    sink(batch, 0)
+    sink(batch, 0)  # foreachBatch replay after failure: same batch_id
+    assert txlog_read(spark, root).count() == n0 + 7, "replay dup'd rows"
+    sink(batch.withColumn("o_orderkey", F.col("o_orderkey") + 1), 1)
+    assert txlog_read(spark, root).count() == n0 + 14
+    assert txlog_committed_batches(root, "ingest-test") == {0, 1}
+
+
+def test_cdc_between_versions(spark, table):
+    root, base = table
+    updates = base.filter(F.col("o_orderkey") % 50 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    txlog_upsert(spark, root, updates, ["o_orderkey"])
+    feed = txlog_changes(spark, root, 1, 2)
+    ins = feed.filter(F.col("_change_type") == "insert")
+    dels = feed.filter(F.col("_change_type") == "delete")
+    # every updated key appears on both sides; folding by key yields
+    # exactly the net price bump
+    changed = (
+        ins.select("o_orderkey", "o_totalprice")
+        .join(
+            dels.select(
+                "o_orderkey", F.col("o_totalprice").alias("old_price")
+            ),
+            "o_orderkey",
+        )
+        .filter(F.col("o_totalprice") != F.col("old_price"))
+    )
+    assert changed.count() == updates.count()
+
+
+def test_vacuum_reclaims_history_and_orphans(spark, table, tmp_path):
+    root, base = table
+    updates = base.limit(20).withColumn("o_totalprice", F.lit(0.0))
+    txlog_upsert(spark, root, updates, ["o_orderkey"])
+    # plant an orphan from a lost commit race (data written, manifest
+    # never created)
+    orphan_dir = os.path.join(root, "_data", "deadbeef0000")
+    os.makedirs(orphan_dir)
+    open(os.path.join(orphan_dir, "part-orphan.parquet"), "w").close()
+    n_latest = txlog_read(spark, root).count()
+    deleted = txlog_vacuum(root, retain_versions=1)
+    assert deleted > 0
+    assert not os.path.exists(orphan_dir)
+    assert txlog_read(spark, root).count() == n_latest  # latest intact
