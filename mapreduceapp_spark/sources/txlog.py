@@ -102,10 +102,58 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(
+        _log_dir(root), f"{version:0{_MANIFEST_WIDTH}d}.checkpoint.json"
+    )
+
+
+def _latest_checkpoint(root: str, version: int) -> tuple[int, dict] | None:
+    """Newest checkpoint at or below ``version``, if any."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return None
+    suffix = ".checkpoint.json"
+    best = None
+    for f in os.listdir(d):
+        if f.endswith(suffix) and f[: -len(suffix)].isdigit():
+            v = int(f[: -len(suffix)])
+            if v <= version and (best is None or v > best):
+                best = v
+    if best is None:
+        return None
+    with open(_checkpoint_path(root, best)) as fh:
+        return best, json.load(fh)
+
+
+def txlog_checkpoint(root: str) -> int:
+    """Write a consolidated live-set snapshot for the current
+    version, so later readers replay O(tail) manifests instead of
+    O(commits). The checkpoint is derivative state — written AFTER
+    its version exists, safe to regenerate, never the publish itself
+    (exactly the published formats' checkpoint contract). Returns the
+    checkpointed version."""
+    version = txlog_versions(root)[-1]
+    live = _live_files(root, version)
+    tmp = _checkpoint_path(root, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "live": live}, fh)
+    os.replace(tmp, _checkpoint_path(root, version))
+    return version
+
+
 def _live_files(root: str, version: int) -> dict[str, dict]:
-    """Replay manifests 1..version → {relative path: add entry}."""
+    """Live set at ``version``: newest checkpoint ≤ version, plus a
+    replay of the manifest tail after it."""
     live: dict[str, dict] = {}
+    start = 0
+    ckpt = _latest_checkpoint(root, version)
+    if ckpt is not None:
+        start, snap = ckpt
+        live = dict(snap["live"])
     for v in txlog_versions(root):
+        if v <= start:
+            continue
         if v > version:
             break
         m = _read_manifest(root, v)
@@ -507,6 +555,9 @@ def _demo_table(spark: SparkSession, sf_dir: str) -> str:
     txlog_upsert(
         spark, root, updates.unionByName(inserts), ["o_orderkey"]
     )
+    # exercise the checkpoint path under the driver queries: reads
+    # below replay (checkpoint @2) instead of (manifest 1, manifest 2)
+    txlog_checkpoint(root)
     return root
 
 
@@ -569,3 +620,51 @@ def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@register(
+    "q_txlog_changes",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderkey % {_UPD_MOD} = 0)
+               AS n_changed,
+           count(*) FILTER (WHERE o_orderkey % {_INS_MOD} = 0)
+               AS n_new
+    FROM orders
+    WHERE o_orderkey % {_UPD_MOD} = 0 OR o_orderkey % {_INS_MOD} = 0
+    GROUP BY o_orderpriority
+    """,
+    doc="Change-data-feed between txlog versions, folded by key: "
+    "file-level insert/delete rows cancel for keys rewritten "
+    "verbatim, leaving exactly the upsert's updates and inserts — "
+    "a layout-independent result from a layout-dependent feed.",
+)
+def q_txlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority (n_changed, n_new) between versions 1 and 2.
+
+    txlog_changes is FILE-granular: an upsert's rewritten files
+    contain survivor rows too, which appear as verbatim
+    delete+insert pairs — how many depends on which files the key
+    range touched. Folding by key (insert-side row differs from its
+    delete-side twin, or has no twin) recovers the exact row-level
+    change set, which is what the oracle can re-derive without ever
+    seeing the file layout. The fold is one join on the table key —
+    the standard consumer pattern for file-granular CDC feeds."""
+    root = _demo_table(spark, sf_dir)
+    feed = txlog_changes(spark, root, 1, 2)
+    ins = feed.where(F.col("_change_type") == "insert").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dels = feed.where(F.col("_change_type") == "delete").select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    net = ins.join(dels, "o_orderkey", "left").where(
+        F.col("old_price").isNull()
+        | (F.col("o_totalprice") != F.col("old_price"))
+    )
+    return net.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("old_price").isNotNull(), 1)).alias(
+            "n_changed"
+        ),
+        F.count(F.when(F.col("old_price").isNull(), 1)).alias("n_new"),
+    )

@@ -42,8 +42,8 @@ def test_every_query_builds_lazily(spark, sf_dir):
               "q_dedup_index_probe",
               # stage the shared co-purchase edge/out-edge slots
               "q_copurchase_triangles", "q_pagerank",
-              # builds (or reuses) the two-version txlog demo table
-              "q_txlog_time_travel"}
+              # build (or reuse) the two-version txlog demo table
+              "q_txlog_time_travel", "q_txlog_changes"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():
@@ -114,6 +114,7 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_copurchase_triangles",
     "q_pagerank",
     "q_txlog_time_travel",
+    "q_txlog_changes",
     # new round 9: TPC-H shape closure (operators/tpch.py) — every
     # remaining TPC-H query this schema can express.
     "q_tpch_q4",

@@ -196,6 +196,35 @@ def test_cdc_between_versions(spark, table):
     assert changed.count() == updates.count()
 
 
+def test_checkpoint_replaces_manifest_replay(spark, sf_dir, table):
+    """After a checkpoint, the live set must come from (checkpoint +
+    tail) — pinned by physically removing the pre-checkpoint
+    manifests (log cleanup) and asserting reads still resolve."""
+    from mapreduceapp_spark.sources.txlog import txlog_checkpoint
+
+    root, base = table
+    extra = base.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 50_000_000
+    )
+    txlog_append(spark, root, extra)          # v2
+    updates = base.limit(5).withColumn("o_totalprice", F.lit(9.0))
+    txlog_upsert(spark, root, updates, ["o_orderkey"])  # v3
+    want = txlog_read(spark, root).count()
+    assert txlog_checkpoint(root) == 3
+    # checkpointed read equals manifest-replay read
+    assert txlog_read(spark, root).count() == want
+    # simulate log cleanup: pre-checkpoint manifests gone
+    for v in (1, 2):
+        os.remove(_manifest_path(root, v))
+    got = txlog_read(spark, root)
+    assert got.count() == want
+    # a further commit on top of the checkpoint still replays
+    txlog_append(spark, root, extra.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1
+    ))
+    assert txlog_read(spark, root).count() == want + 10
+
+
 def test_vacuum_reclaims_history_and_orphans(spark, table, tmp_path):
     root, base = table
     updates = base.limit(20).withColumn("o_totalprice", F.lit(0.0))
