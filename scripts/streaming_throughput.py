@@ -211,6 +211,43 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
             "probe_docs": n_probe_docs,
         }
 
+        # curated ingest into the TxLog table: map-only quality +
+        # scrub per batch, exactly-once (app, batch_id) appends — one
+        # txlog version per micro-batch
+        from mapreduceapp_spark.sources.txlog import (
+            txlog_create,
+            txlog_read,
+            txlog_versions,
+        )
+        from mapreduceapp_spark.streaming.ingest import (
+            curate_documents,
+            curated_ingest_stream,
+        )
+
+        tx_root = f"{work}/curated_tx"
+        txlog_create(
+            spark, tx_root, curate_documents(docs).limit(0),
+            stats_cols=["doc_id"],
+        )
+        ingest_src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+        )
+        t0 = time.perf_counter()
+        q = curated_ingest_stream(
+            spark, ingest_src, tx_root, f"{work}/ckpt_curated"
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        results["curated_ingest_txlog"] = {
+            "input_rows": n_probe_docs,
+            "output_rows": txlog_read(spark, tx_root).count(),
+            "txlog_versions": len(txlog_versions(tx_root)),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n_probe_docs / wall),
+        }
+
         if include_late:
             t0 = time.perf_counter()
             late = run_late_data_demo(spark, sf_dir)

@@ -55,3 +55,12 @@ def test_streaming_throughput_floors(spark):
     assert probe["rows_per_sec"] >= 30, res
     assert probe["state_rows"] == probe["output_rows"]
     assert 0 < probe["output_rows"] < probe["probe_docs"]
+
+    # curated ingest into the TxLog table: map-only transform, one
+    # exactly-once txlog version per micro-batch plus the create
+    # (≥40 docs/s ≈ 1/4 of the calm local[32] 271 — the floor is the
+    # per-batch parquet write + manifest commit, not the transform)
+    cur = res["curated_ingest_txlog"]
+    assert cur["rows_per_sec"] >= 40, res
+    assert 0 < cur["output_rows"] < cur["input_rows"]
+    assert cur["txlog_versions"] >= 3  # create + ≥2 micro-batches
