@@ -164,12 +164,54 @@ def _live_files(root: str, version: int) -> dict[str, dict]:
     return live
 
 
+# File-level bloom filters: 8192 bits (1 KiB hex in the manifest) and
+# 4 probes per value. Sized for the "many small-to-mid files" regime
+# compaction maintains: at ~50k distinct keys/file the fill rate is
+# ~1-bit-in-4 and the false-open rate ~2% — a missing key opens ~2%
+# of files instead of all of them.
+_BLOOM_BITS = 8192
+_BLOOM_K = 4
+
+
+def _bloom_positions(value) -> list[int]:
+    """k bit positions for a value — blake2b-derived, so identical
+    across processes and Python hash randomization. Values hash by
+    canonical string form: collisions across types inside one typed
+    column cannot occur, and a false positive only costs a file
+    open."""
+    import hashlib
+
+    h = hashlib.blake2b(str(value).encode(), digest_size=16).digest()
+    n = int.from_bytes(h, "big")
+    return [
+        (n >> (i * 13)) % _BLOOM_BITS for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_hex(values) -> str:
+    bits = bytearray(_BLOOM_BITS // 8)
+    for v in values:
+        if v is None:
+            continue
+        for p in _bloom_positions(v):
+            bits[p // 8] |= 1 << (p % 8)
+    return bytes(bits).hex()
+
+
+def _bloom_may_contain(hex_bits: str, value) -> bool:
+    bits = bytes.fromhex(hex_bits)
+    return all(
+        bits[p // 8] & (1 << (p % 8)) for p in _bloom_positions(value)
+    )
+
+
 def _write_data(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     stats_cols: list[str],
     files: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` into a fresh commit directory and return its add
     entries (path, rows, per-stats-col min/max from the footers).
@@ -214,13 +256,21 @@ def _write_data(
                 hi = s.max if hi is None else max(hi, s.max)
             if lo is not None:
                 stats[c] = [_json_safe(lo), _json_safe(hi)]
-        adds.append(
-            {
-                "path": os.path.join(_DATA_DIR, token, fname),
-                "rows": md.num_rows,
-                "stats": stats,
+        entry = {
+            "path": os.path.join(_DATA_DIR, token, fname),
+            "rows": md.num_rows,
+            "stats": stats,
+        }
+        if bloom_cols:
+            # one column re-read per file at WRITE time buys
+            # point-lookup skipping on columns min/max can't serve
+            # (anything not range-clustered) — the standard
+            # write-amplification-for-read-skipping trade
+            tbl = pq.read_table(fpath, columns=list(bloom_cols))
+            entry["bloom"] = {
+                c: _bloom_hex(tbl.column(c).to_pylist()) for c in bloom_cols
             }
-        )
+        adds.append(entry)
     return adds
 
 
@@ -294,28 +344,41 @@ def txlog_create(
     df: DataFrame,
     stats_cols: list[str] | None = None,
     files: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
-    """Create the table (version 1) from ``df``. ``stats_cols`` are
-    recorded per file in every future manifest and drive read-time
-    file pruning; they must be stable table metadata, so they are
-    persisted in version 1 and reused by later writers."""
+    """Create the table (version 1) from ``df``. ``stats_cols``
+    (min/max range skipping) and ``bloom_cols`` (point-lookup
+    skipping) are recorded per file in every future manifest; they
+    must be stable table metadata, so they are persisted in version 1
+    and reused by later writers."""
     if txlog_versions(root):
         raise FileExistsError(f"txlog table already exists at {root}")
     stats_cols = stats_cols or []
-    adds = _write_data(spark, root, df, stats_cols, files=files)
+    bloom_cols = bloom_cols or []
+    adds = _write_data(
+        spark, root, df, stats_cols, files=files, bloom_cols=bloom_cols
+    )
     os.makedirs(_log_dir(root), exist_ok=True)
-    meta = {"stats_cols": stats_cols}
+    meta = {"stats_cols": stats_cols, "bloom_cols": bloom_cols}
     with open(os.path.join(_log_dir(root), "_table.json"), "w") as fh:
         json.dump(meta, fh)
     return _commit(root, adds, [], "create", 0)
 
 
-def _stats_cols(root: str) -> list[str]:
+def _table_meta(root: str) -> dict:
     try:
         with open(os.path.join(_log_dir(root), "_table.json")) as fh:
-            return json.load(fh)["stats_cols"]
+            return json.load(fh)
     except FileNotFoundError:
-        return []
+        return {}
+
+
+def _stats_cols(root: str) -> list[str]:
+    return _table_meta(root).get("stats_cols", [])
+
+
+def _bloom_cols(root: str) -> list[str]:
+    return _table_meta(root).get("bloom_cols", [])
 
 
 def txlog_append(
@@ -325,7 +388,9 @@ def txlog_append(
     txn: tuple[str, int] | None = None,
 ) -> int:
     """Append-only commit. Never conflicts — lost races retry."""
-    adds = _write_data(spark, root, df, _stats_cols(root))
+    adds = _write_data(
+        spark, root, df, _stats_cols(root), bloom_cols=_bloom_cols(root)
+    )
     version = (txlog_versions(root) or [0])[-1]
     return _commit(root, adds, [], "append", version, txn=txn)
 
@@ -335,16 +400,19 @@ def txlog_read(
     root: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    point: dict[str, object] | None = None,
 ) -> DataFrame:
     """Scan the table at ``version`` (default: latest).
 
-    ``prune`` maps a stats column to an inclusive (lo, hi) window;
-    files whose recorded min/max cannot intersect it are dropped from
-    the scan list BEFORE Spark touches storage. Pruning is an I/O
-    optimization only — the predicate itself is NOT applied to rows
-    (apply a .filter for that); results must be identical with
-    ``prune=None`` over a filtered frame, which is how the tests pin
-    it."""
+    ``prune`` maps a stats column to an inclusive (lo, hi) window
+    (min/max skipping); ``point`` maps a bloom column to an exact
+    value (bloom skipping — serves columns the layout is NOT
+    range-clustered on, where every file's min/max window spans the
+    domain). Files that cannot contain matching rows are dropped
+    from the scan list BEFORE Spark touches storage. Both are I/O
+    optimizations only — the predicate itself is NOT applied to rows
+    (apply a .filter for that); results must be identical with them
+    disabled over a filtered frame, which is how the tests pin it."""
     versions = txlog_versions(root)
     if not versions:
         raise FileNotFoundError(f"no txlog table at {root}")
@@ -353,6 +421,8 @@ def txlog_read(
     paths = []
     for rel, add in sorted(live.items()):
         if prune and _skippable(add.get("stats", {}), prune):
+            continue
+        if point and _bloom_skippable(add.get("bloom", {}), point):
             continue
         paths.append(os.path.join(root, rel))
     if not paths:
@@ -370,6 +440,15 @@ def _skippable(stats: dict[str, list], prune: dict[str, tuple]) -> bool:
             return False  # no stats recorded → must read
         fmin, fmax = stats[col]
         if fmax < lo or fmin > hi:
+            return True
+    return False
+
+
+def _bloom_skippable(bloom: dict[str, str], point: dict[str, object]) -> bool:
+    for col, value in point.items():
+        if col not in bloom:
+            return False  # no bloom recorded → must read
+        if not _bloom_may_contain(bloom[col], value):
             return True
     return False
 
@@ -419,7 +498,9 @@ def txlog_upsert(
         merged = survivors.unionByName(updates.select(*survivors.columns))
     else:
         merged = updates
-    adds = _write_data(spark, root, merged, stats_cols)
+    adds = _write_data(
+        spark, root, merged, stats_cols, bloom_cols=_bloom_cols(root)
+    )
     return _commit(root, adds, candidates, "upsert", read_version, txn=txn)
 
 
@@ -487,6 +568,40 @@ def txlog_vacuum(root: str, retain_versions: int = 1) -> int:
 
             shutil.rmtree(tdir, ignore_errors=True)
     return deleted
+
+
+def txlog_compact(
+    spark: SparkSession,
+    root: str,
+    small_bytes: int = 32 * 1024 * 1024,
+    files: int | None = None,
+) -> int | None:
+    """Rewrite the live files smaller than ``small_bytes`` into fewer
+    range-clustered ones, as a normal commit (removes the smalls,
+    adds the compacted) — rows identical, history intact, and the
+    natural moment to ``txlog_checkpoint``. Streaming ingest is the
+    canonical producer of the problem: one micro-batch = one commit =
+    a handful of small files; nightly compaction folds a day of
+    batches into scan-efficient files. Returns the new version, or
+    None when fewer than two files qualify (compaction would be a
+    rename)."""
+    version = txlog_versions(root)[-1]
+    live = _live_files(root, version)
+    smalls = [
+        rel
+        for rel in sorted(live)
+        if os.path.getsize(os.path.join(root, rel)) < small_bytes
+    ]
+    if len(smalls) < 2:
+        return None
+    df = spark.read.parquet(*[os.path.join(root, rel) for rel in smalls])
+    adds = _write_data(
+        spark, root, df, _stats_cols(root), files=files,
+        bloom_cols=_bloom_cols(root),
+    )
+    new_version = _commit(root, adds, smalls, "compact", version)
+    txlog_checkpoint(root)
+    return new_version
 
 
 def txlog_committed_batches(root: str, app: str) -> set[int]:

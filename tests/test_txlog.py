@@ -225,6 +225,68 @@ def test_checkpoint_replaces_manifest_replay(spark, sf_dir, table):
     assert txlog_read(spark, root).count() == want + 10
 
 
+def test_compact_folds_small_files_keeps_history(spark, sf_dir, table):
+    """Streaming-shaped table (many per-batch commits, small files)
+    compacts into fewer files as a NORMAL commit: rows identical,
+    pre-compaction versions still readable, checkpoint written."""
+    from mapreduceapp_spark.sources.txlog import txlog_compact
+
+    root, base = table
+    for k in range(3):  # three micro-batch-ish appends
+        txlog_append(
+            spark,
+            root,
+            base.limit(10).withColumn(
+                "o_orderkey", F.col("o_orderkey") + (60 + k) * 1_000_000
+            ),
+        )
+    pre_files = len(txlog_read(spark, root).inputFiles())
+    pre_rows = txlog_read(spark, root).count()
+    pre_version = txlog_versions(root)[-1]
+    v = txlog_compact(spark, root, files=2)
+    assert v == pre_version + 1
+    now = txlog_read(spark, root)
+    assert now.count() == pre_rows
+    assert len(now.inputFiles()) < pre_files
+    # the pre-compaction snapshot is intact history
+    assert txlog_read(spark, root, version=pre_version).count() == pre_rows
+    # compaction checkpointed its version
+    from mapreduceapp_spark.sources.txlog import _latest_checkpoint
+
+    assert _latest_checkpoint(root, v)[0] == v
+
+
+def test_bloom_point_lookup_skips_files(spark, sf_dir, tmp_path):
+    """Point lookups on a column the layout is NOT range-clustered on
+    (every file's min/max spans the domain) still skip files via the
+    manifest blooms — and a value absent from the table opens zero
+    files."""
+    from mapreduceapp_spark.sources.txlog import txlog_create
+
+    root = str(tmp_path / "tx_bloom")
+    base = _orders(spark, sf_dir)
+    txlog_create(
+        spark, root, base,
+        stats_cols=["o_orderkey"], bloom_cols=["o_custkey"], files=4,
+    )
+    full = txlog_read(spark, root)
+    assert len(full.inputFiles()) == 4
+    # a custkey that lives in exactly one file (rarest key)
+    key = (
+        base.groupBy("o_custkey").count().orderBy("count", "o_custkey")
+        .first()["o_custkey"]
+    )
+    hit = txlog_read(spark, root, point={"o_custkey": key})
+    assert len(hit.inputFiles()) < 4
+    want = full.filter(F.col("o_custkey") == key).orderBy("o_orderkey")
+    got = hit.filter(F.col("o_custkey") == key).orderBy("o_orderkey")
+    assert got.collect() == want.collect()
+    # absent key: every file bloom-skipped, schema-preserving empty
+    miss = txlog_read(spark, root, point={"o_custkey": -12345})
+    assert miss.count() == 0
+    assert sorted(miss.columns) == sorted(full.columns)
+
+
 def test_vacuum_reclaims_history_and_orphans(spark, table, tmp_path):
     root, base = table
     updates = base.limit(20).withColumn("o_totalprice", F.lit(0.0))
