@@ -691,12 +691,14 @@ def _demo_table(spark: SparkSession, sf_dir: str) -> str:
     ),
     v1 AS (
         SELECT o_orderpriority, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM orders GROUP BY o_orderpriority
     ),
     v2 AS (
         SELECT o_orderpriority, count(*) AS n_orders,
-               sum(CAST(round(p * 100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(p * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
         GROUP BY o_orderpriority
     )
