@@ -287,6 +287,95 @@ def test_bloom_point_lookup_skips_files(spark, sf_dir, tmp_path):
     assert sorted(miss.columns) == sorted(full.columns)
 
 
+def test_txlog_random_op_sequences_match_model(spark, tmp_path):
+    """Property: any sequence of append / upsert / compact /
+    checkpoint leaves the latest snapshot equal to a plain dict
+    model, a remembered mid-sequence version equal to its remembered
+    model state (time travel), and a closing vacuum changes neither.
+    The value is the random STRUCTURE (upserts racing appended keys,
+    compaction between writes, checkpoints mid-history) — each
+    example is several Spark jobs, so examples stay few and small."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mapreduceapp_spark.sources.txlog import (
+        txlog_checkpoint,
+        txlog_compact,
+        txlog_vacuum,
+    )
+
+    op = st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(st.integers(0, 30), min_size=1, max_size=6),
+            st.integers(0, 10**6),
+        ),
+        st.tuples(
+            st.just("upsert"),
+            st.lists(st.integers(0, 30), min_size=1, max_size=6),
+            st.integers(0, 10**6),
+        ),
+        st.tuples(st.just("compact"), st.just([]), st.just(0)),
+        st.tuples(st.just("checkpoint"), st.just([]), st.just(0)),
+    )
+
+    counter = [0]
+
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(ops):
+        counter[0] += 1
+        root = str(tmp_path / f"prop_{counter[0]}")
+        model: dict[int, int] = {0: 7}
+        txlog_create(
+            spark,
+            root,
+            spark.createDataFrame([(0, 7)], "k long, v long"),
+            stats_cols=["k"],
+        )
+        snap_version, snap_model = txlog_versions(root)[-1], dict(model)
+        next_key = [1000]  # appended keys never collide with upserts
+
+        def frame(pairs):
+            return spark.createDataFrame(list(pairs), "k long, v long")
+
+        for kind, ks, v in ops:
+            if kind == "append":
+                fresh = [(next_key[0] + i, v) for i in range(len(ks))]
+                next_key[0] += len(ks)
+                txlog_append(spark, root, frame(fresh))
+                model.update(dict(fresh))
+            elif kind == "upsert":
+                pairs = sorted({k: v for k in ks}.items())
+                txlog_upsert(spark, root, frame(pairs), ["k"])
+                model.update(dict(pairs))
+            elif kind == "compact":
+                txlog_compact(spark, root, files=1)
+            else:
+                txlog_checkpoint(root)
+            if len(model) > len(snap_model):  # remember a mid point
+                snap_version = txlog_versions(root)[-1]
+                snap_model = dict(model)
+
+        def as_dict(df):
+            return {r["k"]: r["v"] for r in df.collect()}
+
+        latest = txlog_read(spark, root)
+        assert as_dict(latest) == model
+        assert latest.count() == len(model)  # upserts never dup keys
+        assert as_dict(
+            txlog_read(spark, root, version=snap_version)
+        ) == snap_model
+        txlog_vacuum(root, retain_versions=1)
+        assert as_dict(txlog_read(spark, root)) == model
+
+    run()
+
+
 def test_vacuum_reclaims_history_and_orphans(spark, table, tmp_path):
     root, base = table
     updates = base.limit(20).withColumn("o_totalprice", F.lit(0.0))
