@@ -83,6 +83,13 @@ DEFAULT_QUERIES = [
     "q_embedding_neardup", "q_embedding_neardup_lsh", "q_ann_ivf",
     "q_dedup_clusters", "q_dedup_survivors", "q_curation_pipeline",
     "q_tpch_q5", "q_tpch_q18",
+    # round 9: graph analytics (replicas are id-disjoint, so the sf1
+    # co-purchase graph is 10 disjoint copies — a clean linear-input
+    # measurement of the edge derivation + wedge join + rank loop)
+    "q_copurchase_triangles", "q_pagerank",
+    # round 9: TxLog — first build times create+upsert of the 10x
+    # orders table through the format's own write path
+    "q_txlog_time_travel",
 ]
 
 
