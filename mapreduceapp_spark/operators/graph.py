@@ -34,8 +34,12 @@ with order volume (measured: support-2 edges 2.3k/3.4k/3.6k at
 sf0.001/0.01/0.1 while raw co-occurrence pairs grew 8.9k → 1.2M).
 Per-order fanout is bounded by the order's line count (<= 17 across
 all SFs), so the within-order pair expansion is a bounded-fanout
-self-join on l_orderkey whose two sides reuse ONE exchange
-(Catalyst ReusedExchange on the identical distinct subplan).
+self-join on l_orderkey. The distinct (order, part) table is STAGED
+once and both join sides scan the staged bytes — Catalyst's
+exchange reuse does NOT fire here (verified in the final adaptive
+plan: AQE stages the two distinct subtrees independently and
+broadcasts one), so without staging the distinct aggregation over
+the full fact would run twice.
 
 int64 headroom (PageRank): total rank mass is conserved at
 N * 1e6 micro-units; a single rank is below the total mass, so the
@@ -83,13 +87,15 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected support-filtered co-purchase edges (p1 < p2).
 
     distinct (order, part) -> within-order pair expansion (bounded
-    fanout, one reused exchange) -> pair support count -> threshold.
-    Staged by callers: both graph queries consume it, and PageRank
-    consumes it once per iteration."""
-    lp = (
+    fanout over ONE staged distinct table) -> pair support count ->
+    threshold. The result is staged by callers too: both graph
+    queries consume it, and PageRank consumes it once per
+    iteration."""
+    lp = stage(
         tables(spark, sf_dir)
         .lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
+        "copurchase_lp",
     )
     a = lp.alias("a")
     b = lp.alias("b")
