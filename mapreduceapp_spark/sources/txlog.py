@@ -633,6 +633,43 @@ def txlog_foreach_batch_append(spark: SparkSession, root: str, app: str):
     return _sink
 
 
+def txlog_foreach_batch_upsert(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    app: str,
+    max_retries: int = 3,
+):
+    """foreachBatch sink: exactly-once MERGE of each micro-batch —
+    the CDC-apply / streaming-aggregation-refresh shape, where a
+    batch carries new values for existing keys rather than new rows.
+
+    Idempotency is the same (app, batch_id) ledger as the append
+    sink. The extra concern here is TxConflict: an upsert REMOVES
+    files, so it can genuinely lose to a concurrent writer — unlike
+    appends, the retry must RE-DERIVE against the new snapshot,
+    which re-calling txlog_upsert does (it reads the live set at
+    call time). Bounded retries; a persistent conflict propagates to
+    the stream, which is correct — someone is rewriting the same
+    keys' storage and the pipeline owner must arbitrate."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in txlog_committed_batches(root, app):
+            return
+        for attempt in range(max_retries):
+            try:
+                txlog_upsert(
+                    spark, root, batch_df, key_cols,
+                    txn=(app, int(batch_id)),
+                )
+                return
+            except TxConflict:
+                if attempt == max_retries - 1:
+                    raise
+
+    return _sink
+
+
 # ---------------------------------------------------------------------------
 # Registered query: time travel across an upsert, hash-checked.
 # ---------------------------------------------------------------------------

@@ -172,6 +172,56 @@ def test_exactly_once_streaming_append(spark, table):
     assert txlog_committed_batches(root, "ingest-test") == {0, 1}
 
 
+def test_concurrent_threaded_appenders_lose_nothing(spark, table):
+    """Two real writer threads race the manifest slots: every append
+    must land (lost races retry at the next slot), no version is
+    double-claimed, no rows are lost."""
+    import threading
+
+    root, base = table
+    v0 = txlog_versions(root)[-1]
+    n0 = txlog_read(spark, root).count()
+    errs: list[Exception] = []
+
+    def writer(worker: int) -> None:
+        try:
+            for i in range(5):
+                batch = base.limit(3).withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey")
+                    + (100 + worker * 10 + i) * 1_000_000,
+                )
+                txlog_append(spark, root, batch)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert txlog_versions(root)[-1] == v0 + 10  # every commit landed
+    assert txlog_read(spark, root).count() == n0 + 30
+
+
+def test_exactly_once_upsert_sink(spark, table):
+    from mapreduceapp_spark.sources.txlog import txlog_foreach_batch_upsert
+
+    root, base = table
+    n0 = txlog_read(spark, root).count()
+    sink = txlog_foreach_batch_upsert(
+        spark, root, ["o_orderkey"], app="cdc-apply"
+    )
+    batch = base.limit(8).withColumn("o_totalprice", F.lit(42.0))
+    sink(batch, 0)
+    sink(batch, 0)  # replay: must not create a version or touch rows
+    now = txlog_read(spark, root)
+    assert now.count() == n0  # pure update, no inserts
+    assert now.filter(F.col("o_totalprice") == 42.0).count() == 8
+    assert txlog_committed_batches(root, "cdc-apply") == {0}
+
+
 def test_cdc_between_versions(spark, table):
     root, base = table
     updates = base.filter(F.col("o_orderkey") % 50 == 0).withColumn(
