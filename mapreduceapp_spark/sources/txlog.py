@@ -359,10 +359,63 @@ def txlog_create(
         spark, root, df, stats_cols, files=files, bloom_cols=bloom_cols
     )
     os.makedirs(_log_dir(root), exist_ok=True)
-    meta = {"stats_cols": stats_cols, "bloom_cols": bloom_cols}
+    meta = {
+        "stats_cols": stats_cols,
+        "bloom_cols": bloom_cols,
+        "columns": {f.name: f.dataType.simpleString() for f in df.schema},
+    }
     with open(os.path.join(_log_dir(root), "_table.json"), "w") as fh:
         json.dump(meta, fh)
     return _commit(root, adds, [], "create", 0)
+
+
+def _scan(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """All txlog file scans merge schemas: after additive evolution
+    the live set legitimately mixes file schemas, and rows from
+    pre-evolution files must surface the new columns as nulls. The
+    cost is per-file footer reads at planning — the file list is
+    already manifest-pruned."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+class TxSchemaMismatch(TypeError):
+    """A write's schema is incompatible with the table: a declared
+    column is missing or has a different type, or it carries new
+    columns without ``evolve=True``."""
+
+
+def _validate_schema(root: str, df: DataFrame, evolve: bool) -> None:
+    """Enforce the evolution contract: writes must carry every
+    declared column at its declared type; NEW nullable columns are
+    admitted only under ``evolve=True``, which widens the declared
+    set (old files simply lack the column — readers merge schemas
+    and surface nulls, the standard additive-evolution semantics;
+    renames and type changes are rewrites, not evolution). The
+    declared-column update is a plain meta rewrite: schema changes
+    are table-admin operations, serialized by the pipeline owner,
+    not racing commits."""
+    meta = _table_meta(root)
+    declared = meta.get("columns")
+    if declared is None:  # pre-evolution table: nothing to enforce
+        return
+    have = {f.name: f.dataType.simpleString() for f in df.schema}
+    missing = sorted(set(declared) - set(have))
+    if missing:
+        raise TxSchemaMismatch(f"write lacks declared columns {missing}")
+    for name, dtype in declared.items():
+        if have[name] != dtype:
+            raise TxSchemaMismatch(
+                f"column {name}: declared {dtype}, write has {have[name]}"
+            )
+    new = sorted(set(have) - set(declared))
+    if new and not evolve:
+        raise TxSchemaMismatch(
+            f"write adds columns {new}; pass evolve=True to admit them"
+        )
+    if new:
+        meta["columns"] = {**declared, **{c: have[c] for c in new}}
+        with open(os.path.join(_log_dir(root), "_table.json"), "w") as fh:
+            json.dump(meta, fh)
 
 
 def _table_meta(root: str) -> dict:
@@ -386,8 +439,12 @@ def txlog_append(
     root: str,
     df: DataFrame,
     txn: tuple[str, int] | None = None,
+    evolve: bool = False,
 ) -> int:
-    """Append-only commit. Never conflicts — lost races retry."""
+    """Append-only commit. Never conflicts — lost races retry.
+    ``evolve=True`` admits NEW columns (additive schema evolution);
+    declared columns are always required at their declared types."""
+    _validate_schema(root, df, evolve)
     adds = _write_data(
         spark, root, df, _stats_cols(root), bloom_cols=_bloom_cols(root)
     )
@@ -430,8 +487,8 @@ def txlog_read(
         any_rel = next(iter(sorted(live)), None)
         if any_rel is None:
             raise FileNotFoundError(f"version {v} of {root} has no files")
-        return spark.read.parquet(os.path.join(root, any_rel)).limit(0)
-    return spark.read.parquet(*paths)
+        return _scan(spark, [os.path.join(root, any_rel)]).limit(0)
+    return _scan(spark, paths)
 
 
 def _skippable(stats: dict[str, list], prune: dict[str, tuple]) -> bool:
@@ -459,9 +516,12 @@ def txlog_upsert(
     updates: DataFrame,
     key_cols: list[str],
     txn: tuple[str, int] | None = None,
+    evolve: bool = False,
 ) -> int:
     """MERGE: replace rows matching ``updates`` on ``key_cols``,
     insert the rest — against the latest snapshot, atomically.
+    ``evolve=True`` admits NEW columns; survivors from pre-evolution
+    files surface them as nulls (unionByName with missing columns).
 
     Scale shape mirrors merge_upsert_parquet, upgraded from
     partition- to FILE-granular: the update batch's key range prunes
@@ -472,6 +532,7 @@ def txlog_upsert(
     manifest replay — zero bytes moved. The anti-join survivors must
     be fully written BEFORE the commit manifest lands, so a reader
     never sees a half-version (the manifest IS the publish)."""
+    _validate_schema(root, updates, evolve)
     versions = txlog_versions(root)
     read_version = versions[-1]
     live = _live_files(root, read_version)
@@ -489,13 +550,16 @@ def txlog_upsert(
             if not _skippable(live[rel].get("stats", {}), window)
         ]
     if candidates:
-        base = spark.read.parquet(
-            *[os.path.join(root, rel) for rel in candidates]
+        base = _scan(
+            spark, [os.path.join(root, rel) for rel in candidates]
         )
         survivors = base.join(
             F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
         )
-        merged = survivors.unionByName(updates.select(*survivors.columns))
+        # allowMissingColumns: after evolution, survivors read from
+        # pre-evolution files lack the new columns — they union as
+        # nulls, which is exactly additive-evolution semantics
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
     adds = _write_data(
@@ -529,7 +593,7 @@ def txlog_changes(
     def scan(paths: list[str], tag: str) -> DataFrame | None:
         if not paths:
             return None
-        df = spark.read.parquet(*[os.path.join(root, p) for p in paths])
+        df = _scan(spark, [os.path.join(root, p) for p in paths])
         return df.withColumn("_change_type", F.lit(tag))
 
     ins = scan(net_added, "insert")
@@ -594,7 +658,7 @@ def txlog_compact(
     ]
     if len(smalls) < 2:
         return None
-    df = spark.read.parquet(*[os.path.join(root, rel) for rel in smalls])
+    df = _scan(spark, [os.path.join(root, rel) for rel in smalls])
     adds = _write_data(
         spark, root, df, _stats_cols(root), files=files,
         bloom_cols=_bloom_cols(root),

@@ -222,6 +222,45 @@ def test_exactly_once_upsert_sink(spark, table):
     assert txlog_committed_batches(root, "cdc-apply") == {0}
 
 
+def test_additive_schema_evolution(spark, table):
+    """Appends carrying a new column require evolve=True; afterwards
+    pre-evolution rows surface the column as null, declared columns
+    stay mandatory at their declared types, and an evolved upsert
+    unions pre-evolution survivors correctly."""
+    from mapreduceapp_spark.sources.txlog import TxSchemaMismatch
+
+    root, base = table
+    n0 = txlog_read(spark, root).count()
+    extra = base.limit(6).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 70_000_000
+    ).withColumn("quality", F.lit(0.5))
+    with pytest.raises(TxSchemaMismatch):
+        txlog_append(spark, root, extra)  # new column, no evolve
+    txlog_append(spark, root, extra, evolve=True)
+    now = txlog_read(spark, root)
+    assert "quality" in now.columns
+    assert now.filter(F.col("quality").isNull()).count() == n0
+    assert now.filter(F.col("quality") == 0.5).count() == 6
+    # declared columns are mandatory at declared types forever after
+    with pytest.raises(TxSchemaMismatch):
+        txlog_append(spark, root, extra.drop("o_custkey", "quality"),
+                     evolve=True)
+    with pytest.raises(TxSchemaMismatch):
+        txlog_append(
+            spark, root,
+            extra.withColumn("o_custkey", F.col("o_custkey").cast("int")),
+        )
+    # an upsert must now carry the evolved column too; pre-evolution
+    # survivors in rewritten files surface it as null
+    upd = base.limit(4).withColumn("o_totalprice", F.lit(5.0)).withColumn(
+        "quality", F.lit(0.9)
+    )
+    txlog_upsert(spark, root, upd, ["o_orderkey"])
+    after = txlog_read(spark, root)
+    assert after.count() == n0 + 6
+    assert after.filter(F.col("quality") == 0.9).count() == 4
+
+
 def test_cdc_between_versions(spark, table):
     root, base = table
     updates = base.filter(F.col("o_orderkey") % 50 == 0).withColumn(
