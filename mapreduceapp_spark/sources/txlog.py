@@ -568,6 +568,24 @@ def txlog_upsert(
     return _commit(root, adds, candidates, "upsert", read_version, txn=txn)
 
 
+def txlog_scan_incremental(
+    spark: SparkSession, root: str, since_version: int
+) -> DataFrame:
+    """Rows in files net-ADDED after ``since_version`` — the
+    incremental-batch-consumer pattern: a nightly job remembers the
+    version it last processed and scans only what landed since,
+    never the table. Append-only producers (the streaming sinks) make
+    this exact row-level increments; after an upsert it includes the
+    rewritten files' survivor rows too — consumers that must
+    distinguish fold ``txlog_changes`` by key instead (the
+    q_txlog_changes pattern)."""
+    latest = txlog_versions(root)[-1]
+    feed = txlog_changes(spark, root, since_version, latest)
+    return feed.where(F.col("_change_type") == "insert").drop(
+        "_change_type"
+    )
+
+
 def txlog_changes(
     spark: SparkSession, root: str, v_from: int, v_to: int
 ) -> DataFrame:

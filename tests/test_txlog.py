@@ -261,6 +261,27 @@ def test_additive_schema_evolution(spark, table):
     assert after.filter(F.col("quality") == 0.9).count() == 4
 
 
+def test_incremental_scan_returns_only_new_rows(spark, table):
+    """An append-only consumer resuming from a remembered version
+    sees exactly the appended rows, and resuming from the latest
+    version sees nothing."""
+    from mapreduceapp_spark.sources.txlog import txlog_scan_incremental
+
+    root, base = table
+    v1 = txlog_versions(root)[-1]
+    extra = base.limit(9).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 80_000_000
+    )
+    txlog_append(spark, root, extra)
+    inc = txlog_scan_incremental(spark, root, v1)
+    assert inc.count() == 9
+    assert inc.filter(F.col("o_orderkey") < 80_000_000).count() == 0
+    assert (
+        txlog_scan_incremental(spark, root, txlog_versions(root)[-1]).count()
+        == 0
+    )
+
+
 def test_cdc_between_versions(spark, table):
     root, base = table
     updates = base.filter(F.col("o_orderkey") % 50 == 0).withColumn(
