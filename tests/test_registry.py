@@ -93,49 +93,10 @@ def test_bench_subset_is_registered():
 # Redefined queries (schema/semantics changed since their last driver
 # row) are deliberately REMOVED from the rotation so they re-check
 # like brand-new queries; list them here too.
-_NEW_SINCE_ROTATION: set[str] = {
-    # redefined round 9 (ADVICE r8 #1, applied to the whole ratio
-    # family): the presentation columns jac/cont moved from float
-    # F.round(ratio, 4) to pure-integer half-up division in builder
-    # AND oracle, deleting the .00005-tie divergence class. Values
-    # are bit-identical at every fixture scale (no tie fires), but
-    # the definition changed, so they re-check as brand-new.
-    "q_containment",
-    "q_containment_prefix",
-    "q_ngram_jaccard",
-    "q_minhash_neardup",
-    "q_incremental_dedup",
-    # redefined round 9 (ADVICE r8 #3): output column renamed
-    # n_tokens → n_ranked (it counts ranked regression points, not
-    # corpus tokens) — a schema change in builder and oracle.
-    "q_zipf_fit",
-    # brand-new round 9 (registered after the rotation regeneration;
-    # never-checked names auto-sort to the window front)
-    "q_copurchase_triangles",
-    "q_pagerank",
-    "q_txlog_time_travel",
-    "q_txlog_changes",
-    # new round 9: TPC-H shape closure (operators/tpch.py) — every
-    # remaining TPC-H query this schema can express.
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q12",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q19",
-    # new round 9: persisted bucket-partitioned band index probe
-    "q_dedup_index_probe",
-    # new round 9: two-pass Misra-Gries heavy hitters (exact recount)
-    "q_heavy_hitters",
-    # new round 9: mergeable Datasketches-HLL rollup
-    "q_hll_rollup",
-    # new round 9: SCD2 state intervals from the event log
-    "q_state_intervals",
-}
+# (rotation regenerated at the start of round 10 from the r07/r08/r09
+# artifacts — every name registered through round 9 is in the
+# rotation; add round-10 registrations to this set)
+_NEW_SINCE_ROTATION: set[str] = set()
 
 
 def test_check_rotation_covers_registry_exactly():
@@ -167,62 +128,46 @@ def _driver_window_names(round_no: int) -> set[str]:
     return set(json.loads(path.read_text()))
 
 
-def test_two_window_union_covers_registry():
-    """Registry-aware rotation invariant (VERDICT r7 ask #1): the
-    union of the LAST driver window (CORRECTNESS_r08.json, read from
-    the recorded artifact — not a hard-coded name list) and the
-    UPCOMING window (first 50 of the current order) must cover the
-    whole registry. When the registry outgrows 2×50 names that is
-    mathematically impossible, so the uncovered remainder must be
-    (a) minimal — exactly the overflow forced by registry growth and
-    redefinition re-checks, never one more — and (b) drawn only from
-    the freshest-checked names (green in the round-7 window), never
-    from staler evidence. A future mid-round registration can grow
-    the overflow only by exactly its own count, and only at the
-    freshest end — it can never silently displace a stale query
-    again (that was the r7 q_wordcount slip)."""
+def test_three_window_union_covers_registry():
+    """Full-registry freshness within 3 rounds (VERDICT r9 ask #3):
+    the union of the last TWO driver windows (CORRECTNESS_r08/r09,
+    read from the recorded artifacts) and the UPCOMING window (first
+    50 of the current order) must cover the whole registry — so
+    CORRECTNESS_r10 ∪ r09 ∪ r08 covers all registered names. With
+    131 names, 50+50 recorded + 50 upcoming leaves slack of 19; the
+    round-10 registration budget is that slack (every brand-new name
+    auto-sorts to the window front, displacing an r7-stale name
+    one-for-one once the budget is exceeded — this test is the
+    guard)."""
     registry = set(all_queries())
-    last = _driver_window_names(8)
+    covered = _driver_window_names(8) | _driver_window_names(9)
     upcoming = set(list(all_queries())[:_DRIVER_WINDOW])
-    uncovered = registry - last - upcoming
-
-    # Overflow budget: names competing for the upcoming window are the
-    # never/stalest-checked (registry minus last window, plus any
-    # redefined query pulled out of the rotation for a re-check).
-    candidates = (registry - last) | (_NEW_SINCE_ROTATION & registry)
-    allowed = max(0, len(candidates) - _DRIVER_WINDOW)
-    assert len(uncovered) <= allowed, (
-        f"{len(uncovered)} uncovered > {allowed} allowed: {sorted(uncovered)}"
+    uncovered = registry - covered - upcoming
+    assert not uncovered, (
+        f"names whose r10 evidence would be 3+ rounds stale: "
+        f"{sorted(uncovered)}"
     )
-    # Overflowed names must carry the freshest prior evidence.
-    prev = _driver_window_names(7)
-    assert uncovered <= prev, sorted(uncovered - prev)
-    # And every never-checked name must be in the upcoming window.
-    never_checked = registry - last - prev - _driver_window_names(6)
-    assert never_checked <= upcoming, sorted(never_checked - upcoming)
 
 
 def test_stalest_queries_lead_the_window():
-    """Priority order inside the upcoming window: brand-new /
-    redefined queries first (no trustworthy driver row), then the
-    16 names whose newest row is round 6 (overflowed both the r7 and
-    r8 windows), then the round-7-checked complement of r8's window.
-    No name checked in round 8 may occupy a slot while a staler
+    """Priority order inside the upcoming (round-10) window:
+    brand-new / redefined queries first (no trustworthy driver row),
+    then the 37 names whose freshest row is round 7 (the structural
+    tail of 131 names over a 50-slot window), then round-8-checked
+    names. No round-9-fresh name may occupy a slot while a staler
     candidate overflows."""
     order = list(all_queries())
     window = set(order[:_DRIVER_WINDOW])
-    last = _driver_window_names(8)
-    # redefined queries sit in the last window by name but their
-    # recorded row predates the redefinition — they re-check as new
+    last = _driver_window_names(9)
     fresh_in_window = (window & last) - _NEW_SINCE_ROTATION
     overflow = (set(order) - last) - window
     if overflow:
-        # a round-8-fresh name in the window while stale names
+        # a round-9-fresh name in the window while stale names
         # overflow would mean the rotation is mis-ordered
         assert not fresh_in_window, sorted(fresh_in_window)
-    # every round-6-stale name must re-check in round 9
-    r6_stale = set(order) - last - _driver_window_names(7)
-    assert r6_stale <= window, sorted(r6_stale - window)
-    assert _NEW_SINCE_ROTATION <= window | (set(order) - set(window))
+    # every r7-stale name (no r8/r9 row) must re-check in round 10
+    r7_stale = set(order) - last - _driver_window_names(8)
+    r7_stale = {n for n in r7_stale if n in _driver_window_names(7)}
+    assert r7_stale <= window, sorted(r7_stale - window)
     for name in _NEW_SINCE_ROTATION & set(order):
         assert name in window, f"redefined/new {name} missed the window"
