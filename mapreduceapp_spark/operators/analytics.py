@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.numeric import oracle_exact_decimal_sum
+from mapreduceapp_spark.plans.hints import broadcast_if_small
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.sources import tables
 
@@ -574,6 +575,11 @@ def heavy_hitters(df: DataFrame, key: str, phi_inv: int = HH_PHI_INV) -> DataFra
     the ordinary partial-agg count on survivors only. False positives
     from pass 1 die at the threshold filter, so the result is exact:
     the sketch only ever PRUNES work, never decides membership.
+    The broadcast is SIZE-GATED on that k x P bound — it is known at
+    plan time from the scan's partition count, so the gate costs no
+    job: at 10^4+ partitions (k x P > the 1M-row key budget,
+    plans/hints.py) the candidate filter falls back to a shuffle
+    semi-join, which still only shuffles candidate keys.
 
     Why this beats plain groupBy-count at 100 TB: the plain plan's
     shuffle carries one partial row per DISTINCT key per partition —
@@ -600,15 +606,19 @@ def heavy_hitters(df: DataFrame, key: str, phi_inv: int = HH_PHI_INV) -> DataFra
         yield pd.DataFrame({key: list(counters.keys())})
 
     field = df.schema[key]
+    scan = df.select(key)
     cands = (
-        df.select(key)
+        scan
         .mapInPandas(mg_partition, schema=f"{key} {field.dataType.simpleString()}")
         .distinct()
     )
+    # candidate bound = k keys per partition summary, known at plan
+    # time — no job needed to gate the broadcast
+    cand_bound = mg_k * max(scan.rdd.getNumPartitions(), 1)
     total = df.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        df.select(key)
-        .join(F.broadcast(cands), key, "inner")
+        scan
+        .join(broadcast_if_small(cands, cand_bound), key, "inner")
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(total))

