@@ -14,10 +14,12 @@ floor is a full corpus-index re-derivation). The production shape is:
    :func:`~mapreduceapp_spark.operators.dedup._capped_band_entries`
    fold the batch queries use, so index contents are bit-identical
    to the batch candidate generator's view), and persist as parquet
-   PARTITIONED BY ``bucket = pmod(band_key, N_INDEX_BUCKETS)``.
+   PARTITIONED BY ``bucket = pmod(band_key, n_buckets)``, where
+   ``n_buckets`` is derived from the corpus footer row count
+   (:func:`index_bucket_count`) and persisted in ``_meta.json``.
 2. :func:`probe_band_index` — per batch: compute the batch's band
    keys with the shared hash family, derive the touched bucket ids
-   (≤ ``16·|batch|``, collapsed to ≤ ``N_INDEX_BUCKETS`` distinct
+   (≤ ``16·|batch|``, collapsed to ≤ ``n_buckets`` distinct
    ints — a bounded driver-side set, same justification class as the
    shingle drop-set collect), and scan the index WITH a partition
    filter on those ids. Spark prunes unlistable directories at
@@ -28,7 +30,7 @@ floor is a full corpus-index re-derivation). The production shape is:
 Why partition by ``pmod(band_key, N)`` and not ``band_key`` itself:
 band keys are 64-bit hashes — one directory per distinct value is
 millions of tiny files (the classic over-partitioning failure).
-``N_INDEX_BUCKETS`` directories keep file counts flat while still
+``n_buckets`` directories keep file counts flat while still
 giving the probe ~|touched|/N byte-level pruning; within a
 partition, parquet row-group statistics on the sorted band_key
 column prune further (entries are written sorted by band_key).
@@ -47,6 +49,7 @@ durable and prunable.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +59,7 @@ from mapreduceapp_spark.operators.dedup import (
     INCR_BATCH_MOD,
     INCR_BATCH_RESIDUE,
     JACCARD_THRESHOLD,
+    LSH_BANDS,
     LSH_BUCKET_CAP,
     MINHASH_PERMS,
     _capped_band_entries,
@@ -63,20 +67,62 @@ from mapreduceapp_spark.operators.dedup import (
     _int_round4,
     band_key_array,
 )
+from mapreduceapp_spark.plans.hints import broadcast_if_small
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.plans.staging import stage, staging_root
 
-# Directory-partition count for the persisted index. Sized like
-# shuffle partitions: enough that one partition's entries fit an
-# executor comfortably at the target corpus (100 TB corpus ≈ 1e11
-# docs × 16 bands / 1024 ≈ 1.6e9 entries/partition — row-group
-# pruning inside the partition does the rest), few enough that the
-# file count stays sane. Local tests use the same constant; the
-# probe's pruning contract is asserted against it.
-N_INDEX_BUCKETS = 64
+# Directory-partition sizing for the persisted index — DERIVED from
+# the corpus footprint at build time (the engine's stride convention:
+# IVF derives √N from footers, this derives the partition count from
+# the entry count), then persisted in the index's _meta.json so every
+# probe partitions its band keys exactly the way the index on disk
+# is laid out, whatever round or process built it.
+#
+# - ENTRIES_PER_BUCKET: one build writes ~4M thin (band_key, doc_id)
+#   rows ≈ 64 MB per bucket directory — a single well-formed parquet
+#   file, the unit row-group pruning works best on.
+# - MIN 64: below 64 directories the probe loses pruning resolution
+#   and saves nothing (a directory listing is already trivial) — and
+#   the fixture-scale layout stays identical to the recorded history.
+# - MAX 65,536: the probe collects the touched-bucket set to the
+#   driver as plan-time literals (the bounded-constant contract) and
+#   the IN-list must stay a modest literal; past the cap, per-bucket
+#   volume grows and the band_key-sorted row groups inside each
+#   directory carry the pruning instead (at 100 TB: 1e11 docs × 16
+#   bands / 65,536 ≈ 24M entries ≈ 400 MB per bucket — a handful of
+#   files, one row group touched per point band key).
+INDEX_ENTRIES_PER_BUCKET = 4_000_000
+INDEX_MIN_BUCKETS = 64
+INDEX_MAX_BUCKETS = 65_536
 
 
-def _band_entries(sh: DataFrame) -> DataFrame:
+def index_bucket_count(n_docs: int) -> int:
+    """Power-of-two directory count for an ``n_docs``-document
+    corpus: smallest b in [MIN, MAX] with b × ENTRIES_PER_BUCKET ≥
+    n_docs × LSH_BANDS. Pure integer arithmetic — identical in every
+    process that derives it."""
+    entries = max(1, n_docs) * LSH_BANDS
+    b = INDEX_MIN_BUCKETS
+    while b < INDEX_MAX_BUCKETS and b * INDEX_ENTRIES_PER_BUCKET < entries:
+        b <<= 1
+    return b
+
+
+def _meta_path(index_path: str) -> str:
+    return os.path.join(index_path, "_meta.json")
+
+
+def index_meta(index_path: str) -> dict:
+    """Layout metadata the probe must agree with the build on. A
+    pre-metadata index (earlier rounds) was always 64 buckets."""
+    try:
+        with open(_meta_path(index_path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"n_buckets": INDEX_MIN_BUCKETS}
+
+
+def _band_entries(sh: DataFrame, n_buckets: int) -> DataFrame:
     """(band_key, bucket, doc_id) — one thin row per (doc, band).
     Deliberately WITHOUT the sig/sh payload: a band index carrying
     the arrays stores every document's signature and shingle set 16
@@ -87,7 +133,7 @@ def _band_entries(sh: DataFrame) -> DataFrame:
     return sh.select(
         "doc_id", F.explode(band_key_array()).alias("band_key")
     ).withColumn(
-        "bucket", F.pmod(F.col("band_key"), F.lit(N_INDEX_BUCKETS)).cast("int")
+        "bucket", F.pmod(F.col("band_key"), F.lit(n_buckets)).cast("int")
     )
 
 
@@ -98,36 +144,60 @@ def write_band_index(
 
     Two tables under ``path``:
     - ``bands/`` — (band_key, doc_id) partitioned by
-      ``bucket = pmod(band_key, N_INDEX_BUCKETS)``, band_key-sorted
+      ``bucket = pmod(band_key, n_buckets)``, band_key-sorted
       within files (row-group pruning inside a directory). The cap is
       applied at BUILD time: an over-cap band bucket carries no
       usable signal and would otherwise be re-filtered by every
       probe; the fold rides the repartition-by-bucket shuffle's
       co-location.
-    - ``sigs/`` — (doc_id, sig, sh), ONE row per document, the
+    - ``sigs/`` — (doc_id, sig, sh), ONE row per document,
+      partitioned by ``sig_bucket = pmod(doc_id, n_buckets)`` — the
       verification side every probe joins its candidates against.
+      Partitioning it matters as much as partitioning ``bands/``: an
+      unpartitioned sigs table is a full corpus-payload scan on EVERY
+      probe (arrays, the heavy bytes), which would quietly restore
+      the O(corpus)-per-batch cost the index exists to remove.
     """
+    from mapreduceapp_spark.sources.parquet import table_row_count
+
+    # derive the layout from the corpus footprint (footer count — no
+    # job) and persist it: probes must bucket by the SAME modulus
+    n_buckets = index_bucket_count(table_row_count(spark, sf_dir, "documents"))
     sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
     if corpus_only:
         sh = sh.filter((F.col("doc_id") % INCR_BATCH_MOD) < INCR_BATCH_RESIDUE)
-    entries = _capped_band_entries(_band_entries(sh), ["band_key"], LSH_BUCKET_CAP)
+    entries = _capped_band_entries(
+        _band_entries(sh, n_buckets), ["band_key"], LSH_BUCKET_CAP
+    )
     (
-        entries.repartition(N_INDEX_BUCKETS, "bucket")
+        entries.repartition(n_buckets, "bucket")
         .sortWithinPartitions("band_key")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(path, "bands"))
     )
-    sh.select("doc_id", "sig", "sh").write.mode("overwrite").parquet(
-        os.path.join(path, "sigs")
+    os.makedirs(path, exist_ok=True)
+    with open(_meta_path(path), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "sigs_partitioned": True}, fh)
+    (
+        sh.select("doc_id", "sig", "sh")
+        .withColumn(
+            "sig_bucket",
+            F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, "sig_bucket")
+        .write.mode("overwrite")
+        .partitionBy("sig_bucket")
+        .parquet(os.path.join(path, "sigs"))
     )
     return path
 
 
 def touched_buckets(probe_bands: DataFrame) -> list[int]:
     """Distinct index partitions a batch's band keys land in —
-    bounded at ``N_INDEX_BUCKETS`` ints by construction, so the
-    driver-side collect is a constant, not a data-sized pull."""
+    bounded at the index's bucket count (≤ INDEX_MAX_BUCKETS ints) by
+    construction, so the driver-side collect is a constant, not a
+    data-sized pull."""
     return sorted(
         r["bucket"] for r in probe_bands.select("bucket").distinct().collect()
     )
@@ -149,8 +219,18 @@ def probe_band_index(
     side from the index's ``sigs`` table. Candidate volume is capped
     by the build-time bucket cap, so the sig joins carry candidate
     rows, never band fan-out × array bytes.
+
+    BOTH index scans are partition-pruned with plan-time literals:
+    the band scan by the batch's own bucket set (derivable before
+    touching the index), the sigs scan by the CANDIDATES' doc-id
+    buckets — which requires executing the (already-pruned, thin)
+    band join once to collect ≤ n_buckets ints. That second bounded
+    collect is what keeps the heavy side — corpus signature arrays —
+    at O(candidates) bytes per probe instead of O(corpus).
     """
-    probe_bands = _band_entries(probe_sh).select(
+    meta = index_meta(index_path)
+    n_buckets = meta["n_buckets"]
+    probe_bands = _band_entries(probe_sh, n_buckets).select(
         F.col("doc_id").alias("new_doc"), "band_key", "bucket"
     )
     buckets = touched_buckets(probe_bands)
@@ -161,6 +241,31 @@ def probe_band_index(
     )
     cand = probe_bands.drop("bucket").join(idx, "band_key")
     sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
+    # one bounded job serves two plan decisions: the per-bucket fold
+    # yields the candidate sig-partition list (≤ n_buckets ints → the
+    # pruning literals) AND the candidate row count (→ the broadcast
+    # gate). Without the explicit broadcast, cand's post-mapInPandas
+    # stats are unknown and Spark sort-merges — shuffling the corpus
+    # signature ARRAYS, the one payload the probe exists to avoid
+    # moving (measured 30s vs 2s on a 64×-inflated sf0.1 index).
+    n_cand = None
+    if meta.get("sigs_partitioned"):
+        per_bucket = (
+            cand.groupBy(
+                F.pmod(F.col("corpus_doc"), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sig_buckets = sorted(r["b"] for r in per_bucket)
+        n_cand = sum(r["n"] for r in per_bucket)
+        sigs = (
+            sigs.filter(F.col("sig_bucket").isin(sig_buckets))
+            if sig_buckets
+            else sigs.filter(F.lit(False))
+        ).drop("sig_bucket")
     sig_c = sigs.select(
         F.col("doc_id").alias("corpus_doc"),
         F.col("sig").alias("sig_c"),
@@ -171,8 +276,10 @@ def probe_band_index(
         F.col("sig").alias("sig_n"),
         F.col("sh").alias("sh_n"),
     )
+    if n_cand is not None:
+        cand = broadcast_if_small(cand, n_cand)
     est = (
-        cand.join(sig_c, "corpus_doc")
+        sig_c.join(cand, "corpus_doc")
         .join(sig_n, "new_doc")
         .withColumn(
             "sig_agree",

@@ -1,0 +1,194 @@
+"""Band-index probe cost vs touched buckets — the winning regime
+measured (VERDICT r9 'Missing' #2 / ask #4).
+
+At sf0.1 the registered q_dedup_index_probe probes the FULL batch
+split, whose bands touch every bucket — that number pays the
+persisted read without collecting the pruning benefit (the honest
+NOTES_r09 caveat), and the whole index is <4 MB, so fixed job
+overhead swamps any byte effect. This script measures the regime the
+index exists for — small probe, LARGE corpus index — by inflating
+the persisted index REPL× (band keys salted per replica so bucket
+occupancy stays uniform and the build-time cap is not re-triggered;
+signature payloads duplicated under shifted doc ids), then timing:
+
+- pruned probes of 1/4/16 docs (bands partition-filtered by the
+  batch's bucket set, sigs by the candidates' doc-bucket set), vs
+- the same 1-doc probe with pruning DISABLED (both scans full) —
+  the cost every probe would pay without the partitioned layout.
+
+Usage: ``python scripts/index_probe_scaling.py [sf_dir]``
+Writes ``index_probe_scaling_r{N}.json`` next to bench.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = 3        # wall = min of REPS (calm estimate, bench.py rule)
+REPL = 64       # index inflation factor
+DOC_SHIFT = 10_000_000_000
+
+
+def _tree_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.operators import dedup_index as DI
+    from mapreduceapp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+        _doc_shingles_with_minhash,
+    )
+    from mapreduceapp_spark.plans.staging import stage
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="probe_scaling_")
+    base_idx = os.path.join(tmp, "band_index")
+    t0 = time.monotonic()
+    DI.write_band_index(spark, sf_dir, base_idx)
+    build_s = time.monotonic() - t0
+    n_buckets = DI.index_meta(base_idx)["n_buckets"]
+
+    # ---- inflate the index REPL× with salted replicas --------------
+    big_idx = os.path.join(tmp, "band_index_big")
+    reps = spark.range(REPL).withColumnRenamed("id", "rep")
+    bands = spark.read.parquet(os.path.join(base_idx, "bands"))
+    big_bands = (
+        bands.crossJoin(reps)
+        .withColumn("band_key", F.col("band_key") + F.col("rep") * F.lit(7919))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(DOC_SHIFT))
+        .withColumn(
+            "bucket", F.pmod(F.col("band_key"), F.lit(n_buckets)).cast("int")
+        )
+        .drop("rep")
+    )
+    (
+        big_bands.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(os.path.join(big_idx, "bands"))
+    )
+    sigs = spark.read.parquet(os.path.join(base_idx, "sigs"))
+    big_sigs = (
+        sigs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(DOC_SHIFT))
+        .withColumn(
+            "sig_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        .drop("rep")
+    )
+    (
+        big_sigs.repartition(n_buckets, "sig_bucket")
+        .write.mode("overwrite").partitionBy("sig_bucket")
+        .parquet(os.path.join(big_idx, "sigs"))
+    )
+    with open(os.path.join(big_idx, "_meta.json"), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "sigs_partitioned": True}, fh)
+    big_bands_bytes = _tree_bytes(os.path.join(big_idx, "bands"))
+    big_sigs_bytes = _tree_bytes(os.path.join(big_idx, "sigs"))
+
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    batch_split = sh.filter(
+        (F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
+    )
+
+    def measure(probe_sh, label: str) -> dict:
+        touched = DI.touched_buckets(DI._band_entries(probe_sh, n_buckets))
+        walls, n_pairs = [], 0
+        for _ in range(REPS):
+            t0 = time.monotonic()
+            n_pairs = DI.probe_band_index(spark, big_idx, probe_sh).count()
+            walls.append(time.monotonic() - t0)
+        point = {
+            "label": label,
+            "touched_band_buckets": len(touched),
+            "pairs": n_pairs,
+            "wall_s": round(min(walls), 3),
+            "walls": [round(w, 3) for w in walls],
+        }
+        print(json.dumps(point))
+        return point
+
+    points = []
+    staged_batches = {}
+    for n_docs in (1, 4, 16):
+        bpath = os.path.join(tmp, f"batch_{n_docs}")
+        batch_split.orderBy("doc_id").limit(n_docs).write.mode(
+            "overwrite"
+        ).parquet(bpath)
+        staged_batches[n_docs] = spark.read.parquet(bpath)
+        points.append(measure(staged_batches[n_docs], f"pruned_{n_docs}doc"))
+
+    # ---- no-prune control: same 1-doc probe, full scans -------------
+    real_touched = DI.touched_buckets
+    try:
+        DI.touched_buckets = lambda pb: list(range(n_buckets))
+        with open(os.path.join(big_idx, "_meta.json"), "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)  # sigs unpruned
+        points.append(measure(staged_batches[1], "noprune_1doc"))
+    finally:
+        DI.touched_buckets = real_touched
+        with open(os.path.join(big_idx, "_meta.json"), "w") as fh:
+            json.dump({"n_buckets": n_buckets, "sigs_partitioned": True}, fh)
+
+    out = {
+        "sf_dir": sf_dir,
+        "n_buckets": n_buckets,
+        "repl": REPL,
+        "index_build_s": round(build_s, 2),
+        "big_bands_bytes": big_bands_bytes,
+        "big_sigs_bytes": big_sigs_bytes,
+        "reps": REPS,
+        "points": points,
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        for m in [re.match(r"BENCH_r(\d+)\.json", f)]
+        if m
+    ]
+    n = (max(rounds) + 1) if rounds else 0
+    path = os.path.join(here, f"index_probe_scaling_r{n:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"written": path}))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
