@@ -118,6 +118,49 @@ def _cpu_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+# Contamination sentinel (VERDICT r9 'Next round' #2): the r9 driver
+# record was 1.65x the r8 record while the same tree's calm record was
+# 0.89x — a throttled host sweep committed as signal. The sentinel
+# makes that class of record SELF-FLAGGING instead of silently wrong:
+#
+# - PROBE_CALM_REF: the historical calm value of _cpu_probe on this
+#   host class (bench_history.jsonl r7-r9 calm windows: 0.09-0.15 s).
+#   A probe far above it means the host is stealing cycles RIGHT NOW,
+#   even when the whole run is uniformly throttled (a run-relative
+#   check alone cannot see uniform theft).
+# - per slot: probe before the query; if contended, wait briefly and
+#   re-probe (a steal window often passes) — the query is only timed
+#   against the best probe achieved, and slots that stayed contended
+#   are listed in the record.
+# - top level: the ONE json line carries "contaminated": true when
+#   the run as a whole was throttled or too many slots stayed hot, so
+#   a driver artifact recorded from a bad window names itself.
+PROBE_CALM_REF = 0.15
+PROBE_HOT_FACTOR = 1.6   # probe > 1.6x calm ref => slot is contended
+PROBE_RETRIES = 3        # wait-and-reprobe attempts per hot slot
+PROBE_RETRY_SLEEP = 2.0  # seconds between attempts
+CONTAMINATED_SLOT_FRACTION = 0.25
+
+
+def _probe_slot(name: str) -> tuple[float, bool]:
+    """Best probe for this slot after up to PROBE_RETRIES waits;
+    returns (probe_sec, still_contended)."""
+    best = _cpu_probe()
+    tries = 0
+    while best > PROBE_HOT_FACTOR * PROBE_CALM_REF and tries < PROBE_RETRIES:
+        time.sleep(PROBE_RETRY_SLEEP)
+        best = min(best, _cpu_probe())
+        tries += 1
+    hot = best > PROBE_HOT_FACTOR * PROBE_CALM_REF
+    if hot:
+        print(
+            f"[bench] {name}: host contended (probe {best:.3f}s vs calm "
+            f"ref {PROBE_CALM_REF}) after {tries} waits — timing suspect",
+            file=sys.stderr,
+        )
+    return best, hot
+
+
 def _gc_millis(spark) -> int:
     """Cumulative JVM GC time (all collectors), via the management
     MXBean through py4j. Round 9 traced the recurring
@@ -196,13 +239,18 @@ def main() -> None:
     probes: dict[str, float] = {}
     stage_writes_timed: dict[str, int] = {}
     errors: dict[str, str] = {}
+    contended_slots: list[str] = []
     for name, q in queries.items():
         if names and name not in names:
             continue
         # per-query host-speed probe: a shared host's throttle windows
         # can inflate one query 10x mid-run (observed r5/r6); the
-        # probe column next to each timing settles that post-hoc
-        probes[name] = _cpu_probe()
+        # probe column next to each timing settles that post-hoc, and
+        # the sentinel wait-and-reprobe keeps a passing steal window
+        # from defining the slot's number at all
+        probes[name], hot = _probe_slot(name)
+        if hot:
+            contended_slots.append(name)
         # Per-query isolation: one broken query must never erase the
         # round's whole perf record (round 3 lost its bench to a
         # single AnalysisException). Errors are recorded in the JSON
@@ -296,6 +344,37 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # ---- contamination verdict for the whole record -----------------
+    timed = [n for n in timings]
+    min_probe_all = min(probes.values()) if probes else None
+    host_throttled = (
+        min_probe_all is not None
+        and min_probe_all > PROBE_HOT_FACTOR * PROBE_CALM_REF
+    )
+    too_many_hot = (
+        len(timed) > 0
+        and len(contended_slots) > CONTAMINATED_SLOT_FRACTION * len(timed)
+    )
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
+    sentinel = {
+        "probe_calm_ref": PROBE_CALM_REF,
+        "min_probe": min_probe_all,
+        "contended_slots": contended_slots,
+        "host_throttled": host_throttled,
+        "loadavg": loadavg,
+    }
+    if host_throttled or too_many_hot:
+        out["contaminated"] = True
+        out["sentinel"] = sentinel
+        print(
+            f"[bench] RECORD CONTAMINATED: host_throttled={host_throttled} "
+            f"contended={len(contended_slots)}/{len(timed)} — do not use "
+            f"this record as round-over-round signal",
+            file=sys.stderr,
+        )
     if names is None:
         # Probe-normalized calm-time estimate per query (VERDICT r6 ask
         # #7 — the sf1 rehearsal's formula, wall x min_probe/probe): the
@@ -313,6 +392,7 @@ def main() -> None:
             }
         full = dict(out)
         full.update(
+            sentinel=sentinel,
             runs=runs,
             gc_sec=gc_secs,
             cpu_probes=probes,

@@ -224,29 +224,55 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
             curated_ingest_stream,
         )
 
-        tx_root = f"{work}/curated_tx"
-        txlog_create(
-            spark, tx_root, curate_documents(docs).limit(0),
-            stats_cols=["doc_id"],
-        )
-        ingest_src = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(docs_dir)
-        )
-        t0 = time.perf_counter()
-        q = curated_ingest_stream(
-            spark, ingest_src, tx_root, f"{work}/ckpt_curated"
-        )
-        q.awaitTermination()
-        wall = time.perf_counter() - t0
-        results["curated_ingest_txlog"] = {
-            "input_rows": n_probe_docs,
-            "output_rows": txlog_read(spark, tx_root).count(),
-            "txlog_versions": len(txlog_versions(tx_root)),
-            "wall_sec": round(wall, 2),
-            "rows_per_sec": round(n_probe_docs / wall),
-        }
+        # run twice with different trigger sizing: the per-batch floor
+        # is a commit (one write job + manifest), so throughput is
+        # governed by micro-batch SIZE — the 4-files-per-trigger run
+        # quantifies the amortization a production trigger interval
+        # buys (VERDICT r9 ask #7: the commit cadence decision,
+        # with numbers). Compaction + post-compaction read complete
+        # the cadence story: streaming accretes one file per commit,
+        # maintenance folds them, readers pay the folded cost.
+        from mapreduceapp_spark.sources.txlog import txlog_compact
+
+        for files_per_trigger in (1, 4):
+            tx_root = f"{work}/curated_tx_{files_per_trigger}"
+            txlog_create(
+                spark, tx_root, curate_documents(docs).limit(0),
+                stats_cols=["doc_id"],
+            )
+            ingest_src = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(docs_dir)
+            )
+            t0 = time.perf_counter()
+            q = curated_ingest_stream(
+                spark, ingest_src, tx_root,
+                f"{work}/ckpt_curated_{files_per_trigger}",
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            txlog_compact(spark, tx_root)
+            compact_sec = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            out_rows = txlog_read(spark, tx_root).count()
+            read_sec = round(time.perf_counter() - t0, 2)
+            key = (
+                "curated_ingest_txlog"
+                if files_per_trigger == 1
+                else f"curated_ingest_txlog_x{files_per_trigger}"
+            )
+            results[key] = {
+                "input_rows": n_probe_docs,
+                "output_rows": out_rows,
+                "txlog_versions": len(txlog_versions(tx_root)),
+                "files_per_trigger": files_per_trigger,
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(n_probe_docs / wall),
+                "compact_sec": compact_sec,
+                "post_compact_read_sec": read_sec,
+            }
 
         if include_late:
             t0 = time.perf_counter()
