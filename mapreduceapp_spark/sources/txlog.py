@@ -642,6 +642,58 @@ def txlog_upsert(
     return _commit(root, adds, candidates, "upsert", read_version, txn=txn)
 
 
+def txlog_delete(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """DELETE by key set — the third CDC verb (upsert covers update +
+    insert; a real change feed also carries deletes). Same shape as
+    ``txlog_upsert``: the key batch's stats window prunes the
+    candidate file set, only candidates' rows are read, survivors are
+    rewritten (size-gated broadcast anti-join), untouched files
+    transfer by manifest reference. Deleting every row of a candidate
+    file adds nothing back — the file simply leaves the live set.
+    Snapshot isolation, conflict detection, and the (app, batch_id)
+    idempotency key all ride the same ``_commit``."""
+    versions = txlog_versions(root)
+    read_version = versions[-1]
+    live = _live_files(root, read_version)
+    stats_cols = _stats_cols(root)
+
+    agg_exprs = [F.count(F.lit(1)).alias("n")]
+    has_stats = bool(stats_cols) and stats_cols[0] in keys.columns
+    if has_stats:
+        agg_exprs += [
+            F.min(stats_cols[0]).alias("lo"),
+            F.max(stats_cols[0]).alias("hi"),
+        ]
+    row = keys.agg(*agg_exprs).collect()[0]
+    n_keys = row["n"]
+
+    candidates = list(sorted(live))
+    if has_stats:
+        window = {stats_cols[0]: (_json_safe(row["lo"]), _json_safe(row["hi"]))}
+        candidates = [
+            rel
+            for rel in candidates
+            if not _skippable(live[rel].get("stats", {}), window)
+        ]
+    if not candidates:
+        return read_version  # nothing can match: no-op, no commit
+    base = _scan(spark, [os.path.join(root, rel) for rel in candidates])
+    survivors = base.join(
+        broadcast_if_small(keys.select(*key_cols), n_keys),
+        key_cols, "left_anti",
+    )
+    adds = _write_data(
+        spark, root, survivors, stats_cols, bloom_cols=_bloom_cols(root)
+    )
+    return _commit(root, adds, candidates, "delete", read_version, txn=txn)
+
+
 def txlog_scan_incremental(
     spark: SparkSession, root: str, since_version: int
 ) -> DataFrame:

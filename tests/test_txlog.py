@@ -325,6 +325,59 @@ def test_exactly_once_upsert_sink(spark, table):
     assert txlog_committed_batches(root, "cdc-apply") == {0}
 
 
+def test_delete_removes_keys_keeps_history(spark, table):
+    """txlog_delete: matched rows disappear from the live snapshot,
+    history stays readable, stats pruning narrows the rewrite set,
+    and the file-granular CDC feed carries the deletions."""
+    from mapreduceapp_spark.sources.txlog import txlog_delete
+
+    root, base = table
+    n0 = base.count()
+    lo = base.agg(F.min("o_orderkey")).collect()[0][0]
+    doomed = base.filter(F.col("o_orderkey").between(lo, lo + 30))
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    v = txlog_delete(spark, root, doomed, ["o_orderkey"])
+    assert v == 2
+    now = txlog_read(spark, root)
+    assert now.count() == n0 - n_doomed
+    assert now.filter(F.col("o_orderkey").between(lo, lo + 30)).count() == 0
+    # history: version 1 still carries every row
+    assert txlog_read(spark, root, version=1).count() == n0
+    # stats pruning: the narrow key range must not rewrite every file
+    m2 = json.load(open(_manifest_path(root, 2)))
+    live_v1 = txlog_read(spark, root, version=1).inputFiles()
+    assert len(m2["removes"]) < len(live_v1)
+    # CDC: folding the feed by key nets out to exactly the deletions
+    feed = txlog_changes(spark, root, 1, 2)
+    net_deleted = (
+        feed.groupBy("o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(-1))
+            .alias("net")
+        )
+        .filter(F.col("net") > 0)
+    )
+    assert net_deleted.count() == n_doomed
+
+
+def test_delete_misses_are_noop_without_commit(spark, table):
+    """A delete whose key window misses every file's stats range
+    commits nothing — the version does not advance."""
+    from mapreduceapp_spark.sources.txlog import txlog_delete
+
+    root, base = table
+    v0 = txlog_versions(root)[-1]
+    ghost = base.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 900_000_000
+    )
+    v = txlog_delete(spark, root, ghost, ["o_orderkey"])
+    assert v == v0
+    assert txlog_versions(root)[-1] == v0
+    assert txlog_read(spark, root).count() == base.count()
+
+
 def test_additive_schema_evolution(spark, table):
     """Appends carrying a new column require evolve=True; afterwards
     pre-evolution rows surface the column as null, declared columns
