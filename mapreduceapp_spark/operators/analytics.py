@@ -627,6 +627,99 @@ def heavy_hitters(df: DataFrame, key: str, phi_inv: int = HH_PHI_INV) -> DataFra
     )
 
 
+# Per-group heavy hitters: the sketch's memory premise is a
+# LOW-CARDINALITY group column (counters are k x groups per
+# partition). The hard bound below makes the premise enforced, not
+# assumed: a partition seeing more distinct groups raises — at that
+# cardinality plain groupBy is the right plan, not a per-group sketch.
+HH_MAX_GROUPS = 64
+HH_GROUP_PHI_INV = 1000
+
+
+def heavy_hitters_by_group(
+    df: DataFrame, group: str, key: str, phi_inv: int = HH_GROUP_PHI_INV
+) -> DataFrame:
+    """EXACT per-group heavy hitters — every (group, key) with
+    count*phi_inv >= the GROUP's total — via the same two-pass
+    Misra-Gries scheme as :func:`heavy_hitters`, one sketch per group
+    per partition. The superset argument is per group verbatim (MG
+    over that group's partition-local stream), so the union of
+    per-group summaries can miss no true hitter; the exact recount
+    joined to per-group totals decides. Candidate bound is
+    k x partitions x HH_MAX_GROUPS — plan-time, gate-able — because
+    the sketch HARD-ENFORCES the group-cardinality premise."""
+    import pandas as pd
+
+    mg_k = phi_inv
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for (g, kv), c in pdf.groupby([group, key]).size().items():
+                d = counters.setdefault(g, {})
+                d[kv] = d.get(kv, 0) + int(c)
+            if len(counters) > HH_MAX_GROUPS:
+                raise ValueError(
+                    f"heavy_hitters_by_group saw {len(counters)} distinct "
+                    f"{group!r} values in one partition (> {HH_MAX_GROUPS}); "
+                    f"use a plain groupBy for high-cardinality groups"
+                )
+            for g, d in counters.items():
+                if len(d) > mg_k:
+                    vals = sorted(d.values())
+                    dec = vals[len(d) - mg_k - 1]
+                    counters[g] = {
+                        k2: c2 - dec for k2, c2 in d.items() if c2 > dec
+                    }
+        rows = [
+            {group: g, key: kv} for g, d in counters.items() for kv in d
+        ]
+        yield pd.DataFrame(rows, columns=[group, key])
+
+    g_t = df.schema[group].dataType.simpleString()
+    k_t = df.schema[key].dataType.simpleString()
+    scan = df.select(group, key)
+    cands = (
+        scan.mapInPandas(mg_partition, schema=f"{group} {g_t}, {key} {k_t}")
+        .distinct()
+    )
+    cand_bound = mg_k * max(scan.rdd.getNumPartitions(), 1) * HH_MAX_GROUPS
+    totals = df.groupBy(group).agg(F.count(F.lit(1)).alias("_n_g"))
+    return (
+        scan.join(broadcast_if_small(cands, cand_bound), [group, key])
+        .groupBy(group, key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(totals), group)  # one row per group: tiny
+        .filter(F.col("cnt") * phi_inv >= F.col("_n_g"))
+        .select(group, key, "cnt")
+    )
+
+
+@register(
+    "q_heavy_hitters_by_group",
+    oracle=f"""
+        SELECT event_type, user_id, cnt FROM (
+            SELECT event_type, user_id, count(*) AS cnt,
+                   sum(count(*)) OVER (PARTITION BY event_type) AS n_g
+            FROM events GROUP BY 1, 2
+        ) WHERE cnt * {HH_GROUP_PHI_INV} >= n_g
+    """,
+    doc="Exact per-group heavy hitters (count >= group_N/1000) via "
+    "per-group Misra-Gries candidates + exact recount — the "
+    "grouped form of q_heavy_hitters; group cardinality hard-bounded.",
+)
+def q_heavy_hitters_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users contributing >= 1/1000 of their event type's volume
+    (user counts grow with scale, so the threshold must sit where the
+    fixture family stays non-empty at sf0.001-0.1: 75/750/325 rows).
+    Same
+    exactness contract as q_heavy_hitters: the sketch only prunes,
+    the recount against per-type totals decides."""
+    return heavy_hitters_by_group(
+        tables(spark, sf_dir).events, "event_type", "user_id"
+    )
+
+
 @register(
     "q_heavy_hitters",
     oracle=f"""

@@ -458,6 +458,159 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select("doc_id", fp.alias("fp"))
 
 
+# Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003 "Winnowing:
+# Local Algorithms for Document Fingerprinting", the MOSS algorithm):
+# K-char gram hashes, minimum per sliding window of W grams. The
+# guarantee: any shared substring of length >= K + W - 1 chars yields
+# at least one shared selected fingerprint, at ~2/(W+1) the storage of
+# all-grams — position-robust where q_duplicate_passages' token
+# windows are exact-token-aligned, and substring-level where the
+# shingle-Jaccard family is whole-document.
+# Constants sized against the corpus, not MOSS's source-code defaults:
+# the synthetic shared vocabulary makes short runs ubiquitous (K=8/W=4
+# matched 92k of 170k possible pairs at sf0.01 — noise, not dedup).
+# K=16/W=8 guarantees any shared run >= 23 chars, the df cap keeps only
+# fingerprints rare enough to be identifying, and 4 shared selections
+# separate planted duplicates (53 pairs at sf0.01) from phrase echoes.
+WINNOW_K = 16       # gram length (chars)
+WINNOW_W = 8        # winnowing window (grams): detects runs >= 23 chars
+WINNOW_DF_CAP = 8   # fingerprints in more docs are boilerplate: drop
+WINNOW_MIN_SHARED = 4
+
+
+def winnow_fingerprint_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cap: int = WINNOW_DF_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` winnowing-selected
+    fingerprints (df-capped at ``cap``). Parameterized so tests can
+    plant a tiny cap; the registered query binds the constants.
+
+    Plan shape: the gram hashes and window minima are ARRAY-level
+    higher-order functions — the per-document work stays inside
+    whole-stage codegen with zero explode until the (doc_id, fp)
+    fingerprint rows, which are ~2/(W+1) of the gram count. Those
+    thin int64 rows are the only thing shuffled: once for the df cap
+    window and the self-join (same hash partitioning serves both, the
+    q_duplicate_passages convention), then a pair-keyed count. The
+    staged slot keeps the self-join's two branches from re-running
+    the corpus scan + gram derivation. The df cap is what bounds the
+    join on a boilerplate-heavy corpus — an uncapped hot fingerprint
+    is df² pair fan-out, quadratic in corpus size.
+
+    Integer discipline: gram hash = the q_fingerprint rolling hash
+    over each K-char slice (every intermediate < 2^35 — identical
+    int64 math in both engines); window min of int64 is tie-free by
+    value.
+    """
+    from mapreduceapp_spark.plans.staging import stage
+    from pyspark.sql import Window
+
+    d = tables(spark, sf_dir).documents
+    codes = F.transform(chars("text"), lambda c: F.ascii(c).cast("long"))
+    d = d.select("doc_id", codes.alias("codes"))
+    n_grams = F.size(F.col("codes")) - (WINNOW_K - 1)
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(F.col("codes"), i + 1, WINNOW_K),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
+    # sequence(a, b) DESCENDS when a > b — guard short docs explicitly
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(0), n_grams - 1), gram_hash),
+    ).otherwise(F.array().cast("array<long>"))
+    d = d.select("doc_id", grams.alias("grams"))
+    n_wins = F.size(F.col("grams")) - (WINNOW_W - 1)
+    mins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda j: F.array_min(F.slice(F.col("grams"), j + 1, WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps = stage(
+        d.select(
+            "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+        )
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= cap)
+        .drop("df"),
+        "winnow_fps",
+    )
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), ["fp"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+@register(
+    "q_winnowing",
+    oracle=f"""
+        WITH pos AS MATERIALIZED (
+            -- scalar generate_series (list form): the table-function
+            -- form cannot correlate with length(text)
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {WINNOW_K - 1}))
+                       AS i
+            FROM documents
+            WHERE length(text) >= {WINNOW_K}
+        ),
+        grams AS MATERIALIZED (
+            SELECT doc_id, i,
+                   list_reduce(
+                       list_prepend(0::BIGINT, list_transform(
+                           string_split(substr(text, i, {WINNOW_K}), ''),
+                           c -> ascii(c)::BIGINT)),
+                       (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS h
+            FROM pos
+        ),
+        mins AS MATERIALIZED (
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       min(h) OVER w AS fp,
+                       count(*) OVER w AS wn
+                FROM grams
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                             AND {WINNOW_W - 1} FOLLOWING)
+            ) WHERE wn = {WINNOW_W}
+        ),
+        capped AS MATERIALIZED (
+            SELECT doc_id, fp FROM (
+                SELECT doc_id, fp,
+                       count(*) OVER (PARTITION BY fp) AS df
+                FROM mins
+            ) WHERE df <= {WINNOW_DF_CAP}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_fps
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+    doc="Winnowing (MOSS) fingerprint dedup: window-min of rolling "
+    "k-gram hashes; doc pairs sharing >=2 selected fingerprints "
+    "(substring-level, position-robust; df-capped boilerplate).",
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint match — the substring-level member of
+    the C2 near-dup family: guarantees detection of any shared run
+    >= WINNOW_K + WINNOW_W - 1 chars while storing ~2/(W+1) of the
+    gram hashes, the published density bound."""
+    return winnow_fingerprint_pairs(spark, sf_dir)
+
+
 # Marker-token lists per language for the lang-id heuristic. The
 # driver's corpus is synthetic with a shared vocabulary, so this
 # predictably leans 'en' — the operator's value is the deterministic,

@@ -266,6 +266,60 @@ def test_heavy_hitters_planted_zipf_any_partitioning(spark):
         assert got == expected, (layout, got)
 
 
+def test_heavy_hitters_by_group_oracle(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(spark, "q_heavy_hitters_by_group", sf_dir)
+
+
+def test_heavy_hitters_by_group_planted_adversarial(spark):
+    """Per-group exactness under adversarial layouts: each group has
+    its own heavy key, a key exactly at ITS group's threshold, a
+    just-under key, and a tail; one group's volume dwarfs the
+    other's, so a global sketch would drown the small group (the
+    reason the sketch runs per group)."""
+    from mapreduceapp_spark.operators.analytics import (
+        heavy_hitters_by_group,
+    )
+
+    phi_inv = 10
+    # group X: N=2000 -> threshold 200; group Y: N=100 -> threshold 10
+    rows = (
+        [("X", "A")] * 600 + [("X", "B")] * 200 + [("X", "C")] * 199
+        + [("X", f"t{i}") for i in range(1001)]
+        + [("Y", "D")] * 10 + [("Y", "E")] * 9
+        + [("Y", f"u{i}") for i in range(81)]
+    )
+    expected = {("X", "A", 600), ("X", "B", 200), ("Y", "D", 10)}
+    for layout in ("as-is", "spread", "shuffled"):
+        df = spark.createDataFrame(rows, "g string, k string")
+        if layout == "spread":
+            df = df.repartition(32)
+        elif layout == "shuffled":
+            df = df.repartition(3, "k")
+        got = {
+            (r.g, r.k, r.cnt)
+            for r in heavy_hitters_by_group(df, "g", "k", phi_inv).collect()
+        }
+        assert got == expected, (layout, got)
+
+
+def test_heavy_hitters_by_group_rejects_high_cardinality(spark):
+    """The sketch's low-cardinality-group premise is enforced, not
+    assumed: more than HH_MAX_GROUPS distinct groups in one partition
+    must raise with the use-plain-groupBy message."""
+    import pytest
+    from mapreduceapp_spark.operators.analytics import (
+        HH_MAX_GROUPS,
+        heavy_hitters_by_group,
+    )
+
+    rows = [(f"g{i}", "k") for i in range(HH_MAX_GROUPS + 1)]
+    df = spark.createDataFrame(rows, "g string, k string").coalesce(1)
+    with pytest.raises(Exception, match="plain groupBy"):
+        heavy_hitters_by_group(df, "g", "k", 10).collect()
+
+
 def test_heavy_hitters_plan_prunes_and_broadcasts(spark, sf_dir):
     """The sketch pass must read ONLY the key column (column-pruned
     scan) and the recount must be a broadcast join — a sort-merge

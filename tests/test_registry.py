@@ -95,8 +95,17 @@ def test_bench_subset_is_registered():
 # like brand-new queries; list them here too.
 # (rotation regenerated at the start of round 10 from the r07/r08/r09
 # artifacts — every name registered through round 9 is in the
-# rotation; add round-10 registrations to this set)
-_NEW_SINCE_ROTATION: set[str] = set()
+# rotation; add round-10 registrations to this set. BUDGET: at most
+# 13 new names this round, or the r7-stale group loses window slots —
+# test_three_window_union_covers_registry enforces the consequence.)
+_NEW_SINCE_ROTATION: set[str] = {
+    # brand-new round 10: winnowing (MOSS) substring-level fingerprint
+    # dedup (operators/text.py)
+    "q_winnowing",
+    # brand-new round 10: per-group Misra-Gries heavy hitters
+    # (operators/analytics.py)
+    "q_heavy_hitters_by_group",
+}
 
 
 def test_check_rotation_covers_registry_exactly():

@@ -187,3 +187,44 @@ def test_fuzzy_match_blocking_is_complete(spark, sf_dir):
         (a, b) for a, b in combinations(names, 2) if lev(a, b) <= FUZZY_MAX_DIST
     }
     assert got == want
+
+
+def test_winnowing_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_winnowing", sf_dir)
+
+
+def test_winnowing_guarantee_and_selectivity(spark, tmp_path):
+    """The published winnowing guarantee, planted: two docs sharing a
+    run >= WINNOW_K + WINNOW_W - 1 chars must share a selected
+    fingerprint; with >= WINNOW_MIN_SHARED independent shared runs
+    the pair surfaces. Unrelated docs (disjoint alphabets => no
+    shared 16-gram can exist) never pair."""
+    from mapreduceapp_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        winnow_fingerprint_pairs,
+    )
+
+    run_len = WINNOW_K + WINNOW_W - 1
+    # four independent shared runs, separated by per-doc filler
+    runs = [
+        "".join(chr(ord("a") + (i + 7 * r) % 26) for i in range(run_len))
+        for r in range(WINNOW_MIN_SHARED)
+    ]
+    doc1 = "xq".join(runs) + "xqzv" * 20
+    doc2 = "mw".join(runs) + "mwkc" * 20
+    doc3 = "0189" * 40  # digits only: disjoint from doc1/doc2 grams
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    pairs = {
+        (r.doc_a, r.doc_b, r.shared_fps >= WINNOW_MIN_SHARED)
+        for r in winnow_fingerprint_pairs(spark, sf).collect()
+    }
+    assert pairs == {(1, 2, True)}
