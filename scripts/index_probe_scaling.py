@@ -31,7 +31,9 @@ import time
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPS = 3        # wall = min of REPS (calm estimate, bench.py rule)
+REPS = 5        # wall = min of REPS — steal windows on this host come
+                # and go in bursts (NOTES_r09), so more reps give the
+                # min a better chance of landing in a calm gap
 REPL = 64       # index inflation factor
 DOC_SHIFT = 10_000_000_000
 
@@ -122,19 +124,56 @@ def main() -> None:
         (F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
     )
 
+    def bucket_bytes(sub: str, prefix: str, ids) -> int:
+        total = 0
+        for b in ids:
+            for f in glob.glob(
+                os.path.join(big_idx, sub, f"{prefix}={b}", "*")
+            ):
+                total += os.path.getsize(f)
+        return total
+
+    all_band_ids = list(range(n_buckets))
+
     def measure(probe_sh, label: str) -> dict:
-        touched = DI.touched_buckets(DI._band_entries(probe_sh, n_buckets))
+        """Wall (noisy on this host — steal windows, see loadavg) plus
+        the DETERMINISTIC quantities: bytes living in the touched
+        directories on both index sides. The behavioral tests prove
+        untouched directories are never read, so touched-bytes IS the
+        probe's index IO ceiling."""
+        bands = DI._band_entries(probe_sh, n_buckets)
+        touched = DI.touched_buckets(bands)
+        # candidate sig buckets: re-derive the probe's own collect
+        idx_thin = (
+            spark.read.parquet(os.path.join(big_idx, "bands"))
+            .filter(F.col("bucket").isin(touched))
+            .select(F.col("doc_id").alias("corpus_doc"), "band_key")
+        )
+        sig_touched = [
+            r["b"]
+            for r in bands.drop("bucket").join(idx_thin, "band_key")
+            .select(
+                F.pmod(F.col("corpus_doc"), F.lit(n_buckets))
+                .cast("int").alias("b")
+            ).distinct().collect()
+        ]
         walls, n_pairs = [], 0
         for _ in range(REPS):
             t0 = time.monotonic()
             n_pairs = DI.probe_band_index(spark, big_idx, probe_sh).count()
             walls.append(time.monotonic() - t0)
+        bb = bucket_bytes("bands", "bucket", touched)
+        sb = bucket_bytes("sigs", "sig_bucket", sig_touched)
         point = {
             "label": label,
             "touched_band_buckets": len(touched),
+            "touched_sig_buckets": len(sig_touched),
+            "band_bytes_fraction": round(bb / max(big_bands_bytes, 1), 4),
+            "sig_bytes_fraction": round(sb / max(big_sigs_bytes, 1), 4),
             "pairs": n_pairs,
             "wall_s": round(min(walls), 3),
             "walls": [round(w, 3) for w in walls],
+            "loadavg_after": round(os.getloadavg()[0], 2),
         }
         print(json.dumps(point))
         return point
@@ -161,6 +200,7 @@ def main() -> None:
         with open(os.path.join(big_idx, "_meta.json"), "w") as fh:
             json.dump({"n_buckets": n_buckets, "sigs_partitioned": True}, fh)
 
+    loads = [p["loadavg_after"] for p in points]
     out = {
         "sf_dir": sf_dir,
         "n_buckets": n_buckets,
@@ -169,6 +209,9 @@ def main() -> None:
         "big_bands_bytes": big_bands_bytes,
         "big_sigs_bytes": big_sigs_bytes,
         "reps": REPS,
+        # wall numbers are untrustworthy when the host was stealing
+        # cycles mid-run; byte fractions are deterministic either way
+        "host_contended": max(loads) > 4.0,
         "points": points,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
