@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.numeric import (
@@ -628,3 +628,158 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_group.unionByName(overall)
+
+
+# Mergeable quantile rollup: NBINS fixed-width integer buckets over
+# the cents grid. 256 buckets = the approx median is within
+# range/256 (~0.4% of the domain) at 2 KB of sketch per group —
+# and, like the HLL rollup, ANY rollup level is a vector ADD of
+# per-group bucket counts, never a rescan.
+QR_NBINS = 256
+
+
+@register(
+    "q_quantile_rollup",
+    oracle=f"""
+        WITH c AS MATERIALIZED (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        dom AS MATERIALIZED (
+            SELECT min(c) AS lo,
+                   (max(c) - min(c)) // {QR_NBINS} + 1 AS width
+            FROM c
+        ),
+        tagged AS MATERIALIZED (
+            SELECT event_type, c FROM c
+            UNION ALL
+            SELECT '__ALL__' AS event_type, c FROM c
+        ),
+        med AS MATERIALIZED (
+            SELECT event_type, c AS exact_median_cents FROM (
+                SELECT event_type, c,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY c) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM tagged
+            ) WHERE rn * 2 = n OR rn * 2 = n + 1
+        ),
+        hist_g AS MATERIALIZED (
+            SELECT event_type, (c - lo) // width AS bucket,
+                   count(*) AS cnt
+            FROM c, dom GROUP BY 1, 2
+        ),
+        hist AS MATERIALIZED (
+            SELECT * FROM hist_g
+            UNION ALL
+            SELECT '__ALL__' AS event_type, bucket, sum(cnt) AS cnt
+            FROM hist_g GROUP BY 2
+        ),
+        apx AS MATERIALIZED (
+            SELECT event_type, min(bucket) AS mb FROM (
+                SELECT event_type, bucket,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY bucket) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM hist
+            ) WHERE cum * 2 >= n GROUP BY event_type
+        )
+        SELECT med.event_type,
+               exact_median_cents,
+               lo + mb * width + width // 2 AS approx_median_cents,
+               CAST(abs(lo + mb * width + width // 2
+                        - exact_median_cents) <= width AS INT)
+                   AS err_le_width
+        FROM med JOIN apx ON med.event_type = apx.event_type, dom
+    """,
+    doc="Mergeable quantile rollup: fixed-width integer histograms "
+    "per group, global median from the SUMMED per-group vectors "
+    "(never a rescan); one-bucket-width bound hash-enforced.",
+)
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median of event value per event type AND overall, where the
+    overall APPROX comes from adding the per-group bucket-count
+    vectors — the quantile member of the mergeable-sketch family
+    (q_hll_rollup is the distinct-count member). A fixed-width
+    histogram is the simplest mergeable quantile sketch: per-group /
+    per-day vectors are computed once and any rollup is elementwise
+    addition; KLL/t-digest buy adaptive precision, this buys
+    BIT-EXACT cross-engine determinism (pure integer arithmetic on
+    the cents grid — bucket = (c - lo) div width, all int64).
+
+    Correctness contract (the q_hll_rollup convention): each row
+    carries the EXACT discrete lower median (row_number = ceil(n/2)
+    over the cents — heavy by design: it is the verification payload;
+    the histogram path is the one that scales) plus the approx bucket
+    midpoint and the integer flag |approx − exact| ≤ width. The flag
+    is a theorem — the cumulative rule picks exactly the bucket
+    containing the ceil(n/2)-th value — so the oracle can hard-code
+    nothing: it recomputes both sides and the driver hash pins all
+    four columns, including the approx value itself.
+    """
+    ev = tables(spark, sf_dir).events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    dom = F.broadcast(
+        ev.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).selectExpr(
+            "lo", f"(hi - lo) DIV {QR_NBINS} + 1 AS width"
+        )
+    )
+    tagged = ev.unionByName(
+        ev.withColumn("event_type", F.lit("__ALL__"))
+    )
+    n_w = Window.partitionBy("event_type")
+    rn_w = Window.partitionBy("event_type").orderBy("c")
+    med = (
+        tagged.withColumn("rn", F.row_number().over(rn_w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .filter(
+            (F.col("rn") * 2 == F.col("n"))
+            | (F.col("rn") * 2 == F.col("n") + 1)
+        )
+        .select("event_type", F.col("c").alias("exact_median_cents"))
+    )
+    hist_g = (
+        ev.crossJoin(dom)
+        .selectExpr("event_type", "(c - lo) DIV width AS bucket")
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the rollup step: global histogram = SUM of per-group vectors
+    hist = hist_g.unionByName(
+        hist_g.groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("event_type", F.lit("__ALL__"))
+        .select("event_type", "bucket", "cnt")
+    )
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    apx = (
+        hist.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("n", F.sum("cnt").over(n_w))
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("bucket").alias("mb"))
+    )
+    approx = F.col("lo") + F.col("mb") * F.col("width") + F.expr(
+        "width DIV 2"
+    )
+    return (
+        med.join(apx, "event_type")
+        .crossJoin(dom)
+        .select(
+            "event_type",
+            "exact_median_cents",
+            approx.alias("approx_median_cents"),
+            (
+                F.abs(approx - F.col("exact_median_cents"))
+                <= F.col("width")
+            )
+            .cast("int")
+            .alias("err_le_width"),
+        )
+    )

@@ -105,6 +105,9 @@ _NEW_SINCE_ROTATION: set[str] = {
     # brand-new round 10: per-group Misra-Gries heavy hitters
     # (operators/analytics.py)
     "q_heavy_hitters_by_group",
+    # brand-new round 10: mergeable fixed-width-histogram quantile
+    # rollup (operators/relational.py)
+    "q_quantile_rollup",
 }
 
 

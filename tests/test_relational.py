@@ -133,3 +133,40 @@ def test_hll_rollup_overall_comes_from_sketch_union(spark, sf_dir):
         .collect()[0]["e"]
     )
     assert abs(merged_est - true_overall) * 50 <= true_overall
+
+
+def test_quantile_rollup_oracle(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(spark, "q_quantile_rollup", sf_dir)
+
+
+def test_quantile_rollup_bound_holds_on_gapped_even_group(spark, tmp_path):
+    """The case that forced the DISCRETE median target: an
+    even-count group whose two middle order stats straddle a huge
+    value gap. A continuous (interpolated) median lands mid-gap,
+    arbitrarily far from any bucket midpoint — the discrete lower
+    median is a real data point, so the one-bucket-width bound is a
+    theorem. Planted: group 'g' = [1.00 x 50, 10000.00 x 50]; lower
+    median 1.00, interpolated median 5000.50."""
+    import os
+
+    from mapreduceapp_spark.plans.registry import get_query
+
+    rows = [(i, "g", 1.00) for i in range(50)] + [
+        (i + 50, "g", 10_000.00) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    got = {
+        r.event_type: r
+        for r in get_query("q_quantile_rollup").builder(spark, sf).collect()
+    }
+    assert set(got) == {"g", "__ALL__"}
+    for r in got.values():
+        assert r.exact_median_cents == 100  # the DISCRETE lower median
+        assert r.err_le_width == 1  # the theorem, on the adversarial case
