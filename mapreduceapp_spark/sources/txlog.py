@@ -1047,3 +1047,86 @@ def q_txlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.col("old_price").isNull(), 1)).alias("n_new"),
     )
+
+
+@register(
+    "q_txlog_incremental_agg",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        FROM orders
+    ),
+    ins AS (
+        SELECT o_orderpriority, o_totalprice AS p
+        FROM orders WHERE o_orderkey % {_INS_MOD} = 0
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    GROUP BY o_orderpriority
+    """,
+    doc="Incremental materialized-view maintenance: the v1 aggregate "
+    "plus the folded v1->v2 change feed must equal the v2 aggregate "
+    "— refresh cost O(changed files), never a table rescan.",
+)
+def q_txlog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC CONSUMER pattern that makes the change feed useful at
+    100 TB: a materialized aggregate (here per-priority n_orders +
+    total_cents, stored at version 1) is refreshed to version 2 by
+    folding the change feed into it — adds count positive, removes
+    negative — instead of rescanning the table. Two properties make
+    the fold exact with a FILE-granular feed:
+
+    - survivors rewritten verbatim appear as +row/−row pairs whose
+      contributions cancel IN THE AGGREGATE (sums and counts are
+      group homomorphisms), so the delta is layout-independent even
+      though the feed is not;
+    - cent sums are int64, so cancellation is exact, not
+      approximately-zero (a float fold would drift per refresh).
+
+    The staged v1 aggregate stands in for the stored MV (the
+    consumer owns it between refreshes); the refresh plan reads ONLY
+    the files version 2 added or removed — pinned by the
+    inputFiles test in tests/test_txlog.py. The oracle re-derives
+    the version-2 aggregate from the raw table with the demo
+    mutation recipe, so the hash check pins that incremental ==
+    recomputed."""
+    from mapreduceapp_spark.plans.staging import stage
+
+    root = _demo_table(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    mv = stage(
+        txlog_read(spark, root, version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        ),
+        "txlog_mv_v1",
+    )
+    feed = txlog_changes(spark, root, 1, 2)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = feed.groupBy("o_orderpriority").agg(
+        F.sum(sign).alias("dn"),
+        F.sum(sign * cents).alias("dc"),
+    )
+    return (
+        mv.join(delta, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("total_cents"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            ).alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

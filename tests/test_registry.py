@@ -42,8 +42,10 @@ def test_every_query_builds_lazily(spark, sf_dir):
               "q_dedup_index_probe",
               # stage the shared co-purchase edge/out-edge slots
               "q_copurchase_triangles", "q_pagerank",
-              # build (or reuse) the two-version txlog demo table
-              "q_txlog_time_travel", "q_txlog_changes"}
+              # build (or reuse) the two-version txlog demo table;
+              # the incremental query also stages the v1 MV
+              "q_txlog_time_travel", "q_txlog_changes",
+              "q_txlog_incremental_agg"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():
@@ -108,6 +110,9 @@ _NEW_SINCE_ROTATION: set[str] = {
     # brand-new round 10: mergeable fixed-width-histogram quantile
     # rollup (operators/relational.py)
     "q_quantile_rollup",
+    # brand-new round 10: incremental materialized-view refresh from
+    # the txlog change feed (sources/txlog.py)
+    "q_txlog_incremental_agg",
 }
 
 

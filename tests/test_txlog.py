@@ -378,6 +378,94 @@ def test_delete_misses_are_noop_without_commit(spark, table):
     assert txlog_read(spark, root).count() == base.count()
 
 
+def test_incremental_agg_reads_only_changed_files(spark, table):
+    """The MV-refresh scale contract, on a 4-file table with a
+    NARROW upsert (so most files transfer between versions by
+    manifest reference): the refresh plan — stored v1 aggregate +
+    folded change feed — may read only the files version 2 added or
+    removed, never a shared file (reading one would mean the refresh
+    rescans unchanged data), and must equal the recomputed v2
+    aggregate exactly (int64 cents — file-granular survivor pairs
+    cancel exactly in a group homomorphism)."""
+    from mapreduceapp_spark.sources.txlog import _live_files, txlog_changes
+
+    root, base = table
+    lo = base.agg(F.min("o_orderkey")).collect()[0][0]
+    updates = base.filter(
+        F.col("o_orderkey").between(lo, lo + 40)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 3)
+    txlog_upsert(spark, root, updates, ["o_orderkey"])
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    # the stored MV: materialized (collected) — its files must not
+    # appear in the refresh plan's scan set
+    mv = spark.createDataFrame(
+        agg(txlog_read(spark, root, version=1)).collect()
+    )
+    feed = txlog_changes(spark, root, 1, 2)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = feed.groupBy("o_orderpriority").agg(
+        F.sum(sign).alias("dn"), F.sum(sign * cents).alias("dc")
+    )
+    refreshed = (
+        mv.join(delta, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .alias("n_orders"),
+            (
+                F.coalesce("total_cents", F.lit(0))
+                + F.coalesce("dc", F.lit(0))
+            ).alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    shared = {
+        os.path.join(root, rel)
+        for rel in set(_live_files(root, 1)) & set(_live_files(root, 2))
+    }
+    assert shared, "narrow upsert should transfer some files untouched"
+    inputs = set(refreshed.inputFiles())
+    assert inputs and not inputs & shared, sorted(inputs & shared)
+    got = sorted(map(tuple, refreshed.collect()))
+    want = sorted(map(tuple, agg(txlog_read(spark, root)).collect()))
+    assert got == want
+
+
+def test_incremental_agg_query_matches_recompute(spark, sf_dir):
+    """The registered query: incremental == recomputed-at-v2."""
+    from mapreduceapp_spark.plans.registry import get_query
+    from mapreduceapp_spark.sources.txlog import _demo_table
+
+    df = get_query("q_txlog_incremental_agg").builder(spark, sf_dir)
+    root = _demo_table(spark, sf_dir)
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(
+            tuple,
+            txlog_read(spark, root, version=2)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("total_cents"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_additive_schema_evolution(spark, table):
     """Appends carrying a new column require evolve=True; afterwards
     pre-evolution rows surface the column as null, declared columns
