@@ -199,6 +199,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "q_heavy_hitters",   # 1-row total-count threshold broadcast
         "q_hll_rollup",      # 1-row merged-sketch estimate broadcast
         "q_copurchase_triangles",  # three 1-row global counts combined
+        "q_quantile_rollup",  # 1-row (lo, width) domain broadcast
     }
     for name, builder in all_queries().items():
         if name in skip:
