@@ -34,6 +34,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1189,6 +1191,470 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         exact.join(
             approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_neighbor_id").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    )
+
+
+# --------------------------------------------------------- product quantization
+#
+# PQ (Jégou, Douze, Schmid — "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split each vector into PQ_M
+# subspaces, quantize each subvector to its nearest of K per-subspace
+# centroids, and search with asymmetric distance (query stays full
+# precision; each corpus vector is PQ_M centroid ids). The point at
+# 100 TB is MEMORY: a 64-dim int64-quantized vector is 512 B, its PQ
+# code is PQ_M small ints — a 32-64x cut that turns "corpus codes in
+# RAM, rerank survivors from storage" into a plan. On the engine's
+# exactness discipline everything stays on the integer grid: centroid
+# coordinates ARE quantized table rows (the IVF stride-sample
+# convention — deterministic, footer-derived, no trained state),
+# distances are int64 sums of squared int differences, so codes,
+# distance tables, and ADC scores are bit-identical cross-engine and
+# the whole pipeline is SQL-oracle-checkable — which trained-kmeans
+# PQ codebooks would not be.
+PQ_M = 8        # subspaces
+PQ_SUBDIM = 8   # dims per subspace (embeddings are 64-dim; pytest pins)
+PQ_MIN_K, PQ_MAX_K = 8, 256
+
+
+def _pq_k(n_rows: int) -> int:
+    """Centroids per subspace: √N clamped to [8, 256] — the IVF
+    derivation (same IEEE floor∘sqrt both engines evaluate), capped
+    at the classic 8-bit PQ codebook size."""
+    return max(PQ_MIN_K, min(PQ_MAX_K, int(math.floor(math.sqrt(n_rows)))))
+
+
+def _pq_sub_dist(vec, m):
+    """Exact int64 squared distance between subspace ``m``'s slice of
+    quantized vector ``vec`` and the centroid slice column ``cv``."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM),
+            F.col("cv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_ann(
+    e: DataFrame, k_cent: int, stride: int, top_k: int = KNN_K
+) -> DataFrame:
+    """Top-``top_k`` per query by asymmetric PQ distance.
+
+    Plan shape, stage by stage:
+    - centroids: ``k_cent`` stride-sampled rows exploded into
+      PQ_M slices — ≤ 256×8 = 2048 thin rows, broadcast everywhere.
+    - encode: corpus × centroid-slices (a bounded-broadcast BNLJ, the
+      fragment-replicate class) scored with exact int64 distances,
+      folded to one code per (vector, subspace) via a partial-
+      aggregable min(struct(d, j)) — map-side combine, never a
+      full-sort window. This is the one O(N·K·M) pass, PQ's standard
+      one-time encode cost; at 100 TB it is embarrassingly parallel
+      and the codes it emits are the asset (PQ_M ints per vector).
+    - search: the query set's distance TABLE (Q×M×K rows, broadcast)
+      joins the codes on (m, code) — a lookup, not arithmetic — and
+      one partial-aggregated sum per (query, vector) plus the
+      standard top-k window finishes. Shuffle volume is O(N·M) thin
+      rows per query batch, with the tail pruned map-side by the
+      combine.
+    """
+    w_cent = Window.orderBy("vec_id")
+    cent = (
+        e.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "qv")
+        .withColumn("j", F.row_number().over(w_cent) - 1)
+        .filter(F.col("j") < k_cent)
+    )
+    cent_m = (
+        cent.select("j", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"), "qv")
+        .select(
+            "m", "j",
+            F.slice("qv", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cv"),
+        )
+    )
+    scored = (
+        e.select("vec_id", "qv")
+        .crossJoin(F.broadcast(cent_m))
+        .select(
+            "vec_id", "m", "j", _pq_sub_dist(F.col("qv"), F.col("m")).alias("d")
+        )
+    )
+    codes = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "j"))["j"].alias("code")
+    )
+    qs = e.filter(KNN_QUERY_PRED).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    dtab = (
+        qs.crossJoin(F.broadcast(cent_m))
+        .select(
+            "query_id", "m", "j",
+            _pq_sub_dist(F.col("q_qv"), F.col("m")).alias("d"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["m"] == dtab["m"]) & (codes["code"] == dtab["j"]),
+        )
+        .filter(codes["vec_id"] != dtab["query_id"])
+        .groupBy("query_id", codes["vec_id"].alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "neighbor_id", "rnk", "adc")
+    )
+
+
+_PQ_DIST_SQL = """list_reduce(list_transform(generate_series(1, 8),
+    i -> (list_slice({v}, c.m * 8 + 1, c.m * 8 + 8)[i] - c.cv[i])
+         * (list_slice({v}, c.m * 8 + 1, c.m * 8 + 8)[i] - c.cv[i])),
+    (x, y) -> x + y)"""
+
+def _oracle_pq(limit: int) -> str:
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT vec_id, {oracle_quantize('embedding')} AS qv
+            FROM embeddings
+        ),
+        kk AS MATERIALIZED (
+            SELECT greatest({PQ_MIN_K}, least({PQ_MAX_K},
+                       CAST(floor(sqrt(count(*))) AS BIGINT))) AS k,
+                   greatest(1, count(*) // greatest({PQ_MIN_K},
+                       least({PQ_MAX_K},
+                           CAST(floor(sqrt(count(*))) AS BIGINT)))) AS stride
+            FROM p
+        ),
+        cent0 AS MATERIALIZED (
+            SELECT vec_id, qv,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS j
+            FROM p, kk WHERE vec_id % stride = 0
+        ),
+        cent AS MATERIALIZED (
+            SELECT m, j, list_slice(qv, m * 8 + 1, m * 8 + 8) AS cv
+            FROM (SELECT * FROM cent0, kk WHERE j < k),
+                 (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+        ),
+        codes AS MATERIALIZED (
+            SELECT vec_id, m, j AS code FROM (
+                SELECT v.vec_id, c.m, c.j,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, c.m
+                           ORDER BY {_PQ_DIST_SQL.format(v='v.qv')}, c.j
+                       ) AS rn
+                FROM p v, cent c
+            ) WHERE rn = 1
+        ),
+        qd AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, c.m, c.j,
+                   {_PQ_DIST_SQL.format(v='q.qv')} AS d
+            FROM p q, cent c WHERE q.{KNN_QUERY_PRED}
+        ),
+        adc AS MATERIALIZED (
+            SELECT qd.query_id, codes.vec_id AS neighbor_id,
+                   sum(qd.d) AS adc
+            FROM codes JOIN qd
+              ON qd.m = codes.m AND qd.j = codes.code
+            WHERE codes.vec_id <> qd.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, rnk, CAST(adc AS BIGINT) AS adc
+        FROM (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= {limit}
+"""
+
+
+_ORACLE_PQ = _oracle_pq(KNN_K)
+
+
+@register(
+    "q_pq_ann",
+    oracle=_ORACLE_PQ,
+    doc="Product-quantization ANN: stride-sampled integer codebooks, "
+    "asymmetric-distance top-k via a broadcast distance-table lookup "
+    "join — the 32-64x memory-compression member of the C3 family.",
+)
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors by asymmetric PQ distance over the embeddings
+    table — see :func:`pq_ann`. K derives from the parquet footer row
+    count (√N clamped to [8, 256], the IVF convention — no job at
+    build time); every distance is an int64 on the quantized grid, so
+    codes and ADC scores hash-match the oracle exactly."""
+    n = table_row_count(spark, sf_dir, "embeddings")
+    return pq_ann(_quantized(spark, sf_dir), _pq_k(n), max(1, n // _pq_k(n)))
+
+
+@register(
+    "q_pq_recall",
+    oracle=None,  # set after q_knn_l2 is defined below
+    doc="ANN quality evaluation: per-query recall@k of PQ asymmetric-"
+    "distance search against the exact L2 kNN ground truth (C3 "
+    "consumer) — L2, not cosine: ADC approximates Euclidean distance.",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the PQ code search vs exact L2 kNN — the number
+    that sizes the rerank window a PQ deployment keeps (fetch top-R
+    by ADC, rerank survivors at full precision; R grows until recall
+    holds). The ground truth is the L2 twin (q_knn_l2), because ADC
+    approximates EUCLIDEAN distance: measured against the cosine
+    truth this table's unnormalized vectors score near zero — an
+    apples-to-oranges artifact, not quantization loss. Same
+    comparison shape as q_ivf_recall: both sides are registered
+    plans, the join is k·Q rows; the exact side rides its own staged
+    slot so repeat consumers run one L2 search per process."""
+    exact = stage(q_knn_l2(spark, sf_dir), "knn_l2_topk").select(
+        "query_id", "neighbor_id"
+    )
+    approx = q_pq_ann(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_neighbor_id").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    )
+
+
+# Exact L2 kNN — the metric PQ's ADC approximates (cosine users
+# L2-normalize upstream, after which the two rankings coincide; on
+# this table's unnormalized vectors they genuinely differ, which is
+# why PQ recall is measured against L2 truth, not cosine truth).
+# l2sq = sq_q + sq_n - 2*dot: every term int64 on the quantized grid,
+# so the ranking — and the emitted distance — is exact cross-engine
+# with no float anywhere.
+_ORACLE_KNN_L2 = f"""
+        WITH q AS ({_ORACLE_QUANTIZED}),
+        pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   a.sq + b.sq - 2 * list_dot_product(a.qv, b.qv) AS l2sq
+            FROM q a JOIN q b
+              ON a.{KNN_QUERY_PRED} AND b.vec_id <> a.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, l2sq,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY l2sq, neighbor_id) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, rnk, CAST(l2sq AS BIGINT) AS l2sq
+        FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+
+@register(
+    "q_knn_l2",
+    oracle=_ORACLE_KNN_L2,
+    doc="Exact top-k EUCLIDEAN neighbors (int64 squared distances) — "
+    "the metric twin of q_knn_cosine and the PQ ground truth (C3).",
+)
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 kNN with the q_knn_cosine plan shape (broadcast query
+    set, one corpus scan, top-k window) and the SAME lazy broadcast
+    budget guard; distances are pure int64 (sq_q + sq_n - 2·dot on
+    the quantized grid), so even the emitted distance hash-matches.
+    """
+    e = _quantized(spark, sf_dir)
+    q = e.filter(KNN_QUERY_PRED).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("sq").alias("q_sq"),
+    )
+    qcnt = q.select("query_id").limit(KNN_MAX_BROADCAST_QUERIES + 1).agg(
+        F.count(F.lit(1)).alias("_nq")
+    )
+    over_budget = F.when(
+        F.col("_nq") > KNN_MAX_BROADCAST_QUERIES,
+        F.raise_error(
+            F.lit(
+                f"q_knn_l2: query set exceeds the broadcast budget of "
+                f"{KNN_MAX_BROADCAST_QUERIES} rows; use q_ann_ivf / "
+                f"q_pq_ann for large query sets"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    guarded_q = q.crossJoin(F.broadcast(qcnt)).select(
+        (F.col("query_id") + over_budget).alias("query_id"), "q_qv", "q_sq"
+    )
+    scored = (
+        F.broadcast(guarded_q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.col("q_sq") + F.col("sq")
+                - 2 * dot(F.col("q_qv"), F.col("qv"))
+            ).alias("l2sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", "neighbor_id", "rnk", "l2sq")
+    )
+
+
+# q_pq_recall's oracle references both _ORACLE_PQ and _ORACLE_KNN_L2,
+# which is defined after the query above — bind it now that both
+# exist (the q_dedup_index_probe oracle-adoption pattern).
+def _set_pq_recall_oracle() -> None:
+    from mapreduceapp_spark.plans.registry import _REGISTRY, Query
+
+    q = _REGISTRY["q_pq_recall"]
+    oracle = f"""
+        WITH exact AS ({_ORACLE_KNN_L2}),
+        approx AS ({_ORACLE_PQ}),
+        hits AS (
+            SELECT e.query_id, count(a.neighbor_id) AS n_hit
+            FROM exact e LEFT JOIN approx a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT query_id,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / {KNN_K}.0, 4) AS recall_at_k
+        FROM hits
+    """
+    _REGISTRY["q_pq_recall"] = Query(q.name, q.builder, oracle, q.doc, q.bench)
+
+
+_set_pq_recall_oracle()
+
+
+# The production PQ pattern: codes give a cheap shortlist, full
+# vectors rerank it. R = 5k keeps the rerank window a constant
+# multiple of the answer size — the knob recall tunes in deployment.
+PQ_RERANK_R = 5 * KNN_K
+
+
+@register(
+    "q_pq_rerank_recall",
+    oracle=f"""
+        WITH exact AS ({_ORACLE_KNN_L2}),
+        cand AS ({_oracle_pq(PQ_RERANK_R)}),
+        p2 AS (
+            SELECT vec_id, {oracle_quantize('embedding')} AS qv,
+                   list_dot_product({oracle_quantize('embedding')},
+                                    {oracle_quantize('embedding')}) AS sq
+            FROM embeddings
+        ),
+        rer AS (
+            SELECT query_id, neighbor_id, rnk2 AS rnk FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY a.sq + b.sq
+                                    - 2 * list_dot_product(a.qv, b.qv),
+                                    c.neighbor_id
+                       ) AS rnk2
+                FROM cand c
+                JOIN p2 a ON a.vec_id = c.query_id
+                JOIN p2 b ON b.vec_id = c.neighbor_id
+            ) WHERE rnk2 <= {KNN_K}
+        ),
+        hits AS (
+            SELECT e.query_id, count(r.neighbor_id) AS n_hit
+            FROM exact e LEFT JOIN rer r
+              ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT query_id,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / {KNN_K}.0, 4) AS recall_at_k
+        FROM hits
+    """,
+    doc="PQ shortlist + exact rerank: recall@k of the top-5k ADC "
+    "candidates reranked at full precision — the deployed PQ shape "
+    "(codes shortlist from RAM, vectors rerank from storage).",
+)
+def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of rerank(ADC top-R): the deployment answer to raw
+    code recall — PQ codes only have to put the true neighbors
+    anywhere in a small-constant-factor shortlist (R = 5k here), and
+    the exact L2 rerank of R rows per query restores the rest. The
+    rerank touches R·Q full vectors, not the corpus: at 100 TB that
+    is the difference between reading 50 rows per query from storage
+    and scanning 100 TB per query — the memory/IO shape PQ exists
+    for. Raw-code recall (q_pq_recall) and reranked recall published
+    side by side is exactly how a deployment tunes R."""
+    e = _quantized(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    cand = pq_ann(e, _pq_k(n), max(1, n // _pq_k(n)), top_k=PQ_RERANK_R)
+    qside = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("sq").alias("q_sq"),
+    )
+    nside = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("n_qv"),
+        F.col("sq").alias("n_sq"),
+    )
+    rer = (
+        cand.select("query_id", "neighbor_id")
+        .join(F.broadcast(qside), "query_id")
+        .join(nside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("q_sq") + F.col("n_sq")
+                - 2 * dot(F.col("q_qv"), F.col("n_qv"))
+            ).alias("l2sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq"), F.asc("neighbor_id")
+    )
+    rer10 = (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
+    )
+    exact = stage(q_knn_l2(spark, sf_dir), "knn_l2_topk").select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(
+            rer10,
             (F.col("query_id") == F.col("a_query_id"))
             & (F.col("neighbor_id") == F.col("a_neighbor_id")),
             "left",

@@ -200,6 +200,10 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "q_hll_rollup",      # 1-row merged-sketch estimate broadcast
         "q_copurchase_triangles",  # three 1-row global counts combined
         "q_quantile_rollup",  # 1-row (lo, width) domain broadcast
+        "q_knn_l2",           # plan-level budget-guard join (knn twin)
+        "q_pq_ann",           # ≤2048-row centroid-slice broadcast
+        "q_pq_recall",        # consumes q_pq_ann + q_knn_l2 plans
+        "q_pq_rerank_recall", # consumes q_pq_ann + q_knn_l2 plans
     }
     for name, builder in all_queries().items():
         if name in skip:

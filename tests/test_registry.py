@@ -37,6 +37,8 @@ def test_every_query_builds_lazily(spark, sf_dir):
               "q_dup_rate_by_source",
               # share the exact-kNN result via the knn_topk slot
               "q_knn_classify", "q_ivf_recall", "q_lsh_recall",
+              # share the exact-L2 result via the knn_l2_topk slot
+              "q_pq_recall", "q_pq_rerank_recall",
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
               "q_dedup_index_probe",
@@ -113,6 +115,13 @@ _NEW_SINCE_ROTATION: set[str] = {
     # brand-new round 10: incremental materialized-view refresh from
     # the txlog change feed (sources/txlog.py)
     "q_txlog_incremental_agg",
+    # brand-new round 10: product quantization (operators/similarity.py)
+    # — integer-grid codebooks, ADC search, L2 ground truth, and the
+    # shortlist+rerank deployment shape
+    "q_pq_ann",
+    "q_knn_l2",
+    "q_pq_recall",
+    "q_pq_rerank_recall",
 }
 
 

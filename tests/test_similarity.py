@@ -460,3 +460,103 @@ def test_recall_pair_tells_the_index_story(spark, sf_dir):
         return sum(r["recall_at_k"] for r in rows) / len(rows)
 
     assert mean_recall("q_ivf_recall") > mean_recall("q_lsh_recall")
+
+
+def test_pq_family_oracle(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    for name in ("q_knn_l2", "q_pq_ann", "q_pq_recall",
+                  "q_pq_rerank_recall"):
+        assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_pq_rerank_dominates_raw_codes(spark, sf_dir):
+    """The deployment claim behind the rerank window: for every
+    query, rerank(ADC top-R) recall >= raw ADC top-k recall — the
+    true top-k found by codes alone are by definition inside the
+    R-candidate shortlist, so exact reranking can only add hits."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    raw = {
+        r.query_id: r.n_hit
+        for r in get_query("q_pq_recall").builder(spark, sf_dir).collect()
+    }
+    rer = {
+        r.query_id: r.n_hit
+        for r in get_query("q_pq_rerank_recall")
+        .builder(spark, sf_dir).collect()
+    }
+    assert set(raw) == set(rer) and raw
+    for qid in raw:
+        assert rer[qid] >= raw[qid], (qid, raw[qid], rer[qid])
+    assert sum(rer.values()) > sum(raw.values())  # R>k genuinely helps
+
+
+def test_pq_code_is_argmin_of_subspace_distances(spark, sf_dir):
+    """Ground-truth spot check of the encoder, independent of SQL: a
+    handful of vectors' codes recomputed in Python (int grid, argmin
+    with min-j tiebreak) must equal the plan's codes."""
+    from mapreduceapp_spark.functions.vectors import QUANT_SCALE
+    from mapreduceapp_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_k,
+    )
+    from mapreduceapp_spark.sources import tables
+    from mapreduceapp_spark.sources.parquet import table_row_count
+
+    e = tables(spark, sf_dir).embeddings
+    rows = {r.vec_id: r.embedding for r in e.collect()}
+    qv = {
+        i: [round(float(x) * QUANT_SCALE) for x in v]
+        for i, v in rows.items()
+    }
+    n = table_row_count(spark, sf_dir, "embeddings")
+    k = _pq_k(n)
+    stride = max(1, n // k)
+    cents = sorted(i for i in qv if i % stride == 0)[:k]
+
+    def code(vec_id, m):
+        s = qv[vec_id][m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+        best = None
+        for j, cid in enumerate(cents):
+            c = qv[cid][m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            d = sum((a - b) * (a - b) for a, b in zip(s, c))
+            if best is None or (d, j) < best:
+                best = (d, j)
+        return best[1]
+
+    # recompute the plan's codes for 3 vectors via the same pq plan
+    from pyspark.sql import functions as F
+    from mapreduceapp_spark.operators.similarity import (
+        _pq_sub_dist,
+        _quantized,
+    )
+    from pyspark.sql import Window
+
+    qdf = _quantized(spark, sf_dir)
+    w_cent = Window.orderBy("vec_id")
+    cent = (
+        qdf.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "qv")
+        .withColumn("j", F.row_number().over(w_cent) - 1)
+        .filter(F.col("j") < k)
+    )
+    cent_m = cent.select(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"), "qv"
+    ).select(
+        "m", "j", F.slice("qv", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cv")
+    )
+    some = qdf.filter(F.col("vec_id").isin([1, 7, 13])).select("vec_id", "qv")
+    scored = some.crossJoin(F.broadcast(cent_m)).select(
+        "vec_id", "m", "j", _pq_sub_dist(F.col("qv"), F.col("m")).alias("d")
+    )
+    got = {
+        (r.vec_id, r.m): r.code
+        for r in scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "j"))["j"].alias("code"))
+        .collect()
+    }
+    for vid in (1, 7, 13):
+        for m in range(PQ_M):
+            assert got[(vid, m)] == code(vid, m), (vid, m)
