@@ -1291,8 +1291,15 @@ def pq_ann(
             "vec_id", "m", "j", _pq_sub_dist(F.col("qv"), F.col("m")).alias("d")
         )
     )
-    codes = scored.groupBy("vec_id", "m").agg(
-        F.min(F.struct("d", "j"))["j"].alias("code")
+    # the encode is THE cost (O(N·K·M) scored rows) and its output is
+    # the asset — stage the thin (vec_id, m, code) table so the three
+    # PQ consumers (search + both recall evals) encode once per
+    # process, exactly the persisted-codes shape a deployment keeps
+    codes = stage(
+        scored.groupBy("vec_id", "m").agg(
+            F.min(F.struct("d", "j"))["j"].alias("code")
+        ),
+        "pq_codes",
     )
     qs = e.filter(KNN_QUERY_PRED).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")

@@ -37,8 +37,9 @@ def test_every_query_builds_lazily(spark, sf_dir):
               "q_dup_rate_by_source",
               # share the exact-kNN result via the knn_topk slot
               "q_knn_classify", "q_ivf_recall", "q_lsh_recall",
-              # share the exact-L2 result via the knn_l2_topk slot
-              "q_pq_recall", "q_pq_rerank_recall",
+              # share the exact-L2 result via the knn_l2_topk slot and
+              # the staged PQ code table via the pq_codes slot
+              "q_pq_ann", "q_pq_recall", "q_pq_rerank_recall",
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
               "q_dedup_index_probe",
