@@ -478,6 +478,38 @@ WINNOW_DF_CAP = 8   # fingerprints in more docs are boilerplate: drop
 WINNOW_MIN_SHARED = 4
 
 
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — each document's winnowing-selected fingerprints
+    (distinct per doc), as array-level HOFs: gram hashes and window
+    minima stay inside whole-stage codegen; the only explode emits
+    the ~2/(W+1)-density selected set."""
+    codes = F.transform(chars("text"), lambda c: F.ascii(c).cast("long"))
+    d = docs.select("doc_id", codes.alias("codes"))
+    n_grams = F.size(F.col("codes")) - (WINNOW_K - 1)
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(F.col("codes"), i + 1, WINNOW_K),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
+    # sequence(a, b) DESCENDS when a > b — guard short docs explicitly
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(0), n_grams - 1), gram_hash),
+    ).otherwise(F.array().cast("array<long>"))
+    d = d.select("doc_id", grams.alias("grams"))
+    n_wins = F.size(F.col("grams")) - (WINNOW_W - 1)
+    mins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda j: F.array_min(F.slice(F.col("grams"), j + 1, WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
 def winnow_fingerprint_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -509,33 +541,8 @@ def winnow_fingerprint_pairs(
     from mapreduceapp_spark.plans.staging import stage
     from pyspark.sql import Window
 
-    d = tables(spark, sf_dir).documents
-    codes = F.transform(chars("text"), lambda c: F.ascii(c).cast("long"))
-    d = d.select("doc_id", codes.alias("codes"))
-    n_grams = F.size(F.col("codes")) - (WINNOW_K - 1)
-    gram_hash = lambda i: F.aggregate(  # noqa: E731
-        F.slice(F.col("codes"), i + 1, WINNOW_K),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
-    )
-    # sequence(a, b) DESCENDS when a > b — guard short docs explicitly
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(F.sequence(F.lit(0), n_grams - 1), gram_hash),
-    ).otherwise(F.array().cast("array<long>"))
-    d = d.select("doc_id", grams.alias("grams"))
-    n_wins = F.size(F.col("grams")) - (WINNOW_W - 1)
-    mins = F.when(
-        n_wins >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_wins - 1),
-            lambda j: F.array_min(F.slice(F.col("grams"), j + 1, WINNOW_W)),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
     fps = stage(
-        d.select(
-            "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
-        )
+        winnow_fingerprints(tables(spark, sf_dir).documents)
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("df") <= cap)
         .drop("df"),
@@ -812,4 +819,90 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+# Winnowing-based decontamination: the q_contamination split applied
+# at the SUBSTRING level. Token 8-gram overlap (q_contamination)
+# misses leaks that tokenize differently (whitespace/punctuation
+# edits, mid-token truncation); a winnowing fingerprint survives any
+# shared run >= WINNOW_K + WINNOW_W - 1 chars regardless of token
+# boundaries, at ~2/(W+1) of the gram-index storage. Same CTE shape
+# as q_winnowing's oracle (shared constants keep the two in sync).
+_WINNOW_PROBE_MOD = 7  # the q_contamination probe-split convention
+
+
+@register(
+    "q_winnowing_contamination",
+    oracle=f"""
+        WITH pos AS MATERIALIZED (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {WINNOW_K - 1}))
+                       AS i
+            FROM documents
+            WHERE length(text) >= {WINNOW_K}
+        ),
+        grams AS MATERIALIZED (
+            SELECT doc_id, i,
+                   list_reduce(
+                       list_prepend(0::BIGINT, list_transform(
+                           string_split(substr(text, i, {WINNOW_K}), ''),
+                           c -> ascii(c)::BIGINT)),
+                       (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS h
+            FROM pos
+        ),
+        mins AS MATERIALIZED (
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       min(h) OVER w AS fp,
+                       count(*) OVER w AS wn
+                FROM grams
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                             AND {WINNOW_W - 1} FOLLOWING)
+            ) WHERE wn = {WINNOW_W}
+        ),
+        probe AS (SELECT DISTINCT fp FROM mins
+                  WHERE doc_id % {_WINNOW_PROBE_MOD} = 0),
+        corpus AS (SELECT doc_id, fp FROM mins
+                   WHERE doc_id % {_WINNOW_PROBE_MOD} <> 0)
+        SELECT doc_id, count(*) AS n_fp_overlap
+        FROM corpus JOIN probe USING (fp)
+        GROUP BY doc_id
+    """,
+    doc="Substring-level decontamination: corpus docs sharing a "
+    "winnowing fingerprint (any >=23-char verbatim run) with the "
+    "probe set — catches leaks token n-grams miss.",
+)
+def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing >=1 winnowing-selected fingerprint with
+    the held-out probe split, with the distinct-fingerprint overlap
+    count — q_contamination's substring-robust twin.
+
+    Scale shape mirrors q_contamination exactly: the probe side is
+    benchmark-sized, its distinct fingerprints stage once (static
+    benchmark, churning corpus) and BROADCAST; the corpus side is a
+    map-only fingerprint derivation (array HOFs in codegen, explode
+    only the selected ~2/(W+1) density) into a broadcast hash join —
+    corpus fingerprints never shuffle, only matches reach the
+    aggregation exchange. No df cap on this one: the probe is tiny,
+    so join fan-out is bounded by the PROBE's fingerprint set, and a
+    boilerplate fingerprint shared with the probe IS contamination
+    evidence for exactly the run the guarantee covers."""
+    from mapreduceapp_spark.plans.staging import stage
+
+    d = tables(spark, sf_dir).documents
+    probe = stage(
+        winnow_fingerprints(
+            d.filter(F.col("doc_id") % _WINNOW_PROBE_MOD == 0)
+        ).select("fp").distinct(),
+        "winnow_probe_fps",
+    )
+    corpus = winnow_fingerprints(
+        d.filter(F.col("doc_id") % _WINNOW_PROBE_MOD != 0)
+    )
+    return (
+        corpus.join(F.broadcast(probe), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp_overlap"))
     )

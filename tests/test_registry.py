@@ -123,6 +123,9 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_knn_l2",
     "q_pq_recall",
     "q_pq_rerank_recall",
+    # brand-new round 10: substring-level decontamination via
+    # winnowing fingerprints (operators/text.py)
+    "q_winnowing_contamination",
 }
 
 

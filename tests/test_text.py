@@ -193,6 +193,42 @@ def test_winnowing_oracle(spark, sf_dir):
     assert_matches_oracle(spark, "q_winnowing", sf_dir)
 
 
+def test_winnowing_contamination_oracle(spark, sf_dir):
+    assert_matches_oracle(spark, "q_winnowing_contamination", sf_dir)
+
+
+def test_winnowing_contamination_catches_detokenized_leak(spark, tmp_path):
+    """The case token n-grams miss: a probe passage leaked into a
+    training doc with its whitespace collapsed. Token 8-grams see
+    different tokens entirely; a >=23-char shared run of the
+    UNCHANGED region must still fingerprint-match."""
+    import os
+
+    from mapreduceapp_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        q_winnowing_contamination,
+    )
+
+    run = "thequickbrownfoxesjumpoverthesleepydogs"  # 39 > K+W-1 chars
+    assert len(run) >= WINNOW_K + WINNOW_W - 1
+    probe_doc = f"benchmark question: {run} answer follows here"
+    leaked = f"scraped page prefix {run} trailing boilerplate text"
+    clean = "0123456789" * 12  # disjoint alphabet: no shared 16-gram
+    df = spark.createDataFrame(
+        # doc_id % 7 == 0 → probe split
+        [(0, probe_doc), (8, leaked), (9, clean)],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {r.doc_id: r.n_fp_overlap
+           for r in q_winnowing_contamination(spark, sf).collect()}
+    assert 8 in got and got[8] >= 1
+    assert 9 not in got
+
+
 def test_winnowing_guarantee_and_selectivity(spark, tmp_path):
     """The published winnowing guarantee, planted: two docs sharing a
     run >= WINNOW_K + WINNOW_W - 1 chars must share a selected
