@@ -90,6 +90,15 @@ DEFAULT_QUERIES = [
     # round 9: TxLog — first build times create+upsert of the 10x
     # orders table through the format's own write path
     "q_txlog_time_travel",
+    # round 10: winnowing (char-gram explode volume scales with text
+    # bytes — the round's heaviest new map-side derivation), the PQ
+    # family (encode is the O(N·K·M) pass; rerank shares the staged
+    # codes so its time is the marginal shortlist+rerank cost), the
+    # per-group sketch, the histogram rollup, and the MV refresh
+    "q_winnowing", "q_winnowing_contamination",
+    "q_pq_ann", "q_pq_rerank_recall",
+    "q_heavy_hitters_by_group", "q_quantile_rollup",
+    "q_txlog_incremental_agg",
 ]
 
 
