@@ -239,7 +239,17 @@ def probe_band_index(
         .filter(F.col("bucket").isin(buckets))
         .select(F.col("doc_id").alias("corpus_doc"), "band_key")
     )
-    cand = probe_bands.drop("bucket").join(idx, "band_key")
+    # the candidate set is staged (bounded: ≤ batch_bands × bucket
+    # cap thin rows), so its lineage — probe minhash expansion +
+    # pruned band-index join — executes ONCE per probe: the
+    # sig-bucket collect below and the returned plan both read the
+    # staged bytes instead of re-running the index scan
+    cand = stage(
+        probe_bands.drop("bucket")
+        .join(idx, "band_key")
+        .select("new_doc", "corpus_doc"),
+        "probe_cand",
+    )
     sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
     # one bounded job serves two plan decisions: the per-bucket fold
     # yields the candidate sig-partition list (≤ n_buckets ints → the

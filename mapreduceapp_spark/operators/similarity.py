@@ -1622,7 +1622,10 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(spark, sf_dir)
     n = table_row_count(spark, sf_dir, "embeddings")
     cand = pq_ann(e, _pq_k(n), max(1, n // _pq_k(n)), top_k=PQ_RERANK_R)
-    qside = e.select(
+    # query-set rows ONLY: cand's query_ids all satisfy the predicate,
+    # and broadcasting the unfiltered corpus here would be exactly the
+    # unbounded-broadcast class plans/hints.py exists to prevent
+    qside = e.filter(KNN_QUERY_PRED).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("sq").alias("q_sq"),

@@ -606,9 +606,9 @@ def winnow_fingerprint_pairs(
         GROUP BY 1, 2
         HAVING count(*) >= {WINNOW_MIN_SHARED}
     """,
-    doc="Winnowing (MOSS) fingerprint dedup: window-min of rolling "
-    "k-gram hashes; doc pairs sharing >=2 selected fingerprints "
-    "(substring-level, position-robust; df-capped boilerplate).",
+    doc=f"Winnowing (MOSS) fingerprint dedup: window-min of rolling "
+    f"k-gram hashes; doc pairs sharing >={WINNOW_MIN_SHARED} selected "
+    f"fingerprints (substring-level, position-robust; df-capped).",
 )
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint match — the substring-level member of

@@ -308,6 +308,7 @@ def _commit(
     operation: str,
     read_version: int,
     txn: tuple[str, int] | None = None,
+    txn_horizon: int = 0,
 ) -> int:
     """Race for the next manifest slot; returns the committed version.
 
@@ -332,16 +333,22 @@ def _commit(
     version = (txlog_versions(root) or [0])[-1] + 1
     ours = set(removes)
     for v in txlog_versions(root):
-        # txn duplicates are checked against the WHOLE log, not just
-        # past our snapshot: an append captures read_version after its
-        # data write, so a concurrent same-txn commit can land at or
-        # BELOW it (same ledger semantics as txlog_committed_batches);
-        # remove-overlap conflicts only matter past the snapshot read
+        # txn duplicates are checked against every version the CALLER
+        # has not already cleared: an append captures read_version
+        # after its data write, so a concurrent same-txn commit can
+        # land at or BELOW it — but never at or below ``txn_horizon``,
+        # the newest version the caller's ledger pre-check covered
+        # (manifests are immutable, so a cleared version stays clear).
+        # Sinks pass their pre-check horizon, bounding the per-commit
+        # dup scan to the manifests that landed since — O(new), not
+        # O(log) per micro-batch. Remove-overlap conflicts only
+        # matter past the snapshot read, as before.
+        check_txn = txn is not None and v > txn_horizon
         check_conflict = bool(ours) and v > read_version
-        if txn is None and not check_conflict:
+        if not (check_txn or check_conflict):
             continue
         m = _read_manifest(root, v)
-        if txn is not None and m.get("txn") == list(txn):
+        if check_txn and m.get("txn") == list(txn):
             return v
         if check_conflict and ours & set(m["removes"]):
             raise TxConflict(
@@ -481,20 +488,25 @@ def txlog_append(
     txn: tuple[str, int] | None = None,
     evolve: bool = False,
     files: int | None = None,
+    txn_horizon: int = 0,
 ) -> int:
     """Append-only commit. Never conflicts — lost races retry.
     ``evolve=True`` admits NEW columns (additive schema evolution);
     declared columns are always required at their declared types.
     ``files=1`` is the micro-batch fast path: one coalesced file, no
     range shuffle (see _write_data) — compaction restores clustering
-    on its own cadence."""
+    on its own cadence. ``txn_horizon``: newest version the caller's
+    ledger pre-check already cleared of this txn (bounds _commit's
+    duplicate scan)."""
     _validate_schema(root, df, evolve)
     adds = _write_data(
         spark, root, df, _stats_cols(root), files=files,
         bloom_cols=_bloom_cols(root),
     )
     version = (txlog_versions(root) or [0])[-1]
-    return _commit(root, adds, [], "append", version, txn=txn)
+    return _commit(
+        root, adds, [], "append", version, txn=txn, txn_horizon=txn_horizon
+    )
 
 
 def txlog_read(
@@ -576,6 +588,7 @@ def txlog_upsert(
     key_cols: list[str],
     txn: tuple[str, int] | None = None,
     evolve: bool = False,
+    txn_horizon: int = 0,
 ) -> int:
     """MERGE: replace rows matching ``updates`` on ``key_cols``,
     insert the rest — against the latest snapshot, atomically.
@@ -639,7 +652,10 @@ def txlog_upsert(
     adds = _write_data(
         spark, root, merged, stats_cols, bloom_cols=_bloom_cols(root)
     )
-    return _commit(root, adds, candidates, "upsert", read_version, txn=txn)
+    return _commit(
+        root, adds, candidates, "upsert", read_version, txn=txn,
+        txn_horizon=txn_horizon,
+    )
 
 
 def txlog_delete(
@@ -682,6 +698,12 @@ def txlog_delete(
             if not _skippable(live[rel].get("stats", {}), window)
         ]
     if not candidates:
+        if txn is not None:
+            # the batch still happened: an empty commit records the
+            # (app, batch_id) in the ledger, or a replay loop keyed on
+            # it would re-derive this delete forever (the idempotency
+            # contract must hold on the no-op path too)
+            return _commit(root, [], [], "delete", read_version, txn=txn)
         return read_version  # nothing can match: no-op, no commit
     base = _scan(spark, [os.path.join(root, rel) for rel in candidates])
     survivors = base.join(
@@ -812,15 +834,34 @@ def txlog_compact(
     return new_version
 
 
+# Incremental ledger memo: (abs root, app) -> (newest version scanned,
+# batch ids seen). Manifests are immutable and versions only append,
+# so a scan never needs to revisit cleared versions — without this,
+# every micro-batch re-reads the WHOLE log and the sink's per-commit
+# cost grows linearly with stream age (O(V²) manifest reads over a
+# stream's life). Process-local by construction: a fresh process
+# rescans surviving manifests once, matching the uncached semantics.
+_LEDGER_MEMO: dict[tuple[str, str], tuple[int, frozenset]] = {}
+
+
 def txlog_committed_batches(root: str, app: str) -> set[int]:
     """Batch ids already committed under ``app`` — the idempotency
-    ledger the streaming sink consults."""
-    out = set()
-    for v in txlog_versions(root):
-        txn = _read_manifest(root, v).get("txn")
-        if txn and txn[0] == app:
-            out.add(int(txn[1]))
-    return out
+    ledger the streaming sink consults. Incremental: only manifests
+    newer than the previous call's horizon are read."""
+    latest = (txlog_versions(root) or [0])[-1]
+    key = (os.path.abspath(root), app)
+    seen_v, seen = _LEDGER_MEMO.get(key, (0, frozenset()))
+    if latest > seen_v:
+        out = set(seen)
+        for v in txlog_versions(root):
+            if v <= seen_v:
+                continue
+            txn = _read_manifest(root, v).get("txn")
+            if txn and txn[0] == app:
+                out.add(int(txn[1]))
+        seen = frozenset(out)
+        _LEDGER_MEMO[key] = (latest, seen)
+    return set(seen)
 
 
 def txlog_foreach_batch_append(spark: SparkSession, root: str, app: str):
@@ -841,6 +882,10 @@ def txlog_foreach_batch_append(spark: SparkSession, root: str, app: str):
     fast path (a sequential replay skips the data write entirely)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # horizon captured BEFORE the ledger read: every version ≤ h
+        # is covered by the pre-check below, so _commit's duplicate
+        # scan only walks manifests that landed after it
+        h = (txlog_versions(root) or [0])[-1]
         if int(batch_id) in txlog_committed_batches(root, app):
             return
         # files=1: a micro-batch lands as ONE coalesced file with no
@@ -852,7 +897,8 @@ def txlog_foreach_batch_append(spark: SparkSession, root: str, app: str):
         # this sink); compaction restores range clustering on the
         # maintenance cadence.
         txlog_append(
-            spark, root, batch_df, txn=(app, int(batch_id)), files=1
+            spark, root, batch_df, txn=(app, int(batch_id)), files=1,
+            txn_horizon=h,
         )
 
     return _sink
@@ -879,13 +925,14 @@ def txlog_foreach_batch_upsert(
     keys' storage and the pipeline owner must arbitrate."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        h = (txlog_versions(root) or [0])[-1]
         if int(batch_id) in txlog_committed_batches(root, app):
             return
         for attempt in range(max_retries):
             try:
                 txlog_upsert(
                     spark, root, batch_df, key_cols,
-                    txn=(app, int(batch_id)),
+                    txn=(app, int(batch_id)), txn_horizon=h,
                 )
                 return
             except TxConflict:

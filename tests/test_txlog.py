@@ -364,7 +364,10 @@ def test_delete_removes_keys_keeps_history(spark, table):
 
 def test_delete_misses_are_noop_without_commit(spark, table):
     """A delete whose key window misses every file's stats range
-    commits nothing — the version does not advance."""
+    commits nothing — the version does not advance. UNLESS it carries
+    a txn: the batch still happened, and the (app, batch_id) must
+    enter the ledger or a replay loop keyed on it would re-run the
+    delete forever (the idempotency contract on the no-op path)."""
     from mapreduceapp_spark.sources.txlog import txlog_delete
 
     root, base = table
@@ -376,6 +379,16 @@ def test_delete_misses_are_noop_without_commit(spark, table):
     assert v == v0
     assert txlog_versions(root)[-1] == v0
     assert txlog_read(spark, root).count() == base.count()
+    # txn-carrying miss: an EMPTY commit records the batch id
+    v = txlog_delete(spark, root, ghost, ["o_orderkey"],
+                     txn=("cdc-del", 4))
+    assert v == v0 + 1
+    assert txlog_committed_batches(root, "cdc-del") == {4}
+    assert txlog_read(spark, root).count() == base.count()
+    # and the replay of that no-op batch is itself a no-op
+    v2 = txlog_delete(spark, root, ghost, ["o_orderkey"],
+                      txn=("cdc-del", 4))
+    assert v2 == v and txlog_versions(root)[-1] == v
 
 
 def test_incremental_agg_reads_only_changed_files(spark, table):
