@@ -951,6 +951,11 @@ def txlog_foreach_batch_upsert(
 # IEEE operation), keys divisible by 131 are re-inserted shifted by
 # 1e9 (pure inserts). Cent-integer sums keep the hash engine-neutral.
 _UPD_MOD, _INS_MOD, _INS_SHIFT = 97, 131, 1_000_000_000
+# version 3: the DELETE verb — keys divisible by 89 leave the live
+# set (applied to the v2 snapshot; inserts shifted by 1e9 keep their
+# divisibility mod 89 only when the shift does, so the recipe below
+# is stated over v2 rows, exactly as the engine executes it)
+_DEL_MOD = 89
 
 
 def _demo_table(spark: SparkSession, sf_dir: str) -> str:
@@ -982,6 +987,13 @@ def _demo_table(spark: SparkSession, sf_dir: str) -> str:
     # exercise the checkpoint path under the driver queries: reads
     # below replay (checkpoint @2) instead of (manifest 1, manifest 2)
     txlog_checkpoint(root)
+    # version 3: the delete verb, through the format's own write path
+    # (the registered queries pin versions explicitly, so the demo
+    # table growing a version is additive for every consumer)
+    doomed = txlog_read(spark, root, version=2).filter(
+        F.col("o_orderkey") % _DEL_MOD == 0
+    )
+    txlog_delete(spark, root, doomed, ["o_orderkey"])
     return root
 
 
@@ -1176,4 +1188,46 @@ def q_txlog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
         .where(F.col("n_orders") > 0)
+    )
+
+
+@register(
+    "q_txlog_delete_travel",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT o_orderkey AS k, o_orderpriority,
+               CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + {_INS_SHIFT} AS k, o_orderpriority,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % {_INS_MOD} = 0
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM v2 WHERE k % {_DEL_MOD} <> 0
+    GROUP BY o_orderpriority
+    """,
+    doc="TxLog DELETE verb under the driver hash: version 3 of the "
+    "demo table (v2 minus keys divisible by 89, applied through "
+    "txlog_delete's pruned rewrite) aggregated per priority.",
+)
+def q_txlog_delete_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority (n_orders, total_cents) at version 3 — the
+    snapshot the DELETE verb produced. Completes the CDC-triple
+    oracle coverage: create (v1), upsert (v2), delete (v3) all land
+    through the format's own write path, each snapshot re-derived by
+    the oracle from the raw table with the shared deterministic
+    recipe. The delete itself exercises stats-window file pruning
+    and the size-gated anti-join (tests/test_txlog.py pins both);
+    this query pins the RESULT under the driver's hash check."""
+    root = _demo_table(spark, sf_dir)
+    snap = txlog_read(spark, root, version=3)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("total_cents"),
     )

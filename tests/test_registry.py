@@ -48,7 +48,7 @@ def test_every_query_builds_lazily(spark, sf_dir):
               # build (or reuse) the two-version txlog demo table;
               # the incremental query also stages the v1 MV
               "q_txlog_time_travel", "q_txlog_changes",
-              "q_txlog_incremental_agg"}
+              "q_txlog_incremental_agg", "q_txlog_delete_travel"}
 
     tracker = spark.sparkContext.statusTracker()
     for name, builder in all_queries().items():
@@ -126,6 +126,9 @@ _NEW_SINCE_ROTATION: set[str] = {
     # brand-new round 10: substring-level decontamination via
     # winnowing fingerprints (operators/text.py)
     "q_winnowing_contamination",
+    # brand-new round 10: the DELETE verb's snapshot under the driver
+    # hash (sources/txlog.py)
+    "q_txlog_delete_travel",
 }
 
 
