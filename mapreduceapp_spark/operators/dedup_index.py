@@ -361,12 +361,16 @@ def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reuse the incremental-dedup oracle verbatim (single source of truth
 # for the cross-split exact-Jaccard ground truth).
 def _adopt_incremental_oracle() -> None:
-    from mapreduceapp_spark.plans.registry import _REGISTRY, Query
+    import dataclasses
+
+    from mapreduceapp_spark.plans.registry import _REGISTRY
 
     q = _REGISTRY["q_dedup_index_probe"]
     src = _REGISTRY["q_incremental_dedup"]
-    _REGISTRY["q_dedup_index_probe"] = Query(
-        q.name, q.builder, src.oracle, q.doc, q.bench
+    # dataclasses.replace, not positional reconstruction: a future
+    # field added to Query must not be silently reset here
+    _REGISTRY["q_dedup_index_probe"] = dataclasses.replace(
+        q, oracle=src.oracle
     )
 
 

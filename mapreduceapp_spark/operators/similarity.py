@@ -47,6 +47,7 @@ from mapreduceapp_spark.functions.vectors import (
     quantize,
     sq_norm,
 )
+from mapreduceapp_spark.plans.hints import broadcast_if_small
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.plans.staging import stage
 from mapreduceapp_spark.sources import tables
@@ -92,6 +93,66 @@ def _neardup_blocks(n_rows: int, parallelism: int = 64) -> int:
     mem_floor = -(-n_rows // NEARDUP_TILE_ROWS)
     par_floor = math.ceil(math.sqrt(2 * max(1, parallelism)))
     return max(1, min(max(mem_floor, par_floor), n_rows))
+
+
+def _guarded_query_set(e: DataFrame, query_name: str, redirect: str) -> DataFrame:
+    """(query_id, q_qv, q_sq) for the broadcast query set, with the
+    LAZY over-budget guard folded into query_id (engineering
+    rationale on q_knn_cosine: early-terminating limit(cap+1) count,
+    guard on the Q-sized side not the N·Q scored side, and the fold
+    into a live output column — a standalone assert column gets
+    pruned by Catalyst, silently disarming the guard). ONE copy by
+    design: the construction is subtle enough that a fix applied to
+    one inline duplicate and not another would silently disarm a
+    query's guard."""
+    q = e.filter(KNN_QUERY_PRED).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("sq").alias("q_sq"),
+    )
+    qcnt = q.select("query_id").limit(KNN_MAX_BROADCAST_QUERIES + 1).agg(
+        F.count(F.lit(1)).alias("_nq")
+    )
+    over_budget = F.when(
+        F.col("_nq") > KNN_MAX_BROADCAST_QUERIES,
+        F.raise_error(
+            F.lit(
+                f"{query_name}: query set exceeds the broadcast "
+                f"budget of {KNN_MAX_BROADCAST_QUERIES} rows; use "
+                f"{redirect} for large query sets"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return q.crossJoin(F.broadcast(qcnt)).select(
+        (F.col("query_id") + over_budget).alias("query_id"), "q_qv", "q_sq"
+    )
+
+
+def _recall_vs(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """recall@k of ``approx`` against ``exact`` — both (query_id,
+    neighbor_id) frames; the k·Q-row left join + count every ANN
+    evaluation shares (one copy: a future fix to the comparison must
+    not need applying in four places)."""
+    a = approx.select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            a,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_neighbor_id").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    )
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,27 +227,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     set outgrows the broadcast budget.
     """
     e = _quantized(spark, sf_dir)
-    q = e.filter(KNN_QUERY_PRED).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("sq").alias("q_sq"),
-    )
-    qcnt = q.select("query_id").limit(KNN_MAX_BROADCAST_QUERIES + 1).agg(
-        F.count(F.lit(1)).alias("_nq")
-    )
-    over_budget = F.when(
-        F.col("_nq") > KNN_MAX_BROADCAST_QUERIES,
-        F.raise_error(
-            F.lit(
-                f"q_knn_cosine: query set exceeds the broadcast "
-                f"budget of {KNN_MAX_BROADCAST_QUERIES} rows; use "
-                f"q_ann_ivf for large query sets"
-            )
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    guarded_q = q.crossJoin(F.broadcast(qcnt)).select(
-        (F.col("query_id") + over_budget).alias("query_id"), "q_qv", "q_sq"
-    )
+    guarded_q = _guarded_query_set(e, "q_knn_cosine", "q_ann_ivf")
     scored = (
         F.broadcast(guarded_q)
         .join(e, F.col("vec_id") != F.col("query_id"))
@@ -1126,27 +1167,9 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is a property of the INDEX layout, not the execution
     strategy.
     """
-    exact = stage(q_knn_cosine(spark, sf_dir), "knn_topk").select(
-        "query_id", "neighbor_id"
-    )
-    approx = q_ann_ivf(spark, sf_dir).select(
-        F.col("query_id").alias("a_query_id"),
-        F.col("neighbor_id").alias("a_neighbor_id"),
-    )
-    hits = (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("a_query_id"))
-            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("a_neighbor_id").alias("n_hit"))
-    )
-    return hits.select(
-        "query_id",
-        "n_hit",
-        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    return _recall_vs(
+        stage(q_knn_cosine(spark, sf_dir), "knn_topk"),
+        q_ann_ivf(spark, sf_dir),
     )
 
 
@@ -1181,27 +1204,9 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan shape as q_ivf_recall: both sides are registered plans,
     the comparison is a k·Q-row left join + count.
     """
-    exact = stage(q_knn_cosine(spark, sf_dir), "knn_topk").select(
-        "query_id", "neighbor_id"
-    )
-    approx = q_ann_lsh(spark, sf_dir).select(
-        F.col("query_id").alias("a_query_id"),
-        F.col("neighbor_id").alias("a_neighbor_id"),
-    )
-    hits = (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("a_query_id"))
-            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("a_neighbor_id").alias("n_hit"))
-    )
-    return hits.select(
-        "query_id",
-        "n_hit",
-        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    return _recall_vs(
+        stage(q_knn_cosine(spark, sf_dir), "knn_topk"),
+        q_ann_lsh(spark, sf_dir),
     )
 
 
@@ -1249,7 +1254,11 @@ def _pq_sub_dist(vec, m):
 
 
 def pq_ann(
-    e: DataFrame, k_cent: int, stride: int, top_k: int = KNN_K
+    e: DataFrame,
+    k_cent: int,
+    stride: int,
+    top_k: int = KNN_K,
+    n_queries_bound: int | None = None,
 ) -> DataFrame:
     """Top-``top_k`` per query by asymmetric PQ distance.
 
@@ -1311,9 +1320,18 @@ def pq_ann(
             _pq_sub_dist(F.col("q_qv"), F.col("m")).alias("d"),
         )
     )
+    # the distance table is Q x M x K rows — size-gate its broadcast
+    # on the caller's query bound (registered callers derive it from
+    # the footer: contiguous ids => Q = N div 100 + 1); a huge query
+    # set falls back to a shuffle lookup join, correct at any size
+    dtab_bound = (
+        (n_queries_bound * PQ_M * k_cent)
+        if n_queries_bound is not None
+        else 0  # no bound known: stay under the gate (broadcast)
+    )
     adc = (
         codes.join(
-            F.broadcast(dtab),
+            broadcast_if_small(dtab, dtab_bound),
             (codes["m"] == dtab["m"]) & (codes["code"] == dtab["j"]),
         )
         .filter(codes["vec_id"] != dtab["query_id"])
@@ -1409,7 +1427,10 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     build time); every distance is an int64 on the quantized grid, so
     codes and ADC scores hash-match the oracle exactly."""
     n = table_row_count(spark, sf_dir, "embeddings")
-    return pq_ann(_quantized(spark, sf_dir), _pq_k(n), max(1, n // _pq_k(n)))
+    return pq_ann(
+        _quantized(spark, sf_dir), _pq_k(n), max(1, n // _pq_k(n)),
+        n_queries_bound=n // 100 + 1,
+    )
 
 
 @register(
@@ -1430,27 +1451,9 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison shape as q_ivf_recall: both sides are registered
     plans, the join is k·Q rows; the exact side rides its own staged
     slot so repeat consumers run one L2 search per process."""
-    exact = stage(q_knn_l2(spark, sf_dir), "knn_l2_topk").select(
-        "query_id", "neighbor_id"
-    )
-    approx = q_pq_ann(spark, sf_dir).select(
-        F.col("query_id").alias("a_query_id"),
-        F.col("neighbor_id").alias("a_neighbor_id"),
-    )
-    hits = (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("a_query_id"))
-            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("a_neighbor_id").alias("n_hit"))
-    )
-    return hits.select(
-        "query_id",
-        "n_hit",
-        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    return _recall_vs(
+        stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"),
+        q_pq_ann(spark, sf_dir),
     )
 
 
@@ -1493,27 +1496,7 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantized grid), so even the emitted distance hash-matches.
     """
     e = _quantized(spark, sf_dir)
-    q = e.filter(KNN_QUERY_PRED).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("sq").alias("q_sq"),
-    )
-    qcnt = q.select("query_id").limit(KNN_MAX_BROADCAST_QUERIES + 1).agg(
-        F.count(F.lit(1)).alias("_nq")
-    )
-    over_budget = F.when(
-        F.col("_nq") > KNN_MAX_BROADCAST_QUERIES,
-        F.raise_error(
-            F.lit(
-                f"q_knn_l2: query set exceeds the broadcast budget of "
-                f"{KNN_MAX_BROADCAST_QUERIES} rows; use q_ann_ivf / "
-                f"q_pq_ann for large query sets"
-            )
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    guarded_q = q.crossJoin(F.broadcast(qcnt)).select(
-        (F.col("query_id") + over_budget).alias("query_id"), "q_qv", "q_sq"
-    )
+    guarded_q = _guarded_query_set(e, "q_knn_l2", "q_ann_ivf / q_pq_ann")
     scored = (
         F.broadcast(guarded_q)
         .join(e, F.col("vec_id") != F.col("query_id"))
@@ -1557,7 +1540,9 @@ def _set_pq_recall_oracle() -> None:
                round(n_hit / {KNN_K}.0, 4) AS recall_at_k
         FROM hits
     """
-    _REGISTRY["q_pq_recall"] = Query(q.name, q.builder, oracle, q.doc, q.bench)
+    import dataclasses
+
+    _REGISTRY["q_pq_recall"] = dataclasses.replace(q, oracle=oracle)
 
 
 _set_pq_recall_oracle()
@@ -1621,10 +1606,14 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     side by side is exactly how a deployment tunes R."""
     e = _quantized(spark, sf_dir)
     n = table_row_count(spark, sf_dir, "embeddings")
-    cand = pq_ann(e, _pq_k(n), max(1, n // _pq_k(n)), top_k=PQ_RERANK_R)
-    # query-set rows ONLY: cand's query_ids all satisfy the predicate,
-    # and broadcasting the unfiltered corpus here would be exactly the
-    # unbounded-broadcast class plans/hints.py exists to prevent
+    n_queries = n // 100 + 1  # KNN_QUERY_PRED on contiguous ids
+    cand = pq_ann(
+        e, _pq_k(n), max(1, n // _pq_k(n)),
+        top_k=PQ_RERANK_R, n_queries_bound=n_queries,
+    )
+    # query-set rows ONLY, size-gated: broadcasting the unfiltered
+    # corpus here would be exactly the unbounded-broadcast class
+    # plans/hints.py exists to prevent
     qside = e.filter(KNN_QUERY_PRED).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -1637,7 +1626,7 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rer = (
         cand.select("query_id", "neighbor_id")
-        .join(F.broadcast(qside), "query_id")
+        .join(broadcast_if_small(qside, n_queries), "query_id")
         .join(nside, "neighbor_id")
         .select(
             "query_id",
@@ -1654,26 +1643,8 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rer10 = (
         rer.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_K)
-        .select(
-            F.col("query_id").alias("a_query_id"),
-            F.col("neighbor_id").alias("a_neighbor_id"),
-        )
+        .select("query_id", "neighbor_id")
     )
-    exact = stage(q_knn_l2(spark, sf_dir), "knn_l2_topk").select(
-        "query_id", "neighbor_id"
-    )
-    hits = (
-        exact.join(
-            rer10,
-            (F.col("query_id") == F.col("a_query_id"))
-            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count("a_neighbor_id").alias("n_hit"))
-    )
-    return hits.select(
-        "query_id",
-        "n_hit",
-        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+    return _recall_vs(
+        stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), rer10
     )

@@ -530,6 +530,15 @@ def txlog_read(
     versions = txlog_versions(root)
     if not versions:
         raise FileNotFoundError(f"no txlog table at {root}")
+    if version is not None and version > versions[-1]:
+        # replaying manifests <= a nonexistent version would silently
+        # return the newest snapshot under the wrong name (versions
+        # below the latest may legitimately be absent from the list —
+        # checkpointed-away manifests — so only the future is an error)
+        raise FileNotFoundError(
+            f"version {version} does not exist at {root} "
+            f"(latest is {versions[-1]})"
+        )
     v = versions[-1] if version is None else version
     live = _live_files(root, v)
     # fail fast on time travel past the vacuum horizon: the scan list
@@ -851,6 +860,11 @@ def txlog_committed_batches(root: str, app: str) -> set[int]:
     latest = (txlog_versions(root) or [0])[-1]
     key = (os.path.abspath(root), app)
     seen_v, seen = _LEDGER_MEMO.get(key, (0, frozenset()))
+    if latest < seen_v:
+        # the log SHRANK: a table at this path was dropped and
+        # recreated (versions only ever append on a live table) —
+        # serving the dead table's ledger would silently drop batches
+        seen_v, seen = 0, frozenset()
     if latest > seen_v:
         out = set(seen)
         for v in txlog_versions(root):
@@ -959,41 +973,52 @@ _DEL_MOD = 89
 
 
 def _demo_table(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per process+sf_dir) the two-version demo table
+    """Build (once per process+sf_dir) the three-version demo table
     under the staging root; returns its path. The build is the
-    txlog's own write path — create, then one upsert carrying both
-    matched updates and unmatched inserts — so the registered query
-    exercises commit, snapshot replay, and time travel end to end."""
+    txlog's own write path — create, an upsert carrying both matched
+    updates and unmatched inserts, then a delete — so the registered
+    queries exercise commit, snapshot replay, and time travel end to
+    end. Each step is guarded by the CURRENT version rather than one
+    table-exists check, so a table left behind by an older build (or
+    a process that died mid-build) is completed to version 3, never
+    silently served short — the review finding: a durable staging
+    root (SPARK_GRAFT_STAGING_DIR) can carry a pre-delete table
+    across processes, and txlog_read(version=3) of a 2-version table
+    would quietly return the v2 live set."""
     from mapreduceapp_spark.plans.staging import staging_root
 
     root = os.path.join(
         staging_root(), f"txlog_demo_{zlib.crc32(sf_dir.encode()):08x}"
     )
-    if txlog_versions(root):
+    latest = (txlog_versions(root) or [0])[-1]
+    if latest >= 3:
         return root
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
-    txlog_create(spark, root, orders, stats_cols=["o_orderkey"])
-    updates = orders.where(F.col("o_orderkey") % _UPD_MOD == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
-    )
-    inserts = orders.where(F.col("o_orderkey") % _INS_MOD == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + _INS_SHIFT
-    )
-    txlog_upsert(
-        spark, root, updates.unionByName(inserts), ["o_orderkey"]
-    )
-    # exercise the checkpoint path under the driver queries: reads
-    # below replay (checkpoint @2) instead of (manifest 1, manifest 2)
-    txlog_checkpoint(root)
-    # version 3: the delete verb, through the format's own write path
-    # (the registered queries pin versions explicitly, so the demo
-    # table growing a version is additive for every consumer)
-    doomed = txlog_read(spark, root, version=2).filter(
-        F.col("o_orderkey") % _DEL_MOD == 0
-    )
-    txlog_delete(spark, root, doomed, ["o_orderkey"])
+    if latest < 1:
+        txlog_create(spark, root, orders, stats_cols=["o_orderkey"])
+    if (txlog_versions(root) or [0])[-1] < 2:
+        updates = orders.where(
+            F.col("o_orderkey") % _UPD_MOD == 0
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        inserts = orders.where(
+            F.col("o_orderkey") % _INS_MOD == 0
+        ).withColumn("o_orderkey", F.col("o_orderkey") + _INS_SHIFT)
+        txlog_upsert(
+            spark, root, updates.unionByName(inserts), ["o_orderkey"]
+        )
+        # exercise the checkpoint path under the driver queries: reads
+        # below replay (checkpoint @2), not (manifest 1, manifest 2)
+        txlog_checkpoint(root)
+    if (txlog_versions(root) or [0])[-1] < 3:
+        # version 3: the delete verb, through the format's own write
+        # path (registered queries pin explicit versions, so the
+        # extra version is additive for every consumer)
+        doomed = txlog_read(spark, root, version=2).filter(
+            F.col("o_orderkey") % _DEL_MOD == 0
+        )
+        txlog_delete(spark, root, doomed, ["o_orderkey"])
     return root
 
 

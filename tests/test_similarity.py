@@ -489,7 +489,12 @@ def test_pq_rerank_dominates_raw_codes(spark, sf_dir):
     assert set(raw) == set(rer) and raw
     for qid in raw:
         assert rer[qid] >= raw[qid], (qid, raw[qid], rer[qid])
-    assert sum(rer.values()) > sum(raw.values())  # R>k genuinely helps
+    # strict improvement is data-dependent (perfect raw recall would
+    # leave nothing to add) — require it only when headroom exists
+    from mapreduceapp_spark.operators.similarity import KNN_K
+
+    if any(v < KNN_K for v in raw.values()):
+        assert sum(rer.values()) > sum(raw.values())  # R>k helps
 
 
 def test_pq_code_is_argmin_of_subspace_distances(spark, sf_dir):
