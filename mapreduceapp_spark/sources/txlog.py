@@ -221,6 +221,7 @@ def _write_data(
     stats_cols: list[str],
     files: int | None = None,
     bloom_cols: list[str] | None = None,
+    pre_arranged: bool = False,
 ) -> list[dict]:
     """Write ``df`` into a fresh commit directory and return its add
     entries (path, rows, per-stats-col min/max from the footers).
@@ -235,7 +236,9 @@ def _write_data(
     token = uuid.uuid4().hex[:12]
     out = os.path.join(root, _DATA_DIR, token)
     w = df
-    if files == 1:
+    if pre_arranged:
+        pass  # caller already clustered (e.g. z-order compaction)
+    elif files == 1:
         # single-file commit (the streaming-sink fast path): a range
         # shuffle clusters rows ACROSS files, so with one file it buys
         # nothing — min/max of the whole file is exact whatever the
@@ -814,16 +817,27 @@ def txlog_compact(
     root: str,
     small_bytes: int = 32 * 1024 * 1024,
     files: int | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> int | None:
     """Rewrite the live files smaller than ``small_bytes`` into fewer
-    range-clustered ones, as a normal commit (removes the smalls,
+    well-clustered ones, as a normal commit (removes the smalls,
     adds the compacted) — rows identical, history intact, and the
     natural moment to ``txlog_checkpoint``. Streaming ingest is the
     canonical producer of the problem: one micro-batch = one commit =
     a handful of small files; nightly compaction folds a day of
     batches into scan-efficient files. Returns the new version, or
     None when fewer than two files qualify (compaction would be a
-    rename)."""
+    rename).
+
+    ``zorder_cols`` switches the rewrite's layout from the default
+    single-column range clustering (the table's first stats column)
+    to a Z-curve over SEVERAL columns — the OPTIMIZE ZORDER BY verb
+    of the published formats, reusing the engine's existing Morton
+    writer (sources/formats.py): selective predicates on ANY of the
+    curve columns then prune files/row-groups via ordinary min/max
+    stats, at ~sqrt of a dedicated sort's skipping per column.
+    Compaction is exactly when that trade is bought: a write-once
+    shuffle every later scan amortizes."""
     version = txlog_versions(root)[-1]
     live = _live_files(root, version)
     smalls = [
@@ -834,10 +848,25 @@ def txlog_compact(
     if len(smalls) < 2:
         return None
     df = _scan(spark, [os.path.join(root, rel) for rel in smalls])
-    adds = _write_data(
-        spark, root, df, _stats_cols(root), files=files,
-        bloom_cols=_bloom_cols(root),
-    )
+    if zorder_cols:
+        from mapreduceapp_spark.sources.formats import zorder_value
+
+        parts = files or spark.sparkContext.defaultParallelism
+        df = (
+            zorder_value(df, zorder_cols)
+            .repartitionByRange(parts, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        adds = _write_data(
+            spark, root, df, _stats_cols(root),
+            bloom_cols=_bloom_cols(root), pre_arranged=True,
+        )
+    else:
+        adds = _write_data(
+            spark, root, df, _stats_cols(root), files=files,
+            bloom_cols=_bloom_cols(root),
+        )
     new_version = _commit(root, adds, smalls, "compact", version)
     txlog_checkpoint(root)
     return new_version

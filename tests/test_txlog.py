@@ -775,3 +775,56 @@ def test_read_after_vacuum_fails_fast_with_named_error(spark, table):
     assert "vacuumed" in str(exc.value)
     assert "_data/" in str(exc.value)  # names the missing files
     assert txlog_read(spark, root).count() > 0
+
+
+def test_compact_zorder_multi_column_skipping(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER: compaction with zorder_cols lays the rewrite
+    out on a Morton curve, so a selective range on EITHER column
+    overlaps a strict minority of the compacted files' min/max
+    windows — the multi-dimension skipping a single-column range
+    cluster cannot give. Rows and history stay identical."""
+    import pyarrow.parquet as pq
+
+    from mapreduceapp_spark.sources.txlog import (
+        txlog_compact,
+        txlog_create,
+        txlog_read,
+        txlog_versions,
+        _live_files,
+    )
+
+    root = str(tmp_path / "tx")
+    base = _orders(spark, sf_dir)
+    n0 = base.count()
+    txlog_create(spark, root, base, stats_cols=["o_orderkey"], files=8)
+    v = txlog_compact(
+        spark, root, small_bytes=1 << 40, files=8,
+        zorder_cols=["o_orderkey", "o_custkey"],
+    )
+    assert v == 2
+    assert txlog_read(spark, root).count() == n0
+    assert txlog_read(spark, root, version=1).count() == n0  # history
+
+    # per-file min/max from footers on BOTH curve columns
+    live = sorted(_live_files(root, v))
+    spans: dict[str, list[tuple]] = {"o_orderkey": [], "o_custkey": []}
+    for rel in live:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for col in spans:
+            i = names.index(col)
+            lo = min(md.row_group(r).column(i).statistics.min
+                     for r in range(md.num_row_groups))
+            hi = max(md.row_group(r).column(i).statistics.max
+                     for r in range(md.num_row_groups))
+            spans[col].append((lo, hi))
+    assert len(live) >= 6  # enough files for the overlap test to mean much
+    for col, ss in spans.items():
+        glo = min(lo for lo, _ in ss)
+        ghi = max(hi for _, hi in ss)
+        width = (ghi - glo) / 8 or 1
+        probe = (glo + 3 * width, glo + 4 * width)  # middle 1/8 range
+        overlapping = sum(
+            1 for lo, hi in ss if not (hi < probe[0] or lo > probe[1])
+        )
+        assert overlapping < len(ss), (col, overlapping, len(ss))
