@@ -98,38 +98,12 @@ def test_bench_subset_is_registered():
 # Redefined queries (schema/semantics changed since their last driver
 # row) are deliberately REMOVED from the rotation so they re-check
 # like brand-new queries; list them here too.
-# (rotation regenerated at the start of round 10 from the r07/r08/r09
-# artifacts — every name registered through round 9 is in the
-# rotation; add round-10 registrations to this set. BUDGET: at most
-# 13 new names this round, or the r7-stale group loses window slots —
+# (rotation regenerated at the start of round 11 from the r08/r09/r10
+# artifacts — every name registered through round 10 is in the
+# rotation; add round-11 registrations to this set. BUDGET: at most
+# 9 new names this round, or the r8-stale group loses window slots —
 # test_three_window_union_covers_registry enforces the consequence.)
-_NEW_SINCE_ROTATION: set[str] = {
-    # brand-new round 10: winnowing (MOSS) substring-level fingerprint
-    # dedup (operators/text.py)
-    "q_winnowing",
-    # brand-new round 10: per-group Misra-Gries heavy hitters
-    # (operators/analytics.py)
-    "q_heavy_hitters_by_group",
-    # brand-new round 10: mergeable fixed-width-histogram quantile
-    # rollup (operators/relational.py)
-    "q_quantile_rollup",
-    # brand-new round 10: incremental materialized-view refresh from
-    # the txlog change feed (sources/txlog.py)
-    "q_txlog_incremental_agg",
-    # brand-new round 10: product quantization (operators/similarity.py)
-    # — integer-grid codebooks, ADC search, L2 ground truth, and the
-    # shortlist+rerank deployment shape
-    "q_pq_ann",
-    "q_knn_l2",
-    "q_pq_recall",
-    "q_pq_rerank_recall",
-    # brand-new round 10: substring-level decontamination via
-    # winnowing fingerprints (operators/text.py)
-    "q_winnowing_contamination",
-    # brand-new round 10: the DELETE verb's snapshot under the driver
-    # hash (sources/txlog.py)
-    "q_txlog_delete_travel",
-}
+_NEW_SINCE_ROTATION: set[str] = set()
 
 
 def test_check_rotation_covers_registry_exactly():
@@ -163,44 +137,44 @@ def _driver_window_names(round_no: int) -> set[str]:
 
 def test_three_window_union_covers_registry():
     """Full-registry freshness within 3 rounds (VERDICT r9 ask #3):
-    the union of the last TWO driver windows (CORRECTNESS_r08/r09,
+    the union of the last TWO driver windows (CORRECTNESS_r09/r10,
     read from the recorded artifacts) and the UPCOMING window (first
     50 of the current order) must cover the whole registry — so
-    CORRECTNESS_r10 ∪ r09 ∪ r08 covers all registered names. With
-    131 names, 50+50 recorded + 50 upcoming leaves slack of 19; the
-    round-10 registration budget is that slack (every brand-new name
-    auto-sorts to the window front, displacing an r7-stale name
+    CORRECTNESS_r11 ∪ r10 ∪ r09 covers all registered names. With
+    141 names, 50+50 recorded + 50 upcoming leaves slack of 9; the
+    round-11 registration budget is that slack (every brand-new name
+    auto-sorts to the window front, displacing an r8-stale name
     one-for-one once the budget is exceeded — this test is the
     guard)."""
     registry = set(all_queries())
-    covered = _driver_window_names(8) | _driver_window_names(9)
+    covered = _driver_window_names(9) | _driver_window_names(10)
     upcoming = set(list(all_queries())[:_DRIVER_WINDOW])
     uncovered = registry - covered - upcoming
     assert not uncovered, (
-        f"names whose r10 evidence would be 3+ rounds stale: "
+        f"names whose r11 evidence would be 3+ rounds stale: "
         f"{sorted(uncovered)}"
     )
 
 
 def test_stalest_queries_lead_the_window():
-    """Priority order inside the upcoming (round-10) window:
+    """Priority order inside the upcoming (round-11) window:
     brand-new / redefined queries first (no trustworthy driver row),
-    then the 37 names whose freshest row is round 7 (the structural
-    tail of 131 names over a 50-slot window), then round-8-checked
-    names. No round-9-fresh name may occupy a slot while a staler
+    then the 41 names whose freshest row is round 8 (the structural
+    tail of 141 names over a 50-slot window), then round-9-checked
+    names. No round-10-fresh name may occupy a slot while a staler
     candidate overflows."""
     order = list(all_queries())
     window = set(order[:_DRIVER_WINDOW])
-    last = _driver_window_names(9)
+    last = _driver_window_names(10)
     fresh_in_window = (window & last) - _NEW_SINCE_ROTATION
     overflow = (set(order) - last) - window
     if overflow:
-        # a round-9-fresh name in the window while stale names
+        # a round-10-fresh name in the window while stale names
         # overflow would mean the rotation is mis-ordered
         assert not fresh_in_window, sorted(fresh_in_window)
-    # every r7-stale name (no r8/r9 row) must re-check in round 10
-    r7_stale = set(order) - last - _driver_window_names(8)
-    r7_stale = {n for n in r7_stale if n in _driver_window_names(7)}
-    assert r7_stale <= window, sorted(r7_stale - window)
+    # every r8-stale name (no r9/r10 row) must re-check in round 11
+    r8_stale = set(order) - last - _driver_window_names(9)
+    r8_stale = {n for n in r8_stale if n in _driver_window_names(8)}
+    assert r8_stale <= window, sorted(r8_stale - window)
     for name in _NEW_SINCE_ROTATION & set(order):
         assert name in window, f"redefined/new {name} missed the window"
