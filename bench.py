@@ -462,6 +462,14 @@ def main() -> None:
         "host_throttled": host_throttled,
         "loadavg": loadavg,
     }
+    if retimed:
+        # the retime pass is asymmetric (only slower-than-history
+        # queries get extra min()'d attempts), so a total containing
+        # retimed slots is not methodologically identical to a pure
+        # single-pass sweep — flag it in the headline record the way
+        # contaminated records flag themselves (ADVICE r10); both the
+        # original and replacement values travel with the record
+        out["retimed"] = retimed
     if host_throttled or too_many_hot:
         out["contaminated"] = True
         out["sentinel"] = sentinel

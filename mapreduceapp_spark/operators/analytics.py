@@ -647,8 +647,30 @@ def heavy_hitters_by_group(
     per-group summaries can miss no true hitter; the exact recount
     joined to per-group totals decides. Candidate bound is
     k x partitions x HH_MAX_GROUPS — plan-time, gate-able — because
-    the sketch HARD-ENFORCES the group-cardinality premise."""
+    the sketch HARD-ENFORCES the group-cardinality premise.
+
+    Cardinality surprises DEGRADE, not fail (VERDICT r10 ask #8): one
+    cheap 1-row agg (the house stats pattern) checks the premise up
+    front, and past HH_MAX_GROUPS the call auto-routes to the plain
+    exact groupBy plan — which IS the right plan at that cardinality
+    (the per-group sketch only pays off while counters fit). The
+    in-sketch ValueError stays as the mapInPandas backstop; it can
+    only fire if the data mutates between the check and the scan."""
     import pandas as pd
+
+    n_groups = df.agg(F.countDistinct(group).alias("_g")).collect()[0][0]
+    if n_groups > HH_MAX_GROUPS:
+        counts = (
+            df.select(group, key)
+            .groupBy(group, key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        totals = df.groupBy(group).agg(F.count(F.lit(1)).alias("_n_g"))
+        return (
+            counts.join(broadcast_if_small(totals, n_groups), group)
+            .filter(F.col("cnt") * phi_inv >= F.col("_n_g"))
+            .select(group, key, "cnt")
+        )
 
     mg_k = phi_inv
 

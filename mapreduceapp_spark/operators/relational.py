@@ -709,9 +709,11 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cents grid — bucket = (c - lo) div width, all int64).
 
     Correctness contract (the q_hll_rollup convention): each row
-    carries the EXACT discrete lower median (row_number = ceil(n/2)
-    over the cents — heavy by design: it is the verification payload;
-    the histogram path is the one that scales) plus the approx bucket
+    carries the EXACT discrete lower median — computed rank-based in
+    two passes (histogram locates the median's bucket, a residual
+    row_number sorts only THAT bucket's ≈ n/nbins rows per group),
+    so even the verification payload never funnels a whole group
+    through one task — plus the approx bucket
     midpoint and the integer flag |approx − exact| ≤ width. The flag
     is a theorem — the cumulative rule picks exactly the bucket
     containing the ceil(n/2)-th value — so the oracle can hard-code
@@ -730,16 +732,6 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("event_type", F.lit("__ALL__"))
     )
     n_w = Window.partitionBy("event_type")
-    rn_w = Window.partitionBy("event_type").orderBy("c")
-    med = (
-        tagged.withColumn("rn", F.row_number().over(rn_w))
-        .withColumn("n", F.count(F.lit(1)).over(n_w))
-        .filter(
-            (F.col("rn") * 2 == F.col("n"))
-            | (F.col("rn") * 2 == F.col("n") + 1)
-        )
-        .select("event_type", F.col("c").alias("exact_median_cents"))
-    )
     hist_g = (
         ev.crossJoin(dom)
         .selectExpr("event_type", "(c - lo) DIV width AS bucket")
@@ -758,12 +750,46 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    hist_c = hist.withColumn("cum", F.sum("cnt").over(cum_w)).withColumn(
+        "n", F.sum("cnt").over(n_w)
+    )
     apx = (
-        hist.withColumn("cum", F.sum("cnt").over(cum_w))
-        .withColumn("n", F.sum("cnt").over(n_w))
-        .filter(F.col("cum") * 2 >= F.col("n"))
+        hist_c.filter(F.col("cum") * 2 >= F.col("n"))
         .groupBy("event_type")
         .agg(F.min("bucket").alias("mb"))
+    )
+    # Exact lower median WITHOUT a whole-group sort (VERDICT r10
+    # refinement #1): the cumulative-rule bucket mb is, by the same
+    # theorem the err flag rests on, exactly the bucket containing
+    # the rank-ceil(n/2) value — so the exact answer is the
+    # (r − before)-th smallest value INSIDE mb, where before =
+    # cum(mb) − cnt(mb) counts the earlier buckets. loc is one thin
+    # row per group (rank + offset, from histogram metadata — no
+    # rescan); the residual row_number window then sees only mb's
+    # rows per group, ≈ n/{QR_NBINS} of the group, instead of the
+    # previous plan's __ALL__ clone of the entire table in one task.
+    # Degenerate-domain caveat: if every value is identical the
+    # single occupied bucket still holds the whole group — data
+    # degeneracy, not a plan property.
+    loc = F.broadcast(
+        hist_c.join(apx, "event_type")
+        .filter(F.col("bucket") == F.col("mb"))
+        .select(
+            "event_type",
+            "mb",
+            (F.col("cum") - F.col("cnt")).alias("before"),
+            F.expr("(n + 1) DIV 2").alias("r"),
+        )
+    )
+    rb_w = Window.partitionBy("event_type").orderBy("c")
+    med = (
+        tagged.crossJoin(dom)
+        .selectExpr("event_type", "c", "(c - lo) DIV width AS bucket")
+        .join(loc, "event_type")
+        .filter(F.col("bucket") == F.col("mb"))
+        .withColumn("rb", F.row_number().over(rb_w))
+        .filter(F.col("rb") == F.col("r") - F.col("before"))
+        .select("event_type", F.col("c").alias("exact_median_cents"))
     )
     approx = F.col("lo") + F.col("mb") * F.col("width") + F.expr(
         "width DIV 2"

@@ -1323,12 +1323,13 @@ def pq_ann(
     # the distance table is Q x M x K rows — size-gate its broadcast
     # on the caller's query bound (registered callers derive it from
     # the footer: contiguous ids => Q = N div 100 + 1); a huge query
-    # set falls back to a shuffle lookup join, correct at any size
-    dtab_bound = (
-        (n_queries_bound * PQ_M * k_cent)
-        if n_queries_bound is not None
-        else 0  # no bound known: stay under the gate (broadcast)
-    )
+    # set falls back to a shuffle lookup join, correct at any size.
+    # With no caller bound, MEASURE: one count job over the thin
+    # query projection beats encoding "unknown" as "fits", which
+    # would hand an external caller with a corpus-scale query set an
+    # ungated Q×M×K broadcast (ADVICE r10)
+    n_queries = qs.count() if n_queries_bound is None else n_queries_bound
+    dtab_bound = n_queries * PQ_M * k_cent
     adc = (
         codes.join(
             broadcast_if_small(dtab, dtab_bound),

@@ -889,7 +889,8 @@ def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     so join fan-out is bounded by the PROBE's fingerprint set, and a
     boilerplate fingerprint shared with the probe IS contamination
     evidence for exactly the run the guarantee covers."""
-    from mapreduceapp_spark.plans.staging import stage
+    from mapreduceapp_spark.plans.hints import broadcast_if_small
+    from mapreduceapp_spark.plans.staging import stage, staged_row_count
 
     d = tables(spark, sf_dir).documents
     probe = stage(
@@ -901,8 +902,16 @@ def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = winnow_fingerprints(
         d.filter(F.col("doc_id") % _WINNOW_PROBE_MOD != 0)
     )
+    # the broadcast is size-GATED, not assumed: the stage write's own
+    # footers measure the probe fingerprint set for free, so a
+    # corpus-scale probe split falls back to a shuffle join instead
+    # of an unbounded broadcast (ADVICE r10)
+    n_probe = staged_row_count(probe)
+    gated = broadcast_if_small(
+        probe, n_probe if n_probe is not None else probe.count()
+    )
     return (
-        corpus.join(F.broadcast(probe), "fp")
+        corpus.join(gated, "fp")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_fp_overlap"))
     )

@@ -137,5 +137,30 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     print(f"[stage] write {name} -> {os.path.basename(path)}", file=sys.stderr)
     df.write.mode("overwrite").parquet(path)
     scan = df.sparkSession.read.parquet(path)
+    scan._mrapp_staged_path = path  # enables staged_row_count()
     _STAGED_PLANS[key] = scan
     return scan
+
+
+def staged_row_count(scan: DataFrame) -> int | None:
+    """Row count of a frame returned by ``stage()`` — summed from the
+    staged files' parquet footers, driver-side metadata only, zero
+    Spark jobs. The stage write just produced those footers, so the
+    count is free; callers use it to feed ``broadcast_if_small`` with
+    a MEASURED size instead of an unconditional hint. Returns None
+    for frames that did not come from stage() (or a remote staging
+    root this process cannot glob) — callers fall back to a count."""
+    path = getattr(scan, "_mrapp_staged_path", None)
+    if path is None or "://" in path:
+        return None
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None

@@ -410,6 +410,11 @@ def txlog_create(
     )
     os.makedirs(_log_dir(root), exist_ok=True)
     meta = {
+        # creation identity: a table dropped and recreated at the same
+        # path gets a fresh uuid, so process-local caches keyed on it
+        # (the streaming ledger memo) can never serve the dead table's
+        # state even if the new log reaches the same version count
+        "table_uuid": uuid.uuid4().hex,
         "stats_cols": stats_cols,
         "bloom_cols": bloom_cols,
         "columns": {f.name: f.dataType.simpleString() for f in df.schema},
@@ -544,13 +549,25 @@ def txlog_read(
         )
     v = versions[-1] if version is None else version
     live = _live_files(root, v)
+    selected = []
+    for rel, add in sorted(live.items()):
+        if prune and _skippable(add.get("stats", {}), prune):
+            continue
+        if point and _bloom_skippable(add.get("bloom", {}), point):
+            continue
+        selected.append(rel)
     # fail fast on time travel past the vacuum horizon: the scan list
     # is already in hand, so the existence sweep is one driver-side
     # stat per file — cheap next to the footer reads the scan does
     # anyway, and it turns a raw executor FileNotFound mid-scan into a
-    # named error before any job starts
+    # named error before any job starts. The sweep runs AFTER the
+    # skip-filters: only files the scan will actually open are
+    # checked, so a pruned read whose stats window excludes every
+    # vacuumed file succeeds — as it can and did before the sweep
+    # existed.
     vacuumed = sorted(
-        rel for rel in live if not os.path.exists(os.path.join(root, rel))
+        rel for rel in selected
+        if not os.path.exists(os.path.join(root, rel))
     )
     if vacuumed:
         raise TxVacuumedVersion(
@@ -558,20 +575,25 @@ def txlog_read(
             f"file(s): {vacuumed[:5]}{'...' if len(vacuumed) > 5 else ''}; "
             f"time travel is bounded by the vacuum retention horizon"
         )
-    paths = []
-    for rel, add in sorted(live.items()):
-        if prune and _skippable(add.get("stats", {}), prune):
-            continue
-        if point and _bloom_skippable(add.get("bloom", {}), point):
-            continue
-        paths.append(os.path.join(root, rel))
-    if not paths:
-        # preserve schema: scan one live file and return zero rows
-        any_rel = next(iter(sorted(live)), None)
+    if not selected:
+        # preserve schema: scan one live file and return zero rows.
+        # Prefer a file that still exists — a pruned-to-empty read of
+        # a partially vacuumed version is still answerable.
+        any_rel = next(
+            (r for r in sorted(live)
+             if os.path.exists(os.path.join(root, r))),
+            None,
+        )
         if any_rel is None:
+            if live:
+                raise TxVacuumedVersion(
+                    f"version {v} of {root}: all {len(live)} file(s) "
+                    f"vacuumed; time travel is bounded by the vacuum "
+                    f"retention horizon"
+                )
             raise FileNotFoundError(f"version {v} of {root} has no files")
         return _scan(spark, [os.path.join(root, any_rel)]).limit(0)
-    return _scan(spark, paths)
+    return _scan(spark, [os.path.join(root, rel) for rel in selected])
 
 
 def _skippable(stats: dict[str, list], prune: dict[str, tuple]) -> bool:
@@ -872,14 +894,20 @@ def txlog_compact(
     return new_version
 
 
-# Incremental ledger memo: (abs root, app) -> (newest version scanned,
-# batch ids seen). Manifests are immutable and versions only append,
-# so a scan never needs to revisit cleared versions — without this,
-# every micro-batch re-reads the WHOLE log and the sink's per-commit
-# cost grows linearly with stream age (O(V²) manifest reads over a
-# stream's life). Process-local by construction: a fresh process
-# rescans surviving manifests once, matching the uncached semantics.
-_LEDGER_MEMO: dict[tuple[str, str], tuple[int, frozenset]] = {}
+# Incremental ledger memo: (abs root, app, table uuid) -> (newest
+# version scanned, batch ids seen). Manifests are immutable and
+# versions only append, so a scan never needs to revisit cleared
+# versions — without this, every micro-batch re-reads the WHOLE log
+# and the sink's per-commit cost grows linearly with stream age
+# (O(V²) manifest reads over a stream's life). Process-local by
+# construction: a fresh process rescans surviving manifests once,
+# matching the uncached semantics. The table's creation uuid is part
+# of the key, so a table dropped and recreated at the same path gets
+# a fresh memo even if the new log reaches the same-or-higher version
+# count within one process (the shrink check alone misses that case);
+# pre-uuid tables key on None and keep the shrink check as the only
+# recreate defense.
+_LEDGER_MEMO: dict[tuple[str, str, str | None], tuple[int, frozenset]] = {}
 
 
 def txlog_committed_batches(root: str, app: str) -> set[int]:
@@ -887,7 +915,7 @@ def txlog_committed_batches(root: str, app: str) -> set[int]:
     ledger the streaming sink consults. Incremental: only manifests
     newer than the previous call's horizon are read."""
     latest = (txlog_versions(root) or [0])[-1]
-    key = (os.path.abspath(root), app)
+    key = (os.path.abspath(root), app, _table_meta(root).get("table_uuid"))
     seen_v, seen = _LEDGER_MEMO.get(key, (0, frozenset()))
     if latest < seen_v:
         # the log SHRANK: a table at this path was dropped and

@@ -304,20 +304,63 @@ def test_heavy_hitters_by_group_planted_adversarial(spark):
         assert got == expected, (layout, got)
 
 
-def test_heavy_hitters_by_group_rejects_high_cardinality(spark):
-    """The sketch's low-cardinality-group premise is enforced, not
-    assumed: more than HH_MAX_GROUPS distinct groups in one partition
-    must raise with the use-plain-groupBy message."""
-    import pytest
+def test_heavy_hitters_by_group_degrades_past_cardinality_bound(spark):
+    """The sketch's low-cardinality-group premise is CHECKED up front
+    and a cardinality surprise degrades to the plain exact groupBy
+    plan instead of killing the job mid-scan (VERDICT r10 ask #8).
+    The answer stays exact: each group's sole key trivially clears
+    its own group threshold, plus a planted multi-key group checks
+    the per-group filter really ran."""
     from mapreduceapp_spark.operators.analytics import (
         HH_MAX_GROUPS,
         heavy_hitters_by_group,
     )
 
     rows = [(f"g{i}", "k") for i in range(HH_MAX_GROUPS + 1)]
+    # planted group: one hitter at 1/2, one sub-threshold key
+    rows += [("big", "hot")] * 10 + [("big", f"t{i}") for i in range(10)]
     df = spark.createDataFrame(rows, "g string, k string").coalesce(1)
-    with pytest.raises(Exception, match="plain groupBy"):
-        heavy_hitters_by_group(df, "g", "k", 10).collect()
+    got = {
+        (r.g, r.k, r.cnt)
+        for r in heavy_hitters_by_group(df, "g", "k", 2).collect()
+    }
+    expected = {(f"g{i}", "k", 1) for i in range(HH_MAX_GROUPS + 1)}
+    expected.add(("big", "hot", 10))
+    assert got == expected
+
+
+def test_heavy_hitters_by_group_fallback_matches_sketch_plan(spark):
+    """Fallback and sketch plans are result-equal on the same data:
+    pin by running the adversarial fixture once per plan (the sketch
+    under the real bound, the fallback under a test-lowered one)."""
+    from unittest import mock
+
+    from mapreduceapp_spark.operators import analytics
+
+    phi_inv = 10
+    rows = (
+        [("X", "A")] * 600 + [("X", "B")] * 200 + [("X", "C")] * 199
+        + [("X", f"t{i}") for i in range(1001)]
+        + [("Y", "D")] * 10 + [("Y", "E")] * 9
+        + [("Y", f"u{i}") for i in range(81)]
+    )
+    df = spark.createDataFrame(rows, "g string, k string").repartition(8)
+    via_sketch = {
+        (r.g, r.k, r.cnt)
+        for r in analytics.heavy_hitters_by_group(
+            df, "g", "k", phi_inv
+        ).collect()
+    }
+    with mock.patch.object(analytics, "HH_MAX_GROUPS", 1):
+        via_fallback = {
+            (r.g, r.k, r.cnt)
+            for r in analytics.heavy_hitters_by_group(
+                df, "g", "k", phi_inv
+            ).collect()
+        }
+    assert via_sketch == via_fallback == {
+        ("X", "A", 600), ("X", "B", 200), ("Y", "D", 10)
+    }
 
 
 def test_heavy_hitters_plan_prunes_and_broadcasts(spark, sf_dir):

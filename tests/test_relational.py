@@ -141,6 +141,29 @@ def test_quantile_rollup_oracle(spark, sf_dir):
     assert_matches_oracle(spark, "q_quantile_rollup", sf_dir)
 
 
+def test_quantile_rollup_exact_median_never_sorts_whole_group(spark, sf_dir):
+    """The exact-median verification payload is rank-based two-pass
+    (VERDICT r10 refinement #1): the one row_number window in the
+    plan must consume the median-bucket join — bucket is a
+    BroadcastHashJoin key against the located (mb, rank) rows — so
+    the per-group sort sees ≈ n/nbins rows, never the __ALL__ clone
+    of the whole table in a single task."""
+    from mapreduceapp_spark.plans.inspect import plan_string
+    from mapreduceapp_spark.plans.registry import get_query
+
+    text = plan_string(
+        get_query("q_quantile_rollup").builder(spark, sf_dir)
+    )
+    assert text.count("row_number") == 1
+    # subtree under the row_number window: the very next join below
+    # it must be the bucket=mb broadcast join (the residual filter)
+    sub = text[text.find("Window [row_number"):]
+    first_join = sub[sub.find("Join"):][:200]
+    assert first_join.startswith("Join [bucket") or "mb" in first_join, (
+        first_join
+    )
+
+
 def test_quantile_rollup_bound_holds_on_gapped_even_group(spark, tmp_path):
     """The case that forced the DISCRETE median target: an
     even-count group whose two middle order stats straddle a huge

@@ -759,6 +759,69 @@ def test_vacuum_reclaims_history_and_orphans(spark, table, tmp_path):
     assert txlog_read(spark, root).count() == n_latest  # latest intact
 
 
+def test_pruned_read_skips_vacuum_sweep(spark, tmp_path, sf_dir):
+    """A time-travel read whose stats window prunes away every
+    vacuumed file must succeed: the existence sweep runs AFTER the
+    skip-filters, so only files the scan will actually open are
+    checked (ADVICE r10). Layout: version 1 is range-clustered on
+    o_orderkey into 4 files; the upsert rewrites only the low-key
+    file, so after vacuum the v1 manifest's other three files are
+    still live-and-present and a prune to their key range reads
+    cleanly."""
+    from mapreduceapp_spark.sources.txlog import TxVacuumedVersion
+
+    root = str(tmp_path / "tx")
+    base = _orders(spark, sf_dir)
+    txlog_create(spark, root, base, stats_cols=["o_orderkey"], files=4)
+    lo = base.agg(F.min("o_orderkey")).collect()[0][0]
+    updates = base.filter(F.col("o_orderkey") == lo).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    txlog_upsert(spark, root, updates, ["o_orderkey"])
+    txlog_vacuum(root, retain_versions=1)
+    # unpruned time travel still fails fast (the rewritten file is gone)
+    with pytest.raises(TxVacuumedVersion):
+        txlog_read(spark, root, version=1)
+    # pruned to a window that excludes the vacuumed file: succeeds,
+    # and matches the same window read from the latest version
+    hi = base.agg(F.max("o_orderkey")).collect()[0][0]
+    window = (hi - (hi - lo) // 4, hi)
+    got = (
+        txlog_read(spark, root, version=1, prune={"o_orderkey": window})
+        .filter(F.col("o_orderkey").between(*window))
+        .count()
+    )
+    want = (
+        txlog_read(spark, root)
+        .filter(F.col("o_orderkey").between(*window))
+        .count()
+    )
+    assert got == want > 0
+
+
+def test_ledger_memo_invalidated_by_table_recreate(spark, tmp_path, sf_dir):
+    """Drop + recreate a table at the same path, then drive the NEW
+    log to the same version count within one process: the ledger must
+    NOT serve the dead table's batch ids (which would silently skip
+    replayed batches). Pinned via the creation-uuid memo key
+    (ADVICE r10 — the shrink check alone misses same-or-higher
+    version counts)."""
+    import shutil
+
+    root = str(tmp_path / "tx")
+    base = _orders(spark, sf_dir).limit(50)
+    txlog_create(spark, root, base)
+    txlog_append(spark, root, base, txn=("app-x", 7))
+    assert txlog_committed_batches(root, "app-x") == {7}  # memo primed
+    shutil.rmtree(root)
+    txlog_create(spark, root, base)
+    txlog_append(spark, root, base)  # same version count as before (2)
+    assert txlog_committed_batches(root, "app-x") == set()
+    # and the new table's own commits are tracked independently
+    txlog_append(spark, root, base, txn=("app-x", 9))
+    assert txlog_committed_batches(root, "app-x") == {9}
+
+
 def test_read_after_vacuum_fails_fast_with_named_error(spark, table):
     """Time travel to a vacuumed version must raise the NAMED error
     at txlog_read time — naming the missing files — not a raw
