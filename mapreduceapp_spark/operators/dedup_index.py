@@ -95,6 +95,20 @@ INDEX_ENTRIES_PER_BUCKET = 4_000_000
 INDEX_MIN_BUCKETS = 64
 INDEX_MAX_BUCKETS = 65_536
 
+# Rows per sigs/ data file. Directory pruning bottomed out at
+# min(n_cand, B)/B of sig bytes (uniform-random candidate ids touch
+# almost every bucket — index_probe_scaling_r10: a 1-doc probe read
+# 87% of sig bytes at B=64), so the r11 rung is POINT skipping below
+# the directory: files inside a bucket are doc_id-sorted contiguous
+# chunks of ≤ this many rows, their (lo, hi) ranges recorded in a
+# sig_files/ stats sidecar at build (the TxLog per-file-stats
+# pattern), and the probe scans exactly the files whose range holds a
+# candidate — sig bytes ∝ candidates, grid-limited only. ~16k rows ×
+# ~2-4 KB/row (sig + shingles arrays) ≈ 32-64 MB files — the healthy
+# scan unit; tests and the scaling script pass smaller values to make
+# the skipping observable at fixture scale.
+SIG_ROWS_PER_FILE = 16_384
+
 
 def index_bucket_count(n_docs: int) -> int:
     """Power-of-two directory count for an ``n_docs``-document
@@ -137,12 +151,38 @@ def _band_entries(sh: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def write_sig_file_stats(spark: SparkSession, path: str) -> int:
+    """Derive and persist the ``sig_files/`` stats sidecar — one
+    (path, sig_bucket, lo, hi) row per sigs/ data file — and return
+    the file count. Distributed, not a driver footer sweep: one
+    column-pruned pass over the thin doc_id column grouped by
+    ``input_file_name()`` (at corpus scale that is a metadata-cheap
+    scan; the heavy sig/sh columns are never touched). Split out so
+    the scaling script can re-derive stats after inflating sigs/."""
+    sig_scan = spark.read.parquet(os.path.join(path, "sigs"))
+    stats = (
+        sig_scan.select(
+            "doc_id", "sig_bucket", F.input_file_name().alias("path")
+        )
+        .groupBy("path", "sig_bucket")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "sig_files")
+    )
+    return spark.read.parquet(os.path.join(path, "sig_files")).count()
+
+
 def write_band_index(
-    spark: SparkSession, sf_dir: str, path: str, corpus_only: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    corpus_only: bool = True,
+    sig_rows_per_file: int = SIG_ROWS_PER_FILE,
 ) -> str:
     """Build and persist the corpus band index; returns ``path``.
 
-    Two tables under ``path``:
+    Three tables under ``path``:
     - ``bands/`` — (band_key, doc_id) partitioned by
       ``bucket = pmod(band_key, n_buckets)``, band_key-sorted
       within files (row-group pruning inside a directory). The cap is
@@ -153,10 +193,16 @@ def write_band_index(
     - ``sigs/`` — (doc_id, sig, sh), ONE row per document,
       partitioned by ``sig_bucket = pmod(doc_id, n_buckets)`` — the
       verification side every probe joins its candidates against.
-      Partitioning it matters as much as partitioning ``bands/``: an
-      unpartitioned sigs table is a full corpus-payload scan on EVERY
-      probe (arrays, the heavy bytes), which would quietly restore
-      the O(corpus)-per-batch cost the index exists to remove.
+      Within each bucket directory, files are doc_id-SORTED
+      contiguous chunks of ≤ ``sig_rows_per_file`` rows (each bucket
+      is written by exactly one task, so chunk ranges are disjoint) —
+      the point-skipping grid.
+    - ``sig_files/`` — the per-file (sig_bucket, lo, hi) doc-range
+      stats the probe prunes with. Directory pruning alone is
+      candidate-bound (min(n_cand, B)/B of sig bytes — 87% for a
+      1-doc probe at B=64, measured r10); with file stats the probe
+      reads only files whose range actually holds a candidate, so
+      sig bytes ∝ candidates.
     """
     from mapreduceapp_spark.sources.parquet import table_row_count
 
@@ -176,9 +222,6 @@ def write_band_index(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "bands"))
     )
-    os.makedirs(path, exist_ok=True)
-    with open(_meta_path(path), "w") as fh:
-        json.dump({"n_buckets": n_buckets, "sigs_partitioned": True}, fh)
     (
         sh.select("doc_id", "sig", "sh")
         .withColumn(
@@ -186,10 +229,25 @@ def write_band_index(
             F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"),
         )
         .repartition(n_buckets, "sig_bucket")
+        .sortWithinPartitions("sig_bucket", "doc_id")
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", sig_rows_per_file)
         .partitionBy("sig_bucket")
         .parquet(os.path.join(path, "sigs"))
     )
+    n_sig_files = write_sig_file_stats(spark, path)
+    os.makedirs(path, exist_ok=True)
+    with open(_meta_path(path), "w") as fh:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "sigs_partitioned": True,
+                "sig_files": True,
+                # plan-time bound for broadcasting the stats sidecar
+                "n_sig_files": n_sig_files,
+            },
+            fh,
+        )
     return path
 
 
@@ -201,6 +259,82 @@ def touched_buckets(probe_bands: DataFrame) -> list[int]:
     return sorted(
         r["bucket"] for r in probe_bands.select("bucket").distinct().collect()
     )
+
+
+def fetch_candidate_sigs(
+    spark: SparkSession, index_path: str, cand: DataFrame
+) -> tuple[DataFrame, int | None]:
+    """Pruned scan of the index's ``sigs/`` table for a candidate set
+    (any frame with a ``corpus_doc`` column): returns (sigs scan,
+    candidate row count) — the point-fetch primitive the probe (and
+    the scaling harness) builds on.
+
+    File-grain path (r11 indexes): one bounded job serves two plan
+    decisions — joining the candidates to the broadcast per-file
+    stats yields the exact file list to scan (→ sig bytes ∝
+    candidates) AND the candidate row count (→ the broadcast gate).
+    Bucket equality drives the hash join; the range containment is a
+    residual condition inside each bucket's handful of files, so the
+    match never degenerates to candidates × files.
+
+    Pre-r11 indexes (``sigs_partitioned`` only): directory pruning.
+    The per-bucket fold yields the candidate sig-partition list
+    (≤ n_buckets ints → the pruning literals) AND the candidate row
+    count. Without the explicit broadcast the caller applies with
+    that count, cand's post-mapInPandas stats are unknown and Spark
+    sort-merges — shuffling the corpus signature ARRAYS, the one
+    payload the probe exists to avoid moving (measured 30s vs 2s on
+    a 64×-inflated sf0.1 index). Pre-metadata indexes: full scan,
+    count unknown (None)."""
+    meta = index_meta(index_path)
+    n_buckets = meta["n_buckets"]
+    sigs_root = os.path.join(index_path, "sigs")
+    if meta.get("sig_files"):
+        stats = broadcast_if_small(
+            spark.read.parquet(os.path.join(index_path, "sig_files")),
+            meta.get("n_sig_files", 0),
+        )
+        cand_b = cand.withColumn(
+            "b", F.pmod(F.col("corpus_doc"), F.lit(n_buckets)).cast("int")
+        )
+        per_file = (
+            cand_b.join(
+                stats,
+                (cand_b["b"] == stats["sig_bucket"])
+                & cand_b["corpus_doc"].between(stats["lo"], stats["hi"]),
+                "left",
+            )
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        n_cand = sum(r["n"] for r in per_file)
+        files = sorted(r["path"] for r in per_file if r["path"] is not None)
+        if files:
+            sigs = spark.read.option("basePath", sigs_root).parquet(*files)
+        else:
+            sigs = spark.read.parquet(sigs_root).filter(F.lit(False))
+        return sigs.drop("sig_bucket"), n_cand
+    if meta.get("sigs_partitioned"):
+        sigs = spark.read.parquet(sigs_root)
+        per_bucket = (
+            cand.groupBy(
+                F.pmod(F.col("corpus_doc"), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sig_buckets = sorted(r["b"] for r in per_bucket)
+        n_cand = sum(r["n"] for r in per_bucket)
+        sigs = (
+            sigs.filter(F.col("sig_bucket").isin(sig_buckets))
+            if sig_buckets
+            else sigs.filter(F.lit(False))
+        ).drop("sig_bucket")
+        return sigs, n_cand
+    return spark.read.parquet(sigs_root), None
 
 
 def probe_band_index(
@@ -220,13 +354,22 @@ def probe_band_index(
     by the build-time bucket cap, so the sig joins carry candidate
     rows, never band fan-out × array bytes.
 
-    BOTH index scans are partition-pruned with plan-time literals:
-    the band scan by the batch's own bucket set (derivable before
-    touching the index), the sigs scan by the CANDIDATES' doc-id
-    buckets — which requires executing the (already-pruned, thin)
-    band join once to collect ≤ n_buckets ints. That second bounded
-    collect is what keeps the heavy side — corpus signature arrays —
-    at O(candidates) bytes per probe instead of O(corpus).
+    BOTH index scans are pruned with plan-time literals: the band
+    scan by the batch's own bucket set (a partition filter, derivable
+    before touching the index); the sigs scan — the heavy side, the
+    corpus signature ARRAYS — by per-FILE doc-range stats: the
+    candidates join the broadcast ``sig_files`` sidecar (bucket
+    equality + range containment, so the match cost is hash-join
+    linear, never candidates × files) and the probe scans exactly
+    the matched files. That makes sig bytes ∝ candidate count — the
+    r11 rung past directory pruning, whose floor was
+    min(n_cand, B)/B of sig bytes because uniform-random candidate
+    ids touch almost every bucket (87% for a 1-doc probe at B=64,
+    index_probe_scaling_r10). The matched-file collect is bounded by
+    min(n_candidates, n_sig_files) rows — the same quantity the scan
+    itself is proportional to. Pre-r11 indexes without the sidecar
+    fall back to directory pruning; pre-metadata indexes to a full
+    scan.
     """
     meta = index_meta(index_path)
     n_buckets = meta["n_buckets"]
@@ -250,32 +393,7 @@ def probe_band_index(
         .select("new_doc", "corpus_doc"),
         "probe_cand",
     )
-    sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
-    # one bounded job serves two plan decisions: the per-bucket fold
-    # yields the candidate sig-partition list (≤ n_buckets ints → the
-    # pruning literals) AND the candidate row count (→ the broadcast
-    # gate). Without the explicit broadcast, cand's post-mapInPandas
-    # stats are unknown and Spark sort-merges — shuffling the corpus
-    # signature ARRAYS, the one payload the probe exists to avoid
-    # moving (measured 30s vs 2s on a 64×-inflated sf0.1 index).
-    n_cand = None
-    if meta.get("sigs_partitioned"):
-        per_bucket = (
-            cand.groupBy(
-                F.pmod(F.col("corpus_doc"), F.lit(n_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        sig_buckets = sorted(r["b"] for r in per_bucket)
-        n_cand = sum(r["n"] for r in per_bucket)
-        sigs = (
-            sigs.filter(F.col("sig_bucket").isin(sig_buckets))
-            if sig_buckets
-            else sigs.filter(F.lit(False))
-        ).drop("sig_bucket")
+    sigs, n_cand = fetch_candidate_sigs(spark, index_path, cand)
     sig_c = sigs.select(
         F.col("doc_id").alias("corpus_doc"),
         F.col("sig").alias("sig_c"),
@@ -331,8 +449,8 @@ def _index_slot(spark: SparkSession, sf_dir: str) -> str:
     'corpus compaction' event — probes are the steady state)."""
     safe = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(staging_root(), f"band_index_{safe}")
-    # sigs/ is written last, so its _SUCCESS marks a complete index
-    marker = os.path.join(path, "sigs", "_SUCCESS")
+    # _meta.json is written last, so it marks a complete index
+    marker = _meta_path(path)
     if not (path.startswith(("hdfs://", "s3a://")) or os.path.exists(marker)):
         write_band_index(spark, sf_dir, path)
     return path

@@ -1354,12 +1354,15 @@ _PQ_DIST_SQL = """list_reduce(list_transform(generate_series(1, 8),
          * (list_slice({v}, c.m * 8 + 1, c.m * 8 + 8)[i] - c.cv[i])),
     (x, y) -> x + y)"""
 
-def _oracle_pq(limit: int) -> str:
-    return f"""
-        WITH p AS MATERIALIZED (
-            SELECT vec_id, {oracle_quantize('embedding')} AS qv
-            FROM embeddings
-        ),
+def _oracle_pq_ctes(src: str | None = None) -> str:
+    """The PQ oracle's CTE chain (p → kk → cent → codes → qd),
+    parameterized on the quantized source (vec_id, qv) so the
+    normalized and IVF+PQ variants reuse it verbatim."""
+    p_body = src or (
+        f"SELECT vec_id, {oracle_quantize('embedding')} AS qv "
+        f"FROM embeddings"
+    )
+    return f"""p AS MATERIALIZED ({p_body}),
         kk AS MATERIALIZED (
             SELECT greatest({PQ_MIN_K}, least({PQ_MAX_K},
                        CAST(floor(sqrt(count(*))) AS BIGINT))) AS k,
@@ -1392,7 +1395,12 @@ def _oracle_pq(limit: int) -> str:
             SELECT q.vec_id AS query_id, c.m, c.j,
                    {_PQ_DIST_SQL.format(v='q.qv')} AS d
             FROM p q, cent c WHERE q.{KNN_QUERY_PRED}
-        ),
+        )"""
+
+
+def _oracle_pq(limit: int, src: str | None = None) -> str:
+    return f"""
+        WITH {_oracle_pq_ctes(src)},
         adc AS MATERIALIZED (
             SELECT qd.query_id, codes.vec_id AS neighbor_id,
                    sum(qd.d) AS adc
@@ -1465,8 +1473,12 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # l2sq = sq_q + sq_n - 2*dot: every term int64 on the quantized grid,
 # so the ranking — and the emitted distance — is exact cross-engine
 # with no float anywhere.
-_ORACLE_KNN_L2 = f"""
-        WITH q AS ({_ORACLE_QUANTIZED}),
+def _oracle_knn_l2(src: str) -> str:
+    """Exact-L2-kNN oracle body over any (vec_id, qv, sq) source —
+    the default source is the quantized embeddings; the normalized
+    variant passes its re-quantized projection."""
+    return f"""
+        WITH q AS ({src}),
         pairs AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    a.sq + b.sq - 2 * list_dot_product(a.qv, b.qv) AS l2sq
@@ -1484,6 +1496,9 @@ _ORACLE_KNN_L2 = f"""
 """
 
 
+_ORACLE_KNN_L2 = _oracle_knn_l2(_ORACLE_QUANTIZED)
+
+
 @register(
     "q_knn_l2",
     oracle=_ORACLE_KNN_L2,
@@ -1496,8 +1511,13 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget guard; distances are pure int64 (sq_q + sq_n - 2·dot on
     the quantized grid), so even the emitted distance hash-matches.
     """
-    e = _quantized(spark, sf_dir)
-    guarded_q = _guarded_query_set(e, "q_knn_l2", "q_ann_ivf / q_pq_ann")
+    return _knn_l2_topk(_quantized(spark, sf_dir), "q_knn_l2")
+
+
+def _knn_l2_topk(e: DataFrame, guard_name: str) -> DataFrame:
+    """Exact top-k L2 over any (vec_id, qv, sq) frame — shared by
+    q_knn_l2 and the normalized ground-truth slot."""
+    guarded_q = _guarded_query_set(e, guard_name, "q_ann_ivf / q_pq_ann")
     scored = (
         F.broadcast(guarded_q)
         .join(e, F.col("vec_id") != F.col("query_id"))

@@ -1,5 +1,5 @@
-"""Band-index probe cost vs touched buckets — the winning regime
-measured (VERDICT r9 'Missing' #2 / ask #4).
+"""Band-index probe cost vs candidates — the winning regime measured
+(VERDICT r9 'Missing' #2 / ask #4; r10 'Next round' #1/#2).
 
 At sf0.1 the registered q_dedup_index_probe probes the FULL batch
 split, whose bands touch every bucket — that number pays the
@@ -9,12 +9,23 @@ overhead swamps any byte effect. This script measures the regime the
 index exists for — small probe, LARGE corpus index — by inflating
 the persisted index REPL× (band keys salted per replica so bucket
 occupancy stays uniform and the build-time cap is not re-triggered;
-signature payloads duplicated under shifted doc ids), then timing:
+signature payloads duplicated under shifted doc ids, re-chunked into
+doc_id-sorted SIG_FILE_ROWS-row files with a regenerated sig_files/
+stats sidecar), then timing:
 
-- pruned probes of 1/4/16 docs (bands partition-filtered by the
-  batch's bucket set, sigs by the candidates' doc-bucket set), vs
+- file-pruned probes of 1/4/16 docs (bands partition-filtered by the
+  batch's bucket set, sigs narrowed to exactly the files whose doc
+  range holds a candidate — the r11 point-skipping rung), vs
+- the same 1-doc probe with directory pruning ONLY (the r10 floor:
+  sig bytes = min(n_cand, B)/B of the corpus), vs
 - the same 1-doc probe with pruning DISABLED (both scans full) —
   the cost every probe would pay without the partitioned layout.
+
+Wall-clock trustworthiness (r10 'Next round' #2): every point runs
+behind bench.py's contamination sentinel (absolute-calibrated
+single-core probe + full-width 32-partition canary, wait-and-reprobe
+on a hot slot), so the artifact self-certifies whether its walls were
+taken in a calm window instead of leaning on a loadavg guess.
 
 Usage: ``python scripts/index_probe_scaling.py [sf_dir]``
 Writes ``index_probe_scaling_r{N}.json`` next to bench.py.
@@ -27,6 +38,7 @@ import json
 import os
 import sys
 import time
+from urllib.parse import urlparse
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -36,6 +48,9 @@ REPS = 5        # wall = min of REPS — steal windows on this host come
                 # min a better chance of landing in a calm gap
 REPL = 64       # index inflation factor
 DOC_SHIFT = 10_000_000_000
+SIG_FILE_ROWS = 512  # inflated-sigs chunk size: small enough that a
+                     # bucket holds many chunks at sf0.1×64, so the
+                     # file grid is visibly finer than the dir grid
 
 
 def _tree_bytes(path: str) -> int:
@@ -52,6 +67,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    import bench
     from mapreduceapp_spark.operators import dedup_index as DI
     from mapreduceapp_spark.operators.dedup import (
         INCR_BATCH_MOD,
@@ -111,11 +127,22 @@ def main() -> None:
     )
     (
         big_sigs.repartition(n_buckets, "sig_bucket")
-        .write.mode("overwrite").partitionBy("sig_bucket")
+        .sortWithinPartitions("sig_bucket", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", SIG_FILE_ROWS)
+        .partitionBy("sig_bucket")
         .parquet(os.path.join(big_idx, "sigs"))
     )
-    with open(os.path.join(big_idx, "_meta.json"), "w") as fh:
-        json.dump({"n_buckets": n_buckets, "sigs_partitioned": True}, fh)
+    n_sig_files = DI.write_sig_file_stats(spark, big_idx)
+
+    def _write_meta(**extra) -> None:
+        with open(os.path.join(big_idx, "_meta.json"), "w") as fh:
+            json.dump({"n_buckets": n_buckets, **extra}, fh)
+
+    META_FULL = dict(
+        sigs_partitioned=True, sig_files=True, n_sig_files=n_sig_files
+    )
+    _write_meta(**META_FULL)
     big_bands_bytes = _tree_bytes(os.path.join(big_idx, "bands"))
     big_sigs_bytes = _tree_bytes(os.path.join(big_idx, "sigs"))
 
@@ -133,46 +160,73 @@ def main() -> None:
                 total += os.path.getsize(f)
         return total
 
-    all_band_ids = list(range(n_buckets))
-
-    def measure(probe_sh, label: str) -> dict:
-        """Wall (noisy on this host — steal windows, see loadavg) plus
-        the DETERMINISTIC quantities: bytes living in the touched
-        directories on both index sides. The behavioral tests prove
-        untouched directories are never read, so touched-bytes IS the
-        probe's index IO ceiling."""
+    def measure(probe_sh, label: str, file_grain: bool = True) -> dict:
+        """Sentinel-guarded wall + the DETERMINISTIC quantities:
+        bytes in the touched band directories and bytes in the
+        matched sig files (read off the probe plan's own input-file
+        list). The behavioral tests prove unmatched files are never
+        read, so matched-bytes IS the probe's sigs IO."""
         bands = DI._band_entries(probe_sh, n_buckets)
         touched = DI.touched_buckets(bands)
-        # candidate sig buckets: re-derive the probe's own collect
+        probe_s, canary_s, hot = bench._probe_slot(spark, label)
+        walls, n_pairs = [], 0
+        plan = None
+        for _ in range(REPS):
+            t0 = time.monotonic()
+            plan = DI.probe_band_index(spark, big_idx, probe_sh)
+            n_pairs = plan.count()
+            walls.append(time.monotonic() - t0)
+        # inputFiles() is pre-partition-pruning, so it only equals the
+        # bytes actually read on the file-grain path (explicit file
+        # list); for the dir/no-prune controls the file metrics are
+        # not meaningful and are recorded as None
+        sig_files = [
+            urlparse(f).path for f in plan.inputFiles() if "/sigs/" in f
+        ] if file_grain else None
+        # candidate volume: distinct corpus docs the band join emits
         idx_thin = (
             spark.read.parquet(os.path.join(big_idx, "bands"))
             .filter(F.col("bucket").isin(touched))
             .select(F.col("doc_id").alias("corpus_doc"), "band_key")
         )
+        cand = bands.drop("bucket").join(idx_thin, "band_key")
+        n_cand_docs = cand.select("corpus_doc").distinct().count()
         sig_touched = [
             r["b"]
-            for r in bands.drop("bucket").join(idx_thin, "band_key")
-            .select(
+            for r in cand.select(
                 F.pmod(F.col("corpus_doc"), F.lit(n_buckets))
                 .cast("int").alias("b")
             ).distinct().collect()
         ]
-        walls, n_pairs = [], 0
-        for _ in range(REPS):
-            t0 = time.monotonic()
-            n_pairs = DI.probe_band_index(spark, big_idx, probe_sh).count()
-            walls.append(time.monotonic() - t0)
         bb = bucket_bytes("bands", "bucket", touched)
-        sb = bucket_bytes("sigs", "sig_bucket", sig_touched)
+        sb_dir = bucket_bytes("sigs", "sig_bucket", sig_touched)
+        sb_files = (
+            sum(os.path.getsize(f) for f in sig_files)
+            if sig_files is not None
+            else None
+        )
         point = {
             "label": label,
             "touched_band_buckets": len(touched),
             "touched_sig_buckets": len(sig_touched),
+            "cand_docs": n_cand_docs,
+            "matched_sig_files": (
+                len(sig_files) if sig_files is not None else None
+            ),
             "band_bytes_fraction": round(bb / max(big_bands_bytes, 1), 4),
-            "sig_bytes_fraction": round(sb / max(big_sigs_bytes, 1), 4),
+            "sig_dir_bytes_fraction": round(sb_dir / max(big_sigs_bytes, 1), 4),
+            "sig_file_bytes_fraction": (
+                round(sb_files / max(big_sigs_bytes, 1), 6)
+                if sb_files is not None
+                else None
+            ),
+            "sig_file_bytes": sb_files,
             "pairs": n_pairs,
             "wall_s": round(min(walls), 3),
             "walls": [round(w, 3) for w in walls],
+            "cpu_probe_s": probe_s,
+            "canary_s": canary_s,
+            "slot_contended": hot,
             "loadavg_after": round(os.getloadavg()[0], 2),
         }
         print(json.dumps(point))
@@ -188,31 +242,92 @@ def main() -> None:
         staged_batches[n_docs] = spark.read.parquet(bpath)
         points.append(measure(staged_batches[n_docs], f"pruned_{n_docs}doc"))
 
+    # ---- dir-prune control: 1-doc probe, directory pruning only ----
+    _write_meta(sigs_partitioned=True)
+    points.append(measure(staged_batches[1], "dirprune_1doc", file_grain=False))
+
     # ---- no-prune control: same 1-doc probe, full scans -------------
     real_touched = DI.touched_buckets
     try:
         DI.touched_buckets = lambda pb: list(range(n_buckets))
-        with open(os.path.join(big_idx, "_meta.json"), "w") as fh:
-            json.dump({"n_buckets": n_buckets}, fh)  # sigs unpruned
-        points.append(measure(staged_batches[1], "noprune_1doc"))
+        _write_meta()  # neither sigs pruning flag
+        points.append(
+            measure(staged_batches[1], "noprune_1doc", file_grain=False)
+        )
     finally:
         DI.touched_buckets = real_touched
-        with open(os.path.join(big_idx, "_meta.json"), "w") as fh:
-            json.dump({"n_buckets": n_buckets, "sigs_partitioned": True}, fh)
+        _write_meta(**META_FULL)
 
-    loads = [p["loadavg_after"] for p in points]
+    # ---- planted-candidate point-fetch curve ------------------------
+    # The probe points above inherit the inflation's locality: salted
+    # band keys collide only within rep 0, so every candidate lands in
+    # the first chunk of its bucket and the matched-file count
+    # saturates instead of growing. This section measures the sig
+    # fetch PRIMITIVE directly — candidate sets of 1..4096 docs drawn
+    # uniformly (deterministic xxhash order) across the WHOLE inflated
+    # doc space — which is the regime a real probe sees (dup partners
+    # live anywhere in the corpus). Expected: matched files ≈
+    # min(n_cand, n_sig_files), bytes ∝ candidates until the grid
+    # saturates — the 'sig bytes ∝ candidate count' deliverable.
+    fetch_points = []
+    big_sig_scan = spark.read.parquet(os.path.join(big_idx, "sigs"))
+    for n_c in (1, 16, 256, 4096):
+        ids = [
+            r["doc_id"]
+            for r in big_sig_scan.select("doc_id")
+            .orderBy(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_003)), "doc_id")
+            .limit(n_c)
+            .collect()
+        ]
+        cand_df = spark.createDataFrame(
+            [(i, 0) for i in ids], "corpus_doc long, new_doc long"
+        )
+        probe_s, canary_s, hot = bench._probe_slot(spark, f"fetch_{n_c}")
+        walls = []
+        for _ in range(REPS):
+            t0 = time.monotonic()
+            sigs_scan, n_cand = DI.fetch_candidate_sigs(
+                spark, big_idx, cand_df
+            )
+            # force the heavy column through the reader: count() alone
+            # would be served from parquet metadata
+            sigs_scan.agg(F.sum(F.size("sh"))).collect()
+            walls.append(time.monotonic() - t0)
+        files = [urlparse(f).path for f in sigs_scan.inputFiles()]
+        fb = sum(os.path.getsize(f) for f in files)
+        pt = {
+            "n_cand": n_c,
+            "matched_sig_files": len(files),
+            "sig_file_bytes": fb,
+            "sig_file_bytes_fraction": round(fb / max(big_sigs_bytes, 1), 6),
+            "wall_s": round(min(walls), 3),
+            "walls": [round(w, 3) for w in walls],
+            "cpu_probe_s": probe_s,
+            "canary_s": canary_s,
+            "slot_contended": hot,
+        }
+        print(json.dumps(pt))
+        fetch_points.append(pt)
+
     out = {
         "sf_dir": sf_dir,
         "n_buckets": n_buckets,
+        "n_sig_files": n_sig_files,
+        "sig_file_rows": SIG_FILE_ROWS,
         "repl": REPL,
         "index_build_s": round(build_s, 2),
         "big_bands_bytes": big_bands_bytes,
         "big_sigs_bytes": big_sigs_bytes,
         "reps": REPS,
-        # wall numbers are untrustworthy when the host was stealing
-        # cycles mid-run; byte fractions are deterministic either way
-        "host_contended": max(loads) > 4.0,
+        # wall numbers carry the bench sentinel's verdict per point;
+        # byte fractions are deterministic either way
+        "host_contended": any(
+            p["slot_contended"] for p in points + fetch_points
+        ),
+        "probe_calm_ref": bench.PROBE_CALM_REF,
+        "canary_calm_ref": bench.CANARY_CALM_REF,
         "points": points,
+        "fetch_points": fetch_points,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import re
