@@ -40,6 +40,8 @@ def test_every_query_builds_lazily(spark, sf_dir):
               # share the exact-L2 result via the knn_l2_topk slot and
               # the staged PQ code table via the pq_codes slot
               "q_pq_ann", "q_pq_recall", "q_pq_rerank_recall",
+              # same slots over the normalized / IVF-composed lineage
+              "q_pq_recall_normalized", "q_ivfpq_recall",
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
               "q_dedup_index_probe",
@@ -103,7 +105,10 @@ def test_bench_subset_is_registered():
 # rotation; add round-11 registrations to this set. BUDGET: at most
 # 9 new names this round, or the r8-stale group loses window slots —
 # test_three_window_union_covers_registry enforces the consequence.)
-_NEW_SINCE_ROTATION: set[str] = set()
+_NEW_SINCE_ROTATION: set[str] = {
+    "q_pq_recall_normalized",  # r11: normalized PQ recall (ask #4)
+    "q_ivfpq_recall",          # r11: IVF+PQ composition (ask #3)
+}
 
 
 def test_check_rotation_covers_registry_exactly():

@@ -565,3 +565,59 @@ def test_pq_code_is_argmin_of_subspace_distances(spark, sf_dir):
     for vid in (1, 7, 13):
         for m in range(PQ_M):
             assert got[(vid, m)] == code(vid, m), (vid, m)
+
+
+def test_normalized_and_ivfpq_oracle(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    for name in ("q_pq_recall_normalized", "q_ivfpq_recall"):
+        assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_normalized_vectors_are_unit_on_the_grid(spark, sf_dir):
+    """Every normalized vector's squared norm must sit within the
+    rounding band of NORM_SCALE²: per-element rounding error ≤ 0.5,
+    so |sq − S²| ≤ dim·S + dim/4 ≈ 64·S (loose bound). Also pins that
+    the row count is preserved (footer-derived codebook constants
+    depend on it)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.operators.similarity import (
+        NORM_SCALE,
+        _normalized,
+        _quantized,
+    )
+
+    e_n = _normalized(spark, sf_dir)
+    n0 = _quantized(spark, sf_dir).count()
+    stats = e_n.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("sq") - NORM_SCALE * NORM_SCALE)).alias("dev"),
+    ).collect()[0]
+    assert stats["n"] == n0
+    assert stats["dev"] <= 64 * NORM_SCALE + 16
+
+
+def test_ivfpq_recall_bounded_by_pq(spark, sf_dir):
+    """IVF+PQ scores a SUBSET of PQ's candidates (only probed cells),
+    so per query its hit count can never exceed raw PQ's... is false
+    in general (ADC ties at the top-k boundary can resolve
+    differently when the candidate set shrinks) — but the SUM over
+    the fixture queries must stay within one boundary swap, and both
+    must stay within [0, k]. The tight claim that IS invariant:
+    every IVF+PQ result pair is a (query, neighbor) PQ could also
+    have scored — neighbor's cell was probed."""
+    from mapreduceapp_spark.operators.similarity import KNN_K
+    from mapreduceapp_spark.plans.registry import get_query
+
+    pq = {
+        r.query_id: r.n_hit
+        for r in get_query("q_pq_recall").builder(spark, sf_dir).collect()
+    }
+    comp = {
+        r.query_id: r.n_hit
+        for r in get_query("q_ivfpq_recall").builder(spark, sf_dir).collect()
+    }
+    assert set(pq) == set(comp) and pq
+    assert all(0 <= v <= KNN_K for v in comp.values())
+    assert sum(comp.values()) <= sum(pq.values()) + 1
