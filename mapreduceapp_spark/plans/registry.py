@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "mapreduceapp_spark.plans.progress",
     "mapreduceapp_spark.operators.dedup",
     "mapreduceapp_spark.operators.dedup_index",
+    "mapreduceapp_spark.operators.winnow_index",
     "mapreduceapp_spark.operators.similarity",
     "mapreduceapp_spark.operators.multimodal",
     "mapreduceapp_spark.operators.mapreduce",
