@@ -879,28 +879,36 @@ def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the held-out probe split, with the distinct-fingerprint overlap
     count — q_contamination's substring-robust twin.
 
-    Scale shape mirrors q_contamination exactly: the probe side is
-    benchmark-sized, its distinct fingerprints stage once (static
-    benchmark, churning corpus) and BROADCAST; the corpus side is a
-    map-only fingerprint derivation (array HOFs in codegen, explode
-    only the selected ~2/(W+1) density) into a broadcast hash join —
-    corpus fingerprints never shuffle, only matches reach the
-    aggregation exchange. No df cap on this one: the probe is tiny,
-    so join fan-out is bounded by the PROBE's fingerprint set, and a
+    r11 plan (VERDICT r10 'Wrong' #2): BOTH sides now come off the
+    PERSISTED fingerprint index (operators/winnow_index.py) — the
+    char-gram kernel, formerly this query's entire 4.26 s cost, runs
+    once per corpus compaction, not per decontamination pass. The
+    probe split's distinct fingerprints stage once (static benchmark,
+    churning corpus) and BROADCAST, size-gated by the stage write's
+    own footer count; the corpus side is a PARTITION-PRUNED index
+    read (only the probe fingerprints' buckets are scanned) into the
+    broadcast hash join — corpus fingerprints never shuffle, only
+    matches reach the aggregation exchange. No df cap on this one:
+    join fan-out is bounded by the PROBE's fingerprint set, and a
     boilerplate fingerprint shared with the probe IS contamination
     evidence for exactly the run the guarantee covers."""
+    from mapreduceapp_spark.operators.winnow_index import (
+        _index_slot,
+        probe_winnow_index,
+        read_winnow_index,
+    )
     from mapreduceapp_spark.plans.hints import broadcast_if_small
     from mapreduceapp_spark.plans.staging import stage, staged_row_count
 
-    d = tables(spark, sf_dir).documents
+    idx_path = _index_slot(spark, sf_dir)
+    idx = read_winnow_index(spark, idx_path)
     probe = stage(
-        winnow_fingerprints(
-            d.filter(F.col("doc_id") % _WINNOW_PROBE_MOD == 0)
-        ).select("fp").distinct(),
+        idx.filter(F.col("doc_id") % _WINNOW_PROBE_MOD == 0)
+        .select("fp").distinct(),
         "winnow_probe_fps",
     )
-    corpus = winnow_fingerprints(
-        d.filter(F.col("doc_id") % _WINNOW_PROBE_MOD != 0)
+    corpus = probe_winnow_index(spark, idx_path, probe).filter(
+        F.col("doc_id") % _WINNOW_PROBE_MOD != 0
     )
     # the broadcast is size-GATED, not assumed: the stage write's own
     # footers measure the probe fingerprint set for free, so a

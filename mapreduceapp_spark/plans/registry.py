@@ -159,7 +159,9 @@ _CHECK_ROTATION = [
     "q_text_normalize", "q_tumbling_window", "q_txlog_delete_travel",
     "q_txlog_incremental_agg", "q_udf_quality", "q_union_all", "q_unpivot",
     "q_user_totals", "q_window_rank", "q_window_running", "q_winnowing",
-    "q_winnowing_contamination",
+    # q_winnowing_contamination: REMOVED r11 — re-planned onto the
+    # persisted fingerprint index, so it re-verifies like a brand-new
+    # query (front of the window) despite unchanged semantics.
 ]
 
 

@@ -45,8 +45,9 @@ def test_every_query_builds_lazily(spark, sf_dir):
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
               "q_dedup_index_probe",
-              # builds (or reuses) the persisted winnow fingerprint index
-              "q_winnowing_indexed",
+              # build (or reuse) the persisted winnow fingerprint index
+              # (+ contamination also stages the probe fp set)
+              "q_winnowing_indexed", "q_winnowing_contamination",
               # stage the shared co-purchase edge/out-edge slots
               "q_copurchase_triangles", "q_pagerank",
               # build (or reuse) the two-version txlog demo table;
@@ -111,6 +112,9 @@ _NEW_SINCE_ROTATION: set[str] = {
     "q_pq_recall_normalized",  # r11: normalized PQ recall (ask #4)
     "q_ivfpq_recall",          # r11: IVF+PQ composition (ask #3)
     "q_winnowing_indexed",     # r11: persisted winnow index (ask #6)
+    # re-planned onto the persisted index this round (same oracle,
+    # same rows) — re-verifies like brand-new by convention
+    "q_winnowing_contamination",
 }
 
 
