@@ -99,6 +99,13 @@ DEFAULT_QUERIES = [
     "q_pq_ann", "q_pq_rerank_recall",
     "q_heavy_hitters_by_group", "q_quantile_rollup",
     "q_txlog_incremental_agg",
+    # round 11: the persisted winnow index (build amortized into the
+    # first call, later calls are probes over thin persisted ints —
+    # q_winnowing_indexed AFTER q_winnowing_contamination shares the
+    # slot, so its time is the marginal capped self-join), the IVF+PQ
+    # composition and normalized-PQ recall (share the staged codes/
+    # knn slots with the PQ family where lineage allows)
+    "q_winnowing_indexed", "q_ivfpq_recall", "q_pq_recall_normalized",
 ]
 
 
