@@ -201,3 +201,76 @@ def indexed_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def winnow_screen_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_stream: DataFrame,
+    index_path: str,
+    collector,
+    checkpoint: str,
+):
+    """Substring-level ingest screen — the winnowing twin of
+    :func:`indexed_ingest_dedup`, giving the streaming path the
+    verbatim-run detector its MinHash screen cannot provide (MinHash
+    sees token-shingle Jaccard; winnowing guarantees any shared run
+    ≥ WINNOW_K + WINNOW_W − 1 chars is caught).
+
+    Each micro-batch derives its OWN winnowing fingerprints — a
+    map-only array-HOF pass over batch bytes only — and probes the
+    PERSISTED corpus fingerprint index
+    (operators/winnow_index.py) with partition pruning: the batch's
+    fingerprint buckets collect as plan-time literals, so corpus
+    index bytes read scale with the batch, never the corpus (the
+    indexed_ingest_dedup argument, at the substring level). The
+    corpus side applies the stored df cap (boilerplate fingerprints
+    carry no dedup signal and fan out quadratically); emitted rows
+    are (corpus_doc, new_doc, shared_fps) pairs with shared_fps ≥
+    WINNOW_MIN_SHARED — q_winnowing's threshold semantics across the
+    batch/corpus split.
+
+    ``collector(pairs_df, epoch_id)`` receives each batch's pairs;
+    a doc appears in exactly one micro-batch, so pair keys never
+    recur across batches. Returns the started ``StreamingQuery``
+    (availableNow trigger)."""
+    from mapreduceapp_spark.operators.text import (
+        WINNOW_DF_CAP,
+        WINNOW_MIN_SHARED,
+        winnow_fingerprints,
+    )
+    from mapreduceapp_spark.operators.winnow_index import (
+        probe_winnow_index,
+    )
+
+    def _screen(bdf: DataFrame, epoch_id: int) -> None:
+        # staged so the probe's bucket collect and the join read the
+        # same materialized fingerprint bytes instead of re-running
+        # the char-gram kernel (per-batch slot: lineage embeds the
+        # batch)
+        bfps = stage(
+            winnow_fingerprints(bdf).select(
+                F.col("doc_id").alias("new_doc"), "fp"
+            ),
+            "winnow_batch_fps",
+        )
+        corpus = (
+            probe_winnow_index(spark, index_path, bfps)
+            .filter(F.col("df") <= WINNOW_DF_CAP)
+            .select(F.col("doc_id").alias("corpus_doc"), "fp")
+        )
+        pairs = (
+            corpus.join(bfps, "fp")
+            .filter(F.col("corpus_doc") != F.col("new_doc"))
+            .groupBy("corpus_doc", "new_doc")
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        )
+        collector(pairs, epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -117,3 +117,60 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
         map(tuple, probe_winnow_index(spark, path, probe_fps).collect())
     )
     assert after == before
+
+
+def test_winnow_screen_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Drain a doc split through the streaming substring screen in
+    multiple micro-batches; the union of emitted pairs must equal the
+    same screen computed in one batch pass over the same inputs
+    (batch ≡ stream, the incremental-dedup convention)."""
+    from mapreduceapp_spark.operators.text import (
+        WINNOW_DF_CAP,
+        WINNOW_MIN_SHARED,
+        winnow_fingerprints,
+    )
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.streaming.probe import winnow_screen_stream
+
+    idx = str(tmp_path / "winnow_index")
+    write_winnow_index(spark, sf_dir, idx)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    src_dir = str(tmp_path / "docs_stream")
+    batch.repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    got: list = []
+    epochs: set = set()
+
+    def collect(pairs, epoch_id):
+        epochs.add(epoch_id)
+        got.extend(tuple(r) for r in pairs.collect())
+
+    q = winnow_screen_stream(
+        spark, sf_dir, stream, idx, collect, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert len(epochs) > 1  # genuinely multi-batch
+    bfps = winnow_fingerprints(batch).select(
+        F.col("doc_id").alias("new_doc"), "fp"
+    )
+    corpus = (
+        read_winnow_index(spark, idx)
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select(F.col("doc_id").alias("corpus_doc"), "fp")
+    )
+    want = [
+        tuple(r)
+        for r in corpus.join(bfps, "fp")
+        .filter(F.col("corpus_doc") != F.col("new_doc"))
+        .groupBy("corpus_doc", "new_doc")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0
