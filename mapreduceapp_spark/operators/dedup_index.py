@@ -290,10 +290,21 @@ def fetch_candidate_sigs(
     n_buckets = meta["n_buckets"]
     sigs_root = os.path.join(index_path, "sigs")
     if meta.get("sig_files"):
-        stats = broadcast_if_small(
-            spark.read.parquet(os.path.join(index_path, "sig_files")),
-            meta.get("n_sig_files", 0),
-        )
+        from mapreduceapp_spark.sources.parquet import _footer_row_count
+
+        # size the sidecar broadcast from meta, falling back to the
+        # sidecar's own footers (driver-side metadata, zero jobs),
+        # then to one count job over the thin sidecar — never encode
+        # "unknown" as "fits" (the ADVICE r10 pq_ann class)
+        stats_df = spark.read.parquet(os.path.join(index_path, "sig_files"))
+        n_files = meta.get("n_sig_files")
+        if n_files is None:
+            n_files = _footer_row_count(
+                os.path.join(index_path, "sig_files")
+            )
+        if n_files is None:
+            n_files = stats_df.count()
+        stats = broadcast_if_small(stats_df, n_files)
         cand_b = cand.withColumn(
             "b", F.pmod(F.col("corpus_doc"), F.lit(n_buckets)).cast("int")
         )

@@ -213,48 +213,73 @@ def main() -> None:
     # on the shared host, and a single end-of-run probe missed a
     # mid-run throttle window entirely — so the probe runs PER QUERY,
     # annotating each wall time with the host speed of its moment)
-    from bench import _cpu_probe, next_round
+    from bench import PROBE_CALM_REF, _cpu_probe, _probe_slot, next_round
 
     import threading
 
     timings: dict[str, float | str] = {}
     probes: dict[str, dict] = {}
+    retried: dict[str, list[float]] = {}
     for name in names:
-        # probe DURING the query, not just before it: a point sample
-        # misses mid-query throttle windows (observed: a 32 s
-        # q_contamination right after a 0.10 s calm probe). A daemon
-        # thread re-runs the fixed workload once a second while the
-        # query executes; min≈calm speed, max≈worst throttle, so
-        # wall_time x (min_probe / mean_probe) estimates calm-host
-        # time. One busy core of 32 skews Spark ≤3%.
-        samples: list[float] = []
-        stop = threading.Event()
+        # Two defenses (the r11 lesson: the r11 first rehearsal ran
+        # concurrent with a pytest sweep and a second pass still hit
+        # roaming wide-steal windows the single-core probe is blind
+        # to):
+        # 1. bench._probe_slot BEFORE the slot — absolute-calibrated
+        #    single-core probe + full-width 32-partition canary with
+        #    wait-and-reprobe, so a slot doesn't even start during a
+        #    visible steal window;
+        # 2. probe DURING the query (daemon sampler, 1 Hz): a point
+        #    sample misses mid-query throttle windows (observed: a
+        #    32 s q_contamination right after a 0.10 s calm probe).
+        #    If the during-run samples went hot, the query re-runs
+        #    ONCE after a fresh calm-wait and the min wall is kept —
+        #    both walls stay in the record under "retried".
+        def run_once(q) -> tuple[float, dict]:
+            samples: list[float] = []
+            stop = threading.Event()
 
-        def sampler():
-            while not stop.is_set():
-                samples.append(_cpu_probe())
-                stop.wait(1.0)
+            def sampler():
+                while not stop.is_set():
+                    samples.append(_cpu_probe())
+                    stop.wait(1.0)
 
-        th = threading.Thread(target=sampler, daemon=True)
-        th.start()
+            th = threading.Thread(target=sampler, daemon=True)
+            th.start()
+            try:
+                t0 = time.perf_counter()
+                q.builder(spark, OUT_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                wall = round(time.perf_counter() - t0, 2)
+            finally:
+                stop.set()
+                th.join(timeout=2)
+            stats = {
+                "n": len(samples),
+                "min": round(min(samples), 4) if samples else None,
+                "mean": (
+                    round(sum(samples) / len(samples), 4) if samples else None
+                ),
+                "max": round(max(samples), 4) if samples else None,
+            }
+            return wall, stats
+
         try:
             q = get_query(name)
-            t0 = time.perf_counter()
-            q.builder(spark, OUT_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t0, 2)
+            _probe_slot(spark, name)
+            wall, stats = run_once(q)
+            if stats["mean"] and stats["mean"] > 2 * PROBE_CALM_REF:
+                _probe_slot(spark, f"{name}:retry")
+                wall2, stats2 = run_once(q)
+                retried[name] = [wall, wall2]
+                if wall2 < wall:
+                    wall, stats = wall2, stats2
+            timings[name] = wall
+            probes[name] = stats
         except Exception as e:  # noqa: BLE001 — harness boundary
             timings[name] = f"{type(e).__name__}: {e}"[:200]
-        finally:
-            stop.set()
-            th.join(timeout=2)
-        probes[name] = {
-            "n": len(samples),
-            "min": round(min(samples), 4) if samples else None,
-            "mean": round(sum(samples) / len(samples), 4) if samples else None,
-            "max": round(max(samples), 4) if samples else None,
-        }
+            probes[name] = {}
         print(
             f"{name}: {timings[name]} (probe {probes[name]})", file=sys.stderr
         )
@@ -263,6 +288,8 @@ def main() -> None:
     out["candidates"] = candidate_growth(spark)
     out["cpu_probes"] = probes  # per-query sampled {n,min,mean,max}
     out["cpu_probe_sec"] = _cpu_probe()
+    if retried:
+        out["retried"] = retried  # hot-slot reruns; min kept in queries
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(
