@@ -269,7 +269,7 @@ def main() -> None:
             q = get_query(name)
             _probe_slot(spark, name)
             wall, stats = run_once(q)
-            if stats["mean"] and stats["mean"] > 2 * PROBE_CALM_REF:
+            if stats["mean"] and stats["mean"] > 1.4 * PROBE_CALM_REF:
                 _probe_slot(spark, f"{name}:retry")
                 wall2, stats2 = run_once(q)
                 retried[name] = [wall, wall2]
