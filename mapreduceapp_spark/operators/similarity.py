@@ -1991,3 +1991,263 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries_bound=n // 100 + 1,
     )
     return _recall_vs(stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), approx)
+
+
+# ------------------------------------------------- residual IVF+PQ
+
+def ivfpq_residual_ann(
+    e: DataFrame,
+    ivf_stride: int,
+    k_cent: int,
+    pq_stride: int,
+    k: int = KNN_K,
+    nprobe: int = IVF_NPROBE,
+    n_queries_bound: int | None = None,
+) -> DataFrame:
+    """True IVFADC (Jégou et al., TPAMI 2011 §III-C): PQ codebooks
+    trained on RESIDUALS (vector − its cell centroid) instead of raw
+    vectors — the variant deployments actually run, because residual
+    magnitudes are a fraction of vector magnitudes, so the same
+    codebook budget quantizes a much smaller cube and ADC error
+    drops. The classic obstacle to oracle-checking it is the trained
+    per-cell codebooks; here the engine's stride-sampling convention
+    applies verbatim to the residual TABLE (sample rows vec_id %
+    stride = 0 of the residuals, which are themselves exact int64
+    differences), so the whole pipeline stays integer-exact and
+    SQL-expressible.
+
+    Deltas vs :func:`ivfpq_ann` (same assign/probe stages):
+    - residuals: rv = qv − c_qv(assigned cell), elementwise int64.
+    - codebook + codes over rv (same _pq_* machinery, staged).
+    - the distance table is PER (query, probed cell): the query's
+      residual against THAT cell feeds the lookup — Q × nprobe × M ×
+      K rows, still a broadcast (gate scaled by nprobe).
+    - a candidate's ADC joins on (query, ITS cell, m, code): each
+      vector lives in exactly one cell, so no pair duplication.
+    """
+    from mapreduceapp_spark.operators.clustering import _gemm_assign
+
+    cents = _centroids(e, ivf_stride)
+    assigned = _gemm_assign(
+        e.select("vec_id", F.col("qv").alias("x"), "sq"),
+        cents.select(
+            F.col("cent_id").alias("cid"),
+            F.col("c_qv").alias("cx"),
+            F.col("c_sq").alias("csq"),
+        ),
+        "int",
+    ).select("vec_id", "x", F.col("cid").alias("cluster"))
+    cents_b = F.broadcast(
+        cents.select(F.col("cent_id").alias("cluster"), "c_qv")
+    )
+    resid = assigned.join(cents_b, "cluster").select(
+        "vec_id",
+        "cluster",
+        F.zip_with("x", "c_qv", lambda a, b: a - b).alias("qv"),
+    )
+    cent_m = _pq_centroid_slices(
+        resid.select("vec_id", "qv"), k_cent, pq_stride
+    )
+    codes = _pq_codes(resid.select("vec_id", "qv"), cent_m)
+    probes = _gemm_probe_topm(
+        e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2"
+    ).select("query_id", "q_qv", "probe")
+    rq = probes.join(
+        F.broadcast(cents.select(F.col("cent_id").alias("probe"), "c_qv")),
+        "probe",
+    ).select(
+        "query_id",
+        "probe",
+        F.zip_with("q_qv", "c_qv", lambda a, b: a - b).alias("rq"),
+    )
+    n_queries = (
+        probes.select("query_id").distinct().count()
+        if n_queries_bound is None
+        else n_queries_bound
+    )
+    dtab = broadcast_if_small(
+        rq.crossJoin(F.broadcast(cent_m)).select(
+            F.col("query_id").alias("d_query_id"),
+            F.col("probe").alias("d_probe"),
+            "m",
+            "j",
+            _pq_sub_dist(F.col("rq"), F.col("m")).alias("d"),
+        ),
+        n_queries * nprobe * PQ_M * k_cent,
+    )
+    cand = (
+        F.broadcast(probes.select("query_id", "probe"))
+        .join(
+            assigned.select("vec_id", "cluster"),
+            (F.col("cluster") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "probe", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(codes, cand["neighbor_id"] == codes["vec_id"])
+        .join(
+            dtab,
+            (F.col("d_query_id") == F.col("query_id"))
+            & (F.col("d_probe") == F.col("probe"))
+            & (dtab["m"] == codes["m"])
+            & (dtab["j"] == codes["code"]),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adc")
+    )
+
+
+_RESID_SQL = (
+    "list_transform(generate_series(1, 64), i -> {v}.qv[i] - {c}.c_qv[i])"
+)
+
+_ORACLE_IVFPQ_RESIDUAL_APPROX = f"""
+        WITH {_oracle_pq_ctes()},
+        p2 AS MATERIALIZED (
+            SELECT vec_id, qv, list_dot_product(qv, qv) AS sq FROM p
+        ),
+        ist AS (
+            SELECT greatest({IVF_MIN_STRIDE},
+                       CAST(floor(sqrt(count(*))) AS BIGINT)) AS s
+            FROM p2
+        ),
+        icent AS MATERIALIZED (
+            SELECT vec_id AS cent_id, qv AS c_qv, sq AS c_sq
+            FROM p2, ist WHERE vec_id % s = {IVF_OFFSET}
+        ),
+        assigned AS MATERIALIZED (
+            SELECT vec_id, cent_id AS cluster FROM (
+                SELECT v.vec_id, c.cent_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY v.sq + c.c_sq
+                                    - 2 * list_dot_product(v.qv, c.c_qv),
+                                    c.cent_id) AS rn
+                FROM p2 v, icent c
+            ) WHERE rn = 1
+        ),
+        resid AS MATERIALIZED (
+            SELECT a.vec_id, {_RESID_SQL.format(v='v', c='c')} AS qv
+            FROM assigned a
+            JOIN p2 v ON v.vec_id = a.vec_id
+            JOIN icent c ON c.cent_id = a.cluster
+        ),
+        rcent0 AS MATERIALIZED (
+            SELECT vec_id, qv,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS j
+            FROM resid, kk WHERE vec_id % stride = 0
+        ),
+        rcent AS MATERIALIZED (
+            SELECT m, j, list_slice(qv, m * 8 + 1, m * 8 + 8) AS cv
+            FROM (SELECT * FROM rcent0, kk WHERE j < k),
+                 (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+        ),
+        rcodes AS MATERIALIZED (
+            SELECT vec_id, m, j AS code FROM (
+                SELECT r.vec_id, c.m, c.j,
+                       row_number() OVER (
+                           PARTITION BY r.vec_id, c.m
+                           ORDER BY {_PQ_DIST_SQL.format(v='r.qv')}, c.j
+                       ) AS rn
+                FROM resid r, rcent c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, cent_id AS probe FROM (
+                SELECT q.vec_id AS query_id, c.cent_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY q.sq + c.c_sq
+                                    - 2 * list_dot_product(q.qv, c.c_qv),
+                                    c.cent_id) AS rn
+                FROM p2 q, icent c WHERE q.{KNN_QUERY_PRED}
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        rqv AS MATERIALIZED (
+            SELECT pr.query_id, pr.probe,
+                   {_RESID_SQL.format(v='q', c='c')} AS qv
+            FROM probes pr
+            JOIN p2 q ON q.vec_id = pr.query_id
+            JOIN icent c ON c.cent_id = pr.probe
+        ),
+        rqd AS MATERIALIZED (
+            SELECT rqv.query_id, rqv.probe, c.m, c.j,
+                   {_PQ_DIST_SQL.format(v='rqv.qv')} AS d
+            FROM rqv, rcent c
+        ),
+        cand AS (
+            SELECT pr.query_id, pr.probe, a.vec_id AS neighbor_id
+            FROM probes pr JOIN assigned a ON a.cluster = pr.probe
+            WHERE a.vec_id <> pr.query_id
+        ),
+        radc AS (
+            SELECT cd.query_id, cd.neighbor_id, sum(q.d) AS adc
+            FROM cand cd
+            JOIN rcodes ON rcodes.vec_id = cd.neighbor_id
+            JOIN rqd q ON q.query_id = cd.query_id
+                      AND q.probe = cd.probe
+                      AND q.m = rcodes.m AND q.j = rcodes.code
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rnk
+            FROM radc
+        ) WHERE rnk <= {KNN_K}
+"""
+
+
+@register(
+    "q_ivfpq_residual_recall",
+    oracle=f"""
+        WITH exact AS ({_ORACLE_KNN_L2}),
+        approx AS ({_ORACLE_IVFPQ_RESIDUAL_APPROX}),
+        hits AS (
+            SELECT e.query_id, count(a.neighbor_id) AS n_hit
+            FROM exact e LEFT JOIN approx a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT query_id,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / {KNN_K}.0, 4) AS recall_at_k
+        FROM hits
+    """,
+    doc="Residual IVF+PQ (true IVFADC): PQ codebooks over exact "
+    "integer residuals (vector - cell centroid), per-(query, cell) "
+    "distance tables — the deployed corpus-scale shape, fully "
+    "oracle-checked via stride-sampled residual codebooks (C3).",
+)
+def q_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of residual IVFADC vs the exact L2 slot — completes
+    the ANN ladder's top rung: raw-code IVF+PQ (q_ivfpq_recall) vs
+    this residual variant published side by side shows what residual
+    quantization buys at the same codebook budget.
+
+    Honest finding (the q_pq_recall_normalized convention): on THIS
+    fixture residual recall is parity-to-slightly-below raw
+    (0.18/0.20 vs 0.20/0.26 at sf0.001/0.01) — isotropic
+    uniform-random vectors give stride-sampled cells almost no
+    variance to absorb, so residual magnitudes ≈ vector magnitudes
+    and the residual codebook buys nothing. The machinery is the
+    deliverable: on real clustered embeddings (low intrinsic
+    dimension) cells absorb most of the norm and residual ADC is the
+    standard win — and this plan computes it oracle-checked."""
+    e = _quantized(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    approx = ivfpq_residual_ann(
+        e,
+        _ivf_stride(n),
+        _pq_k(n),
+        max(1, n // _pq_k(n)),
+        n_queries_bound=n // 100 + 1,
+    )
+    return _recall_vs(stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), approx)

@@ -106,6 +106,7 @@ DEFAULT_QUERIES = [
     # composition and normalized-PQ recall (share the staged codes/
     # knn slots with the PQ family where lineage allows)
     "q_winnowing_indexed", "q_ivfpq_recall", "q_pq_recall_normalized",
+    "q_ivfpq_residual_recall",
 ]
 
 

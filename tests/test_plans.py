@@ -206,6 +206,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "q_pq_rerank_recall", # consumes q_pq_ann + q_knn_l2 plans
         "q_pq_recall_normalized",  # same slots, normalized lineage
         "q_ivfpq_recall",     # centroid-slice broadcast + guard join
+        "q_ivfpq_residual_recall",  # same class, residual lineage
     }
     for name, builder in all_queries().items():
         if name in skip:

@@ -42,6 +42,7 @@ def test_every_query_builds_lazily(spark, sf_dir):
               "q_pq_ann", "q_pq_recall", "q_pq_rerank_recall",
               # same slots over the normalized / IVF-composed lineage
               "q_pq_recall_normalized", "q_ivfpq_recall",
+              "q_ivfpq_residual_recall",
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
               "q_dedup_index_probe",
@@ -115,6 +116,7 @@ _NEW_SINCE_ROTATION: set[str] = {
     # re-planned onto the persisted index this round (same oracle,
     # same rows) — re-verifies like brand-new by convention
     "q_winnowing_contamination",
+    "q_ivfpq_residual_recall",  # r11: residual IVFADC rung
 }
 
 

@@ -621,3 +621,26 @@ def test_ivfpq_recall_bounded_by_pq(spark, sf_dir):
     assert set(pq) == set(comp) and pq
     assert all(0 <= v <= KNN_K for v in comp.values())
     assert sum(comp.values()) <= sum(pq.values()) + 1
+
+
+def test_ivfpq_residual_oracle_and_candidate_parity(spark, sf_dir):
+    """Residual IVFADC matches its oracle, and — since assign/probe
+    are identical to the raw-code composition — both variants score
+    the SAME candidate pairs; only the ADC values differ."""
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(spark, "q_ivfpq_residual_recall", sf_dir)
+    from mapreduceapp_spark.operators.similarity import KNN_K
+    from mapreduceapp_spark.plans.registry import get_query
+
+    res = {
+        r.query_id: r.n_hit
+        for r in get_query("q_ivfpq_residual_recall")
+        .builder(spark, sf_dir).collect()
+    }
+    raw = {
+        r.query_id: r.n_hit
+        for r in get_query("q_ivfpq_recall").builder(spark, sf_dir).collect()
+    }
+    assert set(res) == set(raw) and res
+    assert all(0 <= v <= KNN_K for v in res.values())
