@@ -211,6 +211,47 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
             "probe_docs": n_probe_docs,
         }
 
+        # substring-level ingest screen (r11): winnowing fingerprints
+        # per micro-batch probed against the persisted corpus
+        # fingerprint index, partition-pruned — the verbatim-run
+        # detector MinHash cannot provide
+        from mapreduceapp_spark.operators.winnow_index import (
+            write_winnow_index,
+        )
+        from mapreduceapp_spark.streaming.probe import winnow_screen_stream
+
+        widx_path = f"{work}/winnow_index"
+        t_build = time.perf_counter()
+        write_winnow_index(spark, sf_dir, widx_path)
+        wbuild_sec = round(time.perf_counter() - t_build, 2)
+        wout = {"n": 0, "batches": 0}
+
+        def _wcollect(pairs, _epoch):
+            wout["n"] += pairs.count()
+            wout["batches"] += 1
+
+        probe_src3 = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+        )
+        t0 = time.perf_counter()
+        q = winnow_screen_stream(
+            spark, sf_dir, probe_src3, widx_path, _wcollect,
+            f"{work}/ckpt_winnow",
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        results["ingest_winnow_screen"] = {
+            "batches": wout["batches"],
+            "input_rows": n_probe_docs,
+            "output_rows": wout["n"],
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n_probe_docs / wall),
+            "index_build_sec": wbuild_sec,
+            "probe_docs": n_probe_docs,
+        }
+
         # curated ingest into the TxLog table: map-only quality +
         # scrub per batch, exactly-once (app, batch_id) appends — one
         # txlog version per micro-batch
