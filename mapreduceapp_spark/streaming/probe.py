@@ -244,15 +244,15 @@ def winnow_screen_stream(
     )
 
     def _screen(bdf: DataFrame, epoch_id: int) -> None:
-        # staged so the probe's bucket collect and the join read the
-        # same materialized fingerprint bytes instead of re-running
-        # the char-gram kernel (per-batch slot: lineage embeds the
-        # batch)
-        bfps = stage(
-            winnow_fingerprints(bdf).select(
-                F.col("doc_id").alias("new_doc"), "fp"
-            ),
-            "winnow_batch_fps",
+        # NOT staged: a stage() slot per micro-batch accumulates on
+        # the staging disk for the stream's whole life (each batch's
+        # lineage hashes differently — the unbounded-growth class the
+        # engine avoids everywhere else). The batch fingerprints
+        # derive twice instead — once for the probe's bucket collect,
+        # once in the join — both map-only passes over ONE
+        # micro-batch's bytes, bounded and stateless.
+        bfps = winnow_fingerprints(bdf).select(
+            F.col("doc_id").alias("new_doc"), "fp"
         )
         corpus = (
             probe_winnow_index(spark, index_path, bfps)
