@@ -397,3 +397,49 @@ def test_temperature_resample_target_law(spark, counts):
         si = int(r.source[1:])
         assert r.n_source == counts[si]
         assert r.target_k == min(counts[si], budget * w[r.source] // w_total)
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.integers(min_value=-(10**4), max_value=10**4),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@SETTINGS
+def test_quantile_rollup_exact_median_law(spark, tmp_path_factory, groups):
+    """The r11 rank-based two-pass exact median (histogram locates
+    the bucket, a residual sort inside it picks the order statistic)
+    must equal the directly computed discrete lower median — per
+    group AND for the __ALL__ rollup — on arbitrary integer-valued
+    tables (gaps, duplicates, negatives, single-element groups)."""
+    from mapreduceapp_spark.plans.registry import get_query
+
+    td = str(tmp_path_factory.mktemp("qr"))
+    rows = []
+    eid = 0
+    for gi, vs in enumerate(groups):
+        for v in vs:
+            rows.append((eid, f"g{gi}", 77, float(v)))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, value double"
+    ).write.mode("overwrite").parquet(f"{td}/events.parquet")
+    got = {
+        r.event_type: r.exact_median_cents
+        for r in get_query("q_quantile_rollup").builder(spark, td).collect()
+    }
+
+    def lower_median(vals):
+        s = sorted(round(v * 100) for v in vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for gi, vs in enumerate(groups):
+        assert got[f"g{gi}"] == lower_median(vs), (gi, vs)
+    assert got["__ALL__"] == lower_median(
+        [v for vs in groups for v in vs]
+    )
