@@ -104,20 +104,13 @@ def test_bench_subset_is_registered():
 # Redefined queries (schema/semantics changed since their last driver
 # row) are deliberately REMOVED from the rotation so they re-check
 # like brand-new queries; list them here too.
-# (rotation regenerated at the start of round 11 from the r08/r09/r10
-# artifacts — every name registered through round 10 is in the
-# rotation; add round-11 registrations to this set. BUDGET: at most
-# 9 new names this round, or the r8-stale group loses window slots —
+# (rotation regenerated at the start of round 12 from the r09/r10/r11
+# artifacts — every name registered through round 11 is in the
+# rotation; add round-12 registrations to this set. BUDGET: at most
+# 4 new names this round (46 r09-stale names + 4 = 50), or the
+# r9-stale group loses window slots —
 # test_three_window_union_covers_registry enforces the consequence.)
-_NEW_SINCE_ROTATION: set[str] = {
-    "q_pq_recall_normalized",  # r11: normalized PQ recall (ask #4)
-    "q_ivfpq_recall",          # r11: IVF+PQ composition (ask #3)
-    "q_winnowing_indexed",     # r11: persisted winnow index (ask #6)
-    # re-planned onto the persisted index this round (same oracle,
-    # same rows) — re-verifies like brand-new by convention
-    "q_winnowing_contamination",
-    "q_ivfpq_residual_recall",  # r11: residual IVFADC rung
-}
+_NEW_SINCE_ROTATION: set[str] = set()
 
 
 def test_check_rotation_covers_registry_exactly():
@@ -151,44 +144,44 @@ def _driver_window_names(round_no: int) -> set[str]:
 
 def test_three_window_union_covers_registry():
     """Full-registry freshness within 3 rounds (VERDICT r9 ask #3):
-    the union of the last TWO driver windows (CORRECTNESS_r09/r10,
+    the union of the last TWO driver windows (CORRECTNESS_r10/r11,
     read from the recorded artifacts) and the UPCOMING window (first
     50 of the current order) must cover the whole registry — so
-    CORRECTNESS_r11 ∪ r10 ∪ r09 covers all registered names. With
-    141 names, 50+50 recorded + 50 upcoming leaves slack of 9; the
-    round-11 registration budget is that slack (every brand-new name
-    auto-sorts to the window front, displacing an r8-stale name
+    CORRECTNESS_r12 ∪ r11 ∪ r10 covers all registered names. With
+    145 names, 50+49 recorded + 50 upcoming leaves slack of 4; the
+    round-12 registration budget is that slack (every brand-new name
+    auto-sorts to the window front, displacing an r9-stale name
     one-for-one once the budget is exceeded — this test is the
     guard)."""
     registry = set(all_queries())
-    covered = _driver_window_names(9) | _driver_window_names(10)
+    covered = _driver_window_names(10) | _driver_window_names(11)
     upcoming = set(list(all_queries())[:_DRIVER_WINDOW])
     uncovered = registry - covered - upcoming
     assert not uncovered, (
-        f"names whose r11 evidence would be 3+ rounds stale: "
+        f"names whose r12 evidence would be 3+ rounds stale: "
         f"{sorted(uncovered)}"
     )
 
 
 def test_stalest_queries_lead_the_window():
-    """Priority order inside the upcoming (round-11) window:
+    """Priority order inside the upcoming (round-12) window:
     brand-new / redefined queries first (no trustworthy driver row),
-    then the 41 names whose freshest row is round 8 (the structural
-    tail of 141 names over a 50-slot window), then round-9-checked
-    names. No round-10-fresh name may occupy a slot while a staler
+    then the 46 names whose freshest row is round 9 (the structural
+    tail of 145 names over a 50-slot window), then round-10-checked
+    names. No round-11-fresh name may occupy a slot while a staler
     candidate overflows."""
     order = list(all_queries())
     window = set(order[:_DRIVER_WINDOW])
-    last = _driver_window_names(10)
+    last = _driver_window_names(11)
     fresh_in_window = (window & last) - _NEW_SINCE_ROTATION
     overflow = (set(order) - last) - window
     if overflow:
-        # a round-10-fresh name in the window while stale names
+        # a round-11-fresh name in the window while stale names
         # overflow would mean the rotation is mis-ordered
         assert not fresh_in_window, sorted(fresh_in_window)
-    # every r8-stale name (no r9/r10 row) must re-check in round 11
-    r8_stale = set(order) - last - _driver_window_names(9)
-    r8_stale = {n for n in r8_stale if n in _driver_window_names(8)}
-    assert r8_stale <= window, sorted(r8_stale - window)
+    # every r9-stale name (no r10/r11 row) must re-check in round 12
+    r9_stale = set(order) - last - _driver_window_names(10)
+    r9_stale = {n for n in r9_stale if n in _driver_window_names(9)}
+    assert r9_stale <= window, sorted(r9_stale - window)
     for name in _NEW_SINCE_ROTATION & set(order):
         assert name in window, f"redefined/new {name} missed the window"
