@@ -649,25 +649,37 @@ def heavy_hitters_by_group(
     k x partitions x HH_MAX_GROUPS — plan-time, gate-able — because
     the sketch HARD-ENFORCES the group-cardinality premise.
 
-    Cardinality surprises DEGRADE, not fail (VERDICT r10 ask #8): one
-    cheap 1-row agg (the house stats pattern) checks the premise up
-    front, and past HH_MAX_GROUPS the call auto-routes to the plain
-    exact groupBy plan — which IS the right plan at that cardinality
-    (the per-group sketch only pays off while counters fit). The
-    in-sketch ValueError stays as the mapInPandas backstop; it can
-    only fire if the data mutates between the check and the scan."""
+    Cardinality surprises DEGRADE, not fail (VERDICT r10 ask #8): a
+    CAPPED distinct probe (``distinct().limit(HH_MAX_GROUPS + 1)`` on
+    the thin group column — ADVICE r11: the original full
+    ``countDistinct`` re-scanned every column of df on every call,
+    doubling the passes for exactly the well-behaved inputs the
+    sketch exists for) checks the premise up front, and past
+    HH_MAX_GROUPS the call auto-routes to the plain exact groupBy
+    plan — which IS the right plan at that cardinality (the per-group
+    sketch only pays off while counters fit). When the probe returns
+    ≤ HH_MAX_GROUPS rows the limit was never reached, so its length
+    is the EXACT group cardinality. The in-sketch ValueError stays as
+    the mapInPandas backstop; it can only fire if the data mutates
+    between the check and the scan."""
     import pandas as pd
 
-    n_groups = df.agg(F.countDistinct(group).alias("_g")).collect()[0][0]
-    if n_groups > HH_MAX_GROUPS:
+    probe = (
+        df.select(group).distinct().limit(HH_MAX_GROUPS + 1).collect()
+    )
+    if len(probe) > HH_MAX_GROUPS:
         counts = (
             df.select(group, key)
             .groupBy(group, key)
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         totals = df.groupBy(group).agg(F.count(F.lit(1)).alias("_n_g"))
+        # cardinality is known only to exceed the cap — measure the
+        # thin 2-column agg once rather than encode unknown as "fits"
+        # (rare branch; the measured count feeds the gate exactly)
+        totals = broadcast_if_small(totals, totals.count())
         return (
-            counts.join(broadcast_if_small(totals, n_groups), group)
+            counts.join(totals, group)
             .filter(F.col("cnt") * phi_inv >= F.col("_n_g"))
             .select(group, key, "cnt")
         )

@@ -158,11 +158,28 @@ def write_sig_file_stats(spark: SparkSession, path: str) -> int:
     column-pruned pass over the thin doc_id column grouped by
     ``input_file_name()`` (at corpus scale that is a metadata-cheap
     scan; the heavy sig/sh columns are never touched). Split out so
-    the scaling script can re-derive stats after inflating sigs/."""
+    the scaling script can re-derive stats after inflating sigs/.
+
+    Paths are stored RELATIVE to the ``sigs/`` root (ADVICE r11): an
+    index directory is a durable per-compaction asset that may be
+    moved, copied, or re-mounted (the remote hdfs://s3a slots in
+    ``_index_slot`` contemplate exactly that), and a sidecar of
+    absolute ``input_file_name()`` URIs would probe the OLD location
+    after any such move — failing if it is gone, silently reading
+    stale data if it survives. The relative form is rejoined to the
+    CURRENT index root at read time in :func:`fetch_candidate_sigs`.
+    Split on the LAST ``/sigs/`` occurrence: below the root the only
+    path segments are ``sig_bucket=N/part-*.parquet``, which cannot
+    contain it, so a ``/sigs/`` higher up in the mount path cannot
+    corrupt the split."""
     sig_scan = spark.read.parquet(os.path.join(path, "sigs"))
     stats = (
         sig_scan.select(
-            "doc_id", "sig_bucket", F.input_file_name().alias("path")
+            "doc_id",
+            "sig_bucket",
+            F.element_at(
+                F.split(F.input_file_name(), "/sigs/"), -1
+            ).alias("path"),
         )
         .groupBy("path", "sig_bucket")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
@@ -261,6 +278,47 @@ def touched_buckets(probe_bands: DataFrame) -> list[int]:
     )
 
 
+# The sidecar-stats join is an extra bounded job; it pays for itself
+# only while the file grid is meaningfully finer than the directory
+# grid. At or below this many files per bucket the matched-file list
+# and the matched-directory list are (near-)identical, so the probe
+# routes to directory pruning instead — the VERDICT r11 regime gate
+# (q_dedup_index_probe regressed 1.38 → 1.65 s calm paying a stats
+# job that bought nothing at fixture scale, where every bucket holds
+# exactly one sigs file). The corpus-scale regime (millions of files,
+# thousands per bucket) keeps the sidecar path.
+SIDECAR_MIN_FILES_PER_BUCKET = 2
+
+# Bounded-literal cap for pushing the candidate doc ids into the sigs
+# scan as a parquet predicate (same driver-literal class as
+# touched_buckets). Files are doc_id-sorted, so the pushed filter
+# prunes at PAGE/row-group grain via parquet column statistics —
+# the skipping rung BELOW the file grid (VERDICT r11 ask #5: the r11
+# fetch curve saturates when candidates touch every file; inside a
+# matched file this predicate is what keeps decoded bytes ∝
+# candidates). Above the cap the IN-list would bloat the plan; the
+# file/directory grain already bounds the scan there.
+DOC_PUSH_CAP = 4096
+
+
+def _push_doc_filter(sigs: DataFrame, cand: DataFrame, n_cand: int) -> DataFrame:
+    """Push the candidate doc ids into the sigs scan when the set is
+    small enough to be a plan literal — page-level skipping inside
+    matched files (doc_id-sorted ⇒ tight column stats). Semantics-
+    preserving: every consumer joins sigs back to the candidate set,
+    so restricting the scan to candidate ids drops only rows the join
+    would drop. ``cand`` is staged by the probe, so the distinct
+    collect is one small job over thin staged bytes, bounded by
+    ``n_cand`` ≤ DOC_PUSH_CAP rows."""
+    if not 0 < n_cand <= DOC_PUSH_CAP:
+        return sigs
+    ids = [
+        r["corpus_doc"]
+        for r in cand.select("corpus_doc").distinct().collect()
+    ]
+    return sigs.filter(F.col("doc_id").isin(ids))
+
+
 def fetch_candidate_sigs(
     spark: SparkSession, index_path: str, cand: DataFrame
 ) -> tuple[DataFrame, int | None]:
@@ -269,41 +327,56 @@ def fetch_candidate_sigs(
     candidate row count) — the point-fetch primitive the probe (and
     the scaling harness) builds on.
 
-    File-grain path (r11 indexes): one bounded job serves two plan
-    decisions — joining the candidates to the broadcast per-file
-    stats yields the exact file list to scan (→ sig bytes ∝
-    candidates) AND the candidate row count (→ the broadcast gate).
-    Bucket equality drives the hash join; the range containment is a
-    residual condition inside each bucket's handful of files, so the
-    match never degenerates to candidates × files.
+    File-grain path (r11+ indexes whose grid is finer than the
+    directory grid — see SIDECAR_MIN_FILES_PER_BUCKET): one bounded
+    job serves two plan decisions — joining the candidates to the
+    broadcast per-file stats yields the exact file list to scan
+    (→ sig bytes ∝ candidates) AND the candidate row count (→ the
+    broadcast gate). Bucket equality drives the hash join; the range
+    containment is a residual condition inside each bucket's handful
+    of files, so the match never degenerates to candidates × files.
+    Sidecar paths are stored relative to ``sigs/`` and rejoined to
+    the CURRENT root here, so a moved/copied index probes itself,
+    never its birthplace (ADVICE r11); absolute paths from a pre-r12
+    sidecar are recognized and used as-is.
 
-    Pre-r11 indexes (``sigs_partitioned`` only): directory pruning.
-    The per-bucket fold yields the candidate sig-partition list
+    Directory-pruning path (pre-r11 ``sigs_partitioned`` indexes, and
+    any index whose file grid is no finer than its buckets): the
+    per-bucket fold yields the candidate sig-partition list
     (≤ n_buckets ints → the pruning literals) AND the candidate row
     count. Without the explicit broadcast the caller applies with
     that count, cand's post-mapInPandas stats are unknown and Spark
     sort-merges — shuffling the corpus signature ARRAYS, the one
     payload the probe exists to avoid moving (measured 30s vs 2s on
     a 64×-inflated sf0.1 index). Pre-metadata indexes: full scan,
-    count unknown (None)."""
+    count unknown (None).
+
+    BOTH pruned paths additionally push the candidate doc ids into
+    the parquet scan when the set is a bounded literal
+    (``DOC_PUSH_CAP``) — page-grain skipping below whichever grid
+    chose the files."""
     meta = index_meta(index_path)
     n_buckets = meta["n_buckets"]
     sigs_root = os.path.join(index_path, "sigs")
-    if meta.get("sig_files"):
+    n_files = meta.get("n_sig_files")
+    if meta.get("sig_files") and n_files is None:
         from mapreduceapp_spark.sources.parquet import _footer_row_count
 
         # size the sidecar broadcast from meta, falling back to the
         # sidecar's own footers (driver-side metadata, zero jobs),
         # then to one count job over the thin sidecar — never encode
         # "unknown" as "fits" (the ADVICE r10 pq_ann class)
-        stats_df = spark.read.parquet(os.path.join(index_path, "sig_files"))
-        n_files = meta.get("n_sig_files")
+        n_files = _footer_row_count(os.path.join(index_path, "sig_files"))
         if n_files is None:
-            n_files = _footer_row_count(
+            n_files = spark.read.parquet(
                 os.path.join(index_path, "sig_files")
-            )
-        if n_files is None:
-            n_files = stats_df.count()
+            ).count()
+    use_sidecar = (
+        meta.get("sig_files")
+        and n_files > SIDECAR_MIN_FILES_PER_BUCKET * n_buckets
+    )
+    if use_sidecar:
+        stats_df = spark.read.parquet(os.path.join(index_path, "sig_files"))
         stats = broadcast_if_small(stats_df, n_files)
         cand_b = cand.withColumn(
             "b", F.pmod(F.col("corpus_doc"), F.lit(n_buckets)).cast("int")
@@ -320,12 +393,18 @@ def fetch_candidate_sigs(
             .collect()
         )
         n_cand = sum(r["n"] for r in per_file)
-        files = sorted(r["path"] for r in per_file if r["path"] is not None)
+        files = sorted(
+            r["path"]
+            if ("://" in r["path"] or r["path"].startswith("/"))
+            else os.path.join(sigs_root, r["path"])
+            for r in per_file
+            if r["path"] is not None
+        )
         if files:
             sigs = spark.read.option("basePath", sigs_root).parquet(*files)
         else:
             sigs = spark.read.parquet(sigs_root).filter(F.lit(False))
-        return sigs.drop("sig_bucket"), n_cand
+        return _push_doc_filter(sigs.drop("sig_bucket"), cand, n_cand), n_cand
     if meta.get("sigs_partitioned"):
         sigs = spark.read.parquet(sigs_root)
         per_bucket = (
@@ -344,7 +423,7 @@ def fetch_candidate_sigs(
             if sig_buckets
             else sigs.filter(F.lit(False))
         ).drop("sig_bucket")
-        return sigs, n_cand
+        return _push_doc_filter(sigs, cand, n_cand), n_cand
     return spark.read.parquet(sigs_root), None
 
 
@@ -460,9 +539,19 @@ def _index_slot(spark: SparkSession, sf_dir: str) -> str:
     'corpus compaction' event — probes are the steady state)."""
     safe = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(staging_root(), f"band_index_{safe}")
-    # _meta.json is written last, so it marks a complete index
-    marker = _meta_path(path)
-    if not (path.startswith(("hdfs://", "s3a://")) or os.path.exists(marker)):
+    # Completeness = _meta.json AND sigs/_SUCCESS (ADVICE r11): in the
+    # current layout _meta.json is written last, but PRE-r11 builds
+    # wrote it BEFORE the sigs/ table — a slot left by such a build
+    # that crashed mid-sigs-write has the meta marker and a torn sigs
+    # table, and a meta-only check would serve it forever (probes
+    # silently missing every pair whose sig rows are absent). Spark's
+    # committer writes sigs/_SUCCESS only when the sigs job finished,
+    # so requiring both accepts exactly the slots where every table
+    # completed, whichever order their build used.
+    complete = os.path.exists(_meta_path(path)) and os.path.exists(
+        os.path.join(path, "sigs", "_SUCCESS")
+    )
+    if not (path.startswith(("hdfs://", "s3a://")) or complete):
         write_band_index(spark, sf_dir, path)
     return path
 

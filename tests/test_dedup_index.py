@@ -77,14 +77,18 @@ def test_index_layout(spark, sf_dir, tmp_path):
 def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
     """The scale contract: a probe's index scan must carry a
     partition filter on the touched buckets — planning-time directory
-    pruning, not a full-index read with a post-filter."""
+    pruning, not a full-index read with a post-filter. Built with a
+    tiny sig_rows_per_file so the file grid is finer than the
+    directory grid and the sidecar path stays engaged (the r12 regime
+    gate routes a coarse grid to directory pruning — covered by
+    test_fetch_regime_gate)."""
     from mapreduceapp_spark.operators.dedup import (
         _doc_shingles_with_minhash,
     )
     from mapreduceapp_spark.plans.staging import stage
 
     path = str(tmp_path / "band_index")
-    write_band_index(spark, sf_dir, path)
+    write_band_index(spark, sf_dir, path, sig_rows_per_file=2)
     sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
     # one-document batch: touches ≤16 band keys → ≤16 buckets
     one = sh.orderBy("doc_id").limit(1)
@@ -117,7 +121,9 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
         "corpus_doc"
     )
     stats = spark.read.parquet(os.path.join(path, "sig_files"))
-    matched_files = {
+    # sidecar paths are RELATIVE to sigs/ (ADVICE r11 — a moved index
+    # must probe its current location); rejoin for the comparison
+    matched_rel = {
         r["path"]
         for r in cand.withColumn(
             "b", F.pmod(F.col("corpus_doc"), F.lit(nb)).cast("int")
@@ -131,13 +137,20 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
         .distinct()
         .collect()
     }
+    assert all(not p.startswith(("/", "file:")) for p in matched_rel)
+    from urllib.parse import urlparse
+
+    matched_files = {
+        os.path.join(path, "sigs", rel) for rel in matched_rel
+    }
     probe_sig_files = {
-        f for f in probe.inputFiles() if "/sigs/" in f
+        urlparse(f).path for f in probe.inputFiles() if "/sigs/" in f
     }
     assert probe_sig_files == matched_files
     # and file pruning is strictly finer than reading all of sigs/
     all_sig_files = {
-        f for f in spark.read.parquet(os.path.join(path, "sigs")).inputFiles()
+        urlparse(f).path
+        for f in spark.read.parquet(os.path.join(path, "sigs")).inputFiles()
     }
     assert matched_files < all_sig_files
     # Behavioral proof that unmatched files are dead weight: delete
@@ -145,7 +158,6 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
     # file the stats join does NOT match — the result is unchanged.
     before = sorted(map(tuple, probe.collect()))
     import shutil
-    from urllib.parse import urlparse
 
     removed = 0
     bands_dir = os.path.join(path, "bands")
@@ -154,7 +166,7 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
             shutil.rmtree(os.path.join(bands_dir, d))
             removed += 1
     assert removed > 0  # sf0.001 populates most of the 64 buckets
-    matched_local = {urlparse(f).path for f in matched_files}
+    matched_local = matched_files
     removed_sigs = 0
     sigs_dir = os.path.join(path, "sigs")
     for root, _, files in os.walk(sigs_dir):
@@ -217,6 +229,100 @@ def test_sig_bytes_proportional_to_candidates(spark, sf_dir, tmp_path):
     # byte footprint is a strict subset of the directory-level read
     assert 0 < len(sig_files) <= len(cand_docs)
     assert file_bytes < bucket_bytes
+
+
+def test_fetch_regime_gate_and_point_push(spark, sf_dir, tmp_path):
+    """r12 regime gate (VERDICT r11 ask #4) + page-grain point push
+    (ask #5). A default-built fixture index has exactly one sigs file
+    per bucket — a file grid no finer than the directory grid, where
+    the sidecar-stats job is a pure extra job (q_dedup_index_probe
+    paid 1.38 → 1.65 s calm for it in r11). fetch_candidate_sigs must
+    route such an index to directory pruning; a fine grid keeps the
+    sidecar matched-file path; and BOTH regimes push the candidate
+    doc ids into the parquet scan (files are doc_id-sorted, so the
+    pushed predicate skips at page/row-group grain below whichever
+    grid chose the files)."""
+    from urllib.parse import urlparse
+
+    from mapreduceapp_spark.operators.dedup_index import (
+        SIDECAR_MIN_FILES_PER_BUCKET,
+        fetch_candidate_sigs,
+    )
+
+    coarse = str(tmp_path / "idx_coarse")
+    write_band_index(spark, sf_dir, coarse)
+    meta = index_meta(coarse)
+    assert (
+        meta["n_sig_files"]
+        <= SIDECAR_MIN_FILES_PER_BUCKET * meta["n_buckets"]
+    )
+    doc = (
+        spark.read.parquet(os.path.join(coarse, "sigs"))
+        .select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    )
+    cand = spark.createDataFrame([(int(doc),)], "corpus_doc bigint")
+    sigs, n_cand = fetch_candidate_sigs(spark, coarse, cand)
+    assert n_cand == 1
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    # directory pruning: a partition filter on sig_bucket is in the
+    # plan (the sidecar path instead enumerates matched files)
+    assert any(
+        "sig_bucket" in seg[:300]
+        for seg in plan.split("PartitionFilters")[1:]
+    ), plan
+    # the candidate doc id is pushed into the parquet scan
+    assert any(
+        "doc_id" in seg[:300] for seg in plan.split("PushedFilters")[1:]
+    ), plan
+    got = sigs.select("doc_id").collect()
+    assert [r["doc_id"] for r in got] == [doc]
+
+    fine = str(tmp_path / "idx_fine")
+    write_band_index(spark, sf_dir, fine, sig_rows_per_file=2)
+    meta_f = index_meta(fine)
+    assert (
+        meta_f["n_sig_files"]
+        > SIDECAR_MIN_FILES_PER_BUCKET * meta_f["n_buckets"]
+    )
+    sigs_f, n_cand_f = fetch_candidate_sigs(spark, fine, cand)
+    assert n_cand_f == 1
+    # sidecar path: the scan is an explicit matched-file list — one
+    # ≤2-row chunk for a single candidate — with the doc id pushed
+    files = {urlparse(f).path for f in sigs_f.inputFiles()}
+    assert len(files) == 1
+    plan_f = sigs_f._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "doc_id" in seg[:300] for seg in plan_f.split("PushedFilters")[1:]
+    ), plan_f
+    assert [r["doc_id"] for r in sigs_f.select("doc_id").collect()] == [doc]
+
+
+def test_index_survives_relocation(spark, sf_dir, tmp_path):
+    """ADVICE r11 (medium): the sidecar must not pin absolute paths.
+    Build a fine-grid index (sidecar path engaged), probe it, MOVE
+    the whole index directory, and probe again at the new location —
+    identical rows, no reads of the old path (it is gone)."""
+    import shutil
+
+    from mapreduceapp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+        _doc_shingles_with_minhash,
+    )
+    from mapreduceapp_spark.plans.staging import stage
+
+    src = str(tmp_path / "idx_orig")
+    dst = str(tmp_path / "idx_moved")
+    write_band_index(spark, sf_dir, src, sig_rows_per_file=2)
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    batch = sh.filter(
+        (F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
+    )
+    before = sorted(map(tuple, probe_band_index(spark, src, batch).collect()))
+    shutil.move(src, dst)
+    after = sorted(map(tuple, probe_band_index(spark, dst, batch).collect()))
+    assert after == before
+    assert len(after) > 0
 
 
 def test_probe_of_empty_batch_is_empty(spark, sf_dir, tmp_path):

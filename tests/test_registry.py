@@ -43,6 +43,10 @@ def test_every_query_builds_lazily(spark, sf_dir):
               # same slots over the normalized / IVF-composed lineage
               "q_pq_recall_normalized", "q_ivfpq_recall",
               "q_ivfpq_residual_recall",
+              # same slots over the anisotropic-fixture lineage
+              # (knn_l2_aniso_topk / knn_l2_aniso_norm_topk + pq_codes)
+              "q_pq_recall_aniso", "q_pq_recall_normalized_aniso",
+              "q_ivfpq_recall_aniso", "q_ivfpq_residual_recall_aniso",
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
               "q_dedup_index_probe",
@@ -110,7 +114,14 @@ def test_bench_subset_is_registered():
 # 4 new names this round (46 r09-stale names + 4 = 50), or the
 # r9-stale group loses window slots —
 # test_three_window_union_covers_registry enforces the consequence.)
-_NEW_SINCE_ROTATION: set[str] = set()
+_NEW_SINCE_ROTATION: set[str] = {
+    # r12: the rankable ANN ladder on the deterministic anisotropic
+    # fixture (VERDICT r11 ask #1) — exactly the 4-slot budget
+    "q_pq_recall_aniso",
+    "q_pq_recall_normalized_aniso",
+    "q_ivfpq_recall_aniso",
+    "q_ivfpq_residual_recall_aniso",
+}
 
 
 def test_check_rotation_covers_registry_exactly():
