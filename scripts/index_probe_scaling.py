@@ -48,9 +48,15 @@ REPS = 5        # wall = min of REPS — steal windows on this host come
                 # min a better chance of landing in a calm gap
 REPL = 64       # index inflation factor
 DOC_SHIFT = 10_000_000_000
-SIG_FILE_ROWS = 512  # inflated-sigs chunk size: small enough that a
+SIG_FILE_ROWS = 128  # inflated-sigs chunk size: small enough that a
                      # bucket holds many chunks at sf0.1×64, so the
-                     # file grid is visibly finer than the dir grid
+                     # file grid is visibly finer than the dir grid.
+                     # r12: 512 → 128 (VERDICT r11 ask #5) — the r11
+                     # fetch curve saturated at its 512-file grid
+                     # (the 4096-candidate point read 99% of bytes);
+                     # a 4× finer grid shows the curve holding past
+                     # that depth (4096 uniform candidates now touch
+                     # ~1−e^-2 ≈ 86% of files, not all of them)
 
 
 def _tree_bytes(path: str) -> int:
@@ -271,7 +277,7 @@ def main() -> None:
     # saturates — the 'sig bytes ∝ candidate count' deliverable.
     fetch_points = []
     big_sig_scan = spark.read.parquet(os.path.join(big_idx, "sigs"))
-    for n_c in (1, 16, 256, 4096):
+    for n_c in (1, 16, 64, 256, 1024, 4096):
         ids = [
             r["doc_id"]
             for r in big_sig_scan.select("doc_id")
@@ -297,6 +303,11 @@ def main() -> None:
         fb = sum(os.path.getsize(f) for f in files)
         pt = {
             "n_cand": n_c,
+            # r12: candidate ids ≤ DOC_PUSH_CAP also ride the scan as
+            # a pushed parquet predicate (page-grain skipping INSIDE
+            # matched files) — byte metrics below are file-grain and
+            # therefore an UPPER bound on decoded bytes when true
+            "doc_push": n_c <= DI.DOC_PUSH_CAP,
             "matched_sig_files": len(files),
             "sig_file_bytes": fb,
             "sig_file_bytes_fraction": round(fb / max(big_sigs_bytes, 1), 6),

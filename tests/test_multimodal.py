@@ -755,3 +755,38 @@ def test_decode_frames_strict_raises(spark):
 
     with pytest.raises(MediaDecodeUnavailable):
         decode_frames(b"xx", strict=True)
+
+
+def test_jpeg_arithmetic_is_a_documented_boundary():
+    """Arithmetic-coded JPEG (SOF9) is a PERMANENT PIL-delegation
+    boundary (VERDICT r11 #8; rationale in the _decode_jpeg
+    docstring: a stdlib QM coder could only be validated against
+    itself in this container). Pins the provenance contract: the
+    stdlib branch declines (never mis-decodes the QM entropy stream
+    as Huffman), and the payload surfaces as `pil` where PIL can
+    decode it, `fake` otherwise — with strict mode raising when no
+    real decoder is installed."""
+    import pytest
+
+    from mapreduceapp_spark.operators.multimodal import (
+        MediaDecodeUnavailable,
+        _decode_jpeg,
+        decode_media,
+    )
+
+    arith = _jpeg_bytes([100, 200]).replace(b"\xff\xc0", b"\xff\xc9", 1)
+    assert _decode_jpeg(arith) is None
+    try:
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        out = decode_media(arith)
+        assert out["decoder"] in ("pil", "fake")
+    else:
+        out = decode_media(arith)
+        assert out["decoder"] == "fake"
+        with pytest.raises(MediaDecodeUnavailable):
+            decode_media(arith, strict=True)
