@@ -262,6 +262,14 @@ def write_band_index(
                 "sig_files": True,
                 # plan-time bound for broadcasting the stats sidecar
                 "n_sig_files": n_sig_files,
+                # completeness flag (ADVICE r12): _meta.json is the
+                # LAST artifact this build writes, so its presence
+                # with this flag proves every table landed — even in
+                # sessions where the committer's _SUCCESS markers are
+                # disabled (marksuccessfuljobs=false) or stripped by
+                # cleanup tooling, which would otherwise force a full
+                # silent rebuild on every probe.
+                "complete": True,
             },
             fh,
         )
@@ -539,17 +547,22 @@ def _index_slot(spark: SparkSession, sf_dir: str) -> str:
     'corpus compaction' event — probes are the steady state)."""
     safe = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(staging_root(), f"band_index_{safe}")
-    # Completeness = _meta.json AND sigs/_SUCCESS (ADVICE r11): in the
-    # current layout _meta.json is written last, but PRE-r11 builds
-    # wrote it BEFORE the sigs/ table — a slot left by such a build
-    # that crashed mid-sigs-write has the meta marker and a torn sigs
-    # table, and a meta-only check would serve it forever (probes
-    # silently missing every pair whose sig rows are absent). Spark's
-    # committer writes sigs/_SUCCESS only when the sigs job finished,
-    # so requiring both accepts exactly the slots where every table
-    # completed, whichever order their build used.
-    complete = os.path.exists(_meta_path(path)) and os.path.exists(
-        os.path.join(path, "sigs", "_SUCCESS")
+    # Completeness (ADVICE r11 + r12): current builds write _meta.json
+    # LAST with an explicit complete=true flag, so the flag alone
+    # proves every table landed — robust to sessions where _SUCCESS
+    # markers are disabled (marksuccessfuljobs=false) or stripped by
+    # cleanup tooling, which under a _SUCCESS-only check would force a
+    # full silent rebuild on every probe. LEGACY slots (pre-r13 meta
+    # without the flag) keep the stricter r11 rule — _meta.json AND
+    # sigs/_SUCCESS — because pre-r11 builds wrote meta BEFORE the
+    # sigs/ table: such a build that crashed mid-sigs-write has the
+    # meta marker and a torn sigs table, and a meta-only check would
+    # serve it forever (probes silently missing every pair whose sig
+    # rows are absent).
+    meta_exists = os.path.exists(_meta_path(path))
+    complete = meta_exists and (
+        index_meta(path).get("complete")
+        or os.path.exists(os.path.join(path, "sigs", "_SUCCESS"))
     )
     if not (path.startswith(("hdfs://", "s3a://")) or complete):
         write_band_index(spark, sf_dir, path)

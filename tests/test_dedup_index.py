@@ -380,3 +380,39 @@ def test_indexed_stream_equals_batch_twin(spark, sf_dir, tmp_path):
     ]
     assert sorted(got) == sorted(want)
     assert len(want) > 0
+
+
+def test_slot_completeness_survives_missing_success_marker(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r12 (low): a current build records complete=true in
+    _meta.json (written last), so stripping sigs/_SUCCESS — disabled
+    committer markers, cleanup tooling — must NOT trigger a silent
+    full rebuild on every probe. Legacy slots (meta without the flag)
+    keep the stricter r11 rule: no _SUCCESS ⇒ rebuild, because their
+    build order allowed a torn sigs table behind the meta marker."""
+    import json
+
+    from mapreduceapp_spark.operators import dedup_index as di
+    from mapreduceapp_spark.plans import staging
+
+    monkeypatch.setattr(staging, "_STAGING_ROOT", str(tmp_path / "stage"))
+    monkeypatch.setattr(staging, "_STAGED_PLANS", {})
+
+    path = di._index_slot(spark, sf_dir)  # first use: builds
+    meta_file = os.path.join(path, "_meta.json")
+    assert index_meta(path).get("complete") is True
+    success = os.path.join(path, "sigs", "_SUCCESS")
+    os.remove(success)
+
+    built_at = os.path.getmtime(meta_file)
+    assert di._index_slot(spark, sf_dir) == path
+    assert os.path.getmtime(meta_file) == built_at, "flagged slot rebuilt"
+
+    # legacy slot: same bytes, meta WITHOUT the flag, no _SUCCESS
+    meta = index_meta(path)
+    meta.pop("complete")
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    di._index_slot(spark, sf_dir)
+    assert index_meta(path).get("complete") is True, "legacy slot not rebuilt"

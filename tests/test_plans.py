@@ -173,13 +173,25 @@ def test_stage_is_idempotent_per_plan(spark, sf_dir, tmp_path, monkeypatch):
     assert out.count() == nat.count()  # first slot unharmed
 
 
-def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+def test_no_query_plans_a_cartesian_product(spark, sf_dir, tmp_path, monkeypatch):
     """Global anti-pattern gate over the ENTIRE registered surface:
     no query may plan a CartesianProduct, and BroadcastNestedLoopJoin
     may appear only in the allowlisted queries that join a 1-row /
     broadcast stats side by design (documented in each). A new query
-    that accidentally cross-joins fails here, not at 100 TB."""
+    that accidentally cross-joins fails here, not at 100 TB.
+
+    The sweep runs against a COLD staging root (VERDICT r12 wrong #2):
+    with the process-wide root, whether a query's lineage still
+    contains its guard joins depended on which earlier tests had
+    already materialized its staged slots — the gate's verdict was
+    test-order-dependent (the full-suite run surfaced a BNLJ in one
+    aniso query where a fresh session shows BNLJs in all four). Cold
+    slots make every plan the fresh-session plan, every run."""
+    from mapreduceapp_spark.plans import staging
     from mapreduceapp_spark.plans.registry import all_queries
+
+    monkeypatch.setattr(staging, "_STAGING_ROOT", str(tmp_path / "cold_stage"))
+    monkeypatch.setattr(staging, "_STAGED_PLANS", {})
 
     # executed demos run jobs at build; exclude from the plan sweep
     skip = {"q_late_data", "q_progress"}
@@ -207,6 +219,14 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "q_pq_recall_normalized",  # same slots, normalized lineage
         "q_ivfpq_recall",     # centroid-slice broadcast + guard join
         "q_ivfpq_residual_recall",  # same class, residual lineage
+        # aniso fixture twins (r12): same bounded guard/centroid/stats
+        # classes as the non-aniso names above — fresh-session plans
+        # carry 1/3/5/1 BNLJs respectively (adjudicated VERDICT r12)
+        "q_pq_recall_aniso",            # guard join (q_pq_recall twin)
+        "q_ivfpq_recall_aniso",         # centroid-slice broadcast + guard
+        "q_ivfpq_residual_recall_aniso",  # residual lineage, 5 bounded BNLJs
+        "q_pq_recall_normalized_aniso",  # normalized lineage, guard join
+        "q_opq_recall_aniso",  # guard join (permuted q_pq_recall_aniso twin)
     }
     for name, builder in all_queries().items():
         if name in skip:

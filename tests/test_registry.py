@@ -47,6 +47,8 @@ def test_every_query_builds_lazily(spark, sf_dir):
               # (knn_l2_aniso_topk / knn_l2_aniso_norm_topk + pq_codes)
               "q_pq_recall_aniso", "q_pq_recall_normalized_aniso",
               "q_ivfpq_recall_aniso", "q_ivfpq_residual_recall_aniso",
+              # r13: same slots over the OPQ-permuted aniso lineage
+              "q_opq_recall_aniso",
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
               "q_dedup_index_probe",
@@ -108,19 +110,16 @@ def test_bench_subset_is_registered():
 # Redefined queries (schema/semantics changed since their last driver
 # row) are deliberately REMOVED from the rotation so they re-check
 # like brand-new queries; list them here too.
-# (rotation regenerated at the start of round 12 from the r09/r10/r11
-# artifacts — every name registered through round 11 is in the
-# rotation; add round-12 registrations to this set. BUDGET: at most
-# 4 new names this round (46 r09-stale names + 4 = 50), or the
-# r9-stale group loses window slots —
+# (rotation regenerated at the start of round 13 from the r10/r11/r12
+# artifacts — every name registered through round 12 is in the
+# rotation; add round-13 registrations to this set. BUDGET: at most
+# 1 new name this round (49 r10-stale names + 1 = 50), or the
+# r10-stale group loses window slots —
 # test_three_window_union_covers_registry enforces the consequence.)
 _NEW_SINCE_ROTATION: set[str] = {
-    # r12: the rankable ANN ladder on the deterministic anisotropic
-    # fixture (VERDICT r11 ask #1) — exactly the 4-slot budget
-    "q_pq_recall_aniso",
-    "q_pq_recall_normalized_aniso",
-    "q_ivfpq_recall_aniso",
-    "q_ivfpq_residual_recall_aniso",
+    # r13: the OPQ rotation rung of the rankable ANN ladder (VERDICT
+    # r12 ask #5) — exactly the 1-slot budget
+    "q_opq_recall_aniso",
 }
 
 
@@ -155,44 +154,44 @@ def _driver_window_names(round_no: int) -> set[str]:
 
 def test_three_window_union_covers_registry():
     """Full-registry freshness within 3 rounds (VERDICT r9 ask #3):
-    the union of the last TWO driver windows (CORRECTNESS_r10/r11,
+    the union of the last TWO driver windows (CORRECTNESS_r11/r12,
     read from the recorded artifacts) and the UPCOMING window (first
     50 of the current order) must cover the whole registry — so
-    CORRECTNESS_r12 ∪ r11 ∪ r10 covers all registered names. With
-    145 names, 50+49 recorded + 50 upcoming leaves slack of 4; the
-    round-12 registration budget is that slack (every brand-new name
-    auto-sorts to the window front, displacing an r9-stale name
+    CORRECTNESS_r13 ∪ r12 ∪ r11 covers all registered names. With
+    149 names, 50+50 recorded + 50 upcoming leaves slack of 1; the
+    round-13 registration budget is that slack (every brand-new name
+    auto-sorts to the window front, displacing an r10-stale name
     one-for-one once the budget is exceeded — this test is the
     guard)."""
     registry = set(all_queries())
-    covered = _driver_window_names(10) | _driver_window_names(11)
+    covered = _driver_window_names(11) | _driver_window_names(12)
     upcoming = set(list(all_queries())[:_DRIVER_WINDOW])
     uncovered = registry - covered - upcoming
     assert not uncovered, (
-        f"names whose r12 evidence would be 3+ rounds stale: "
+        f"names whose r13 evidence would be 3+ rounds stale: "
         f"{sorted(uncovered)}"
     )
 
 
 def test_stalest_queries_lead_the_window():
-    """Priority order inside the upcoming (round-12) window:
+    """Priority order inside the upcoming (round-13) window:
     brand-new / redefined queries first (no trustworthy driver row),
-    then the 46 names whose freshest row is round 9 (the structural
-    tail of 145 names over a 50-slot window), then round-10-checked
-    names. No round-11-fresh name may occupy a slot while a staler
+    then the 49 names whose freshest row is round 10 (the structural
+    tail of 149 names over a 50-slot window), then round-11-checked
+    names. No round-12-fresh name may occupy a slot while a staler
     candidate overflows."""
     order = list(all_queries())
     window = set(order[:_DRIVER_WINDOW])
-    last = _driver_window_names(11)
+    last = _driver_window_names(12)
     fresh_in_window = (window & last) - _NEW_SINCE_ROTATION
     overflow = (set(order) - last) - window
     if overflow:
-        # a round-11-fresh name in the window while stale names
+        # a round-12-fresh name in the window while stale names
         # overflow would mean the rotation is mis-ordered
         assert not fresh_in_window, sorted(fresh_in_window)
-    # every r9-stale name (no r10/r11 row) must re-check in round 12
-    r9_stale = set(order) - last - _driver_window_names(10)
-    r9_stale = {n for n in r9_stale if n in _driver_window_names(9)}
-    assert r9_stale <= window, sorted(r9_stale - window)
+    # every r10-stale name (no r11/r12 row) must re-check in round 13
+    r10_stale = set(order) - last - _driver_window_names(11)
+    r10_stale = {n for n in r10_stale if n in _driver_window_names(10)}
+    assert r10_stale <= window, sorted(r10_stale - window)
     for name in _NEW_SINCE_ROTATION & set(order):
         assert name in window, f"redefined/new {name} missed the window"
