@@ -320,6 +320,140 @@ def main() -> None:
         print(json.dumps(pt))
         fetch_points.append(pt)
 
+    # ---- row-group-grain evidence for the pushed doc-id predicate --
+    # (VERDICT r12 ask #8; SCALE.md called file-grain bytes an "upper
+    # bound only" on decoded bytes.) The fetch curve above cannot see
+    # below the file grid: its 128-row files hold ONE row group each,
+    # so row-group skipping ≡ file skipping there. This section
+    # rebuilds the inflated sigs on a 1,024-row file grid (the
+    # coarsest grid whose files-per-bucket ratio still engages the
+    # sidecar at this corpus size, so the matched-file set is the
+    # explicit list — the production 16,384-row grid would leave one
+    # file per bucket here and route to directory pruning, where
+    # inputFiles() is pre-pruning) with a small parquet.block.size so
+    # each file holds MANY row groups, fixes ONE candidate set, and
+    # isolates the inside-the-matched-files win two ways:
+    # - decoded_rows via the executed plan's own scan metrics
+    #   (numOutputRows on the parquet leaves — rows the reader
+    #   actually materialized after stats-based skipping), measured
+    #   WITH the pushed predicate and with DOC_PUSH_CAP monkeypatched
+    #   to 0 (same matched files, no push);
+    # - a deterministic pyarrow twin: bytes/rows of row groups whose
+    #   doc_id [min,max] stats admit a candidate — the same decision
+    #   procedure Spark's reader runs, computed from the footers.
+    def _scan_decoded_rows(df) -> int | None:
+        """Sum numOutputRows over the executed plan's parquet scan
+        leaves (post row-group skipping). None if the py4j walk ever
+        stops matching Spark internals — callers record the pyarrow
+        twin either way."""
+        try:
+            ep = df._jdf.queryExecution().executedPlan()
+            if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                ep = ep.executedPlan()
+            leaves = ep.collectLeaves()
+            total = 0
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if "FileSourceScan" not in leaf.getClass().getSimpleName():
+                    continue
+                it = leaf.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        total += kv._2().value()
+            return total
+        except Exception:
+            return None
+
+    COARSE_FILE_ROWS = 1024
+    coarse_idx = os.path.join(tmp, "band_index_coarse")
+    (
+        big_sigs.repartition(n_buckets, "sig_bucket")
+        .sortWithinPartitions("sig_bucket", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", COARSE_FILE_ROWS)
+        .option("parquet.block.size", 65536)  # many row groups/file
+        .partitionBy("sig_bucket")
+        .parquet(os.path.join(coarse_idx, "sigs"))
+    )
+    n_coarse_files = DI.write_sig_file_stats(spark, coarse_idx)
+    with open(os.path.join(coarse_idx, "_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "sigs_partitioned": True,
+                "sig_files": True,
+                "n_sig_files": n_coarse_files,
+                "complete": True,
+            },
+            fh,
+        )
+    import pyarrow.parquet as pq
+
+    N_PUSH_CAND = 64
+    push_ids = [
+        r["doc_id"]
+        for r in big_sig_scan.select("doc_id")
+        .orderBy(F.pmod(F.xxhash64("doc_id"), F.lit(999_983)), "doc_id")
+        .limit(N_PUSH_CAND)
+        .collect()
+    ]
+    push_cand = spark.createDataFrame(
+        [(i, 0) for i in push_ids], "corpus_doc long, new_doc long"
+    )
+    docpush = {"n_cand": N_PUSH_CAND, "sig_rows_per_file": COARSE_FILE_ROWS}
+    real_cap = DI.DOC_PUSH_CAP
+    for label, cap in (("with_push", real_cap), ("without_push", 0)):
+        try:
+            DI.DOC_PUSH_CAP = cap
+            probe_s, canary_s, hot = bench._probe_slot(spark, f"push_{label}")
+            walls, decoded = [], None
+            for _ in range(REPS):
+                t0 = time.monotonic()
+                sigs_scan, _n = DI.fetch_candidate_sigs(
+                    spark, coarse_idx, push_cand
+                )
+                res = sigs_scan.agg(F.sum(F.size("sh")))
+                res.collect()
+                walls.append(time.monotonic() - t0)
+                decoded = _scan_decoded_rows(res)
+        finally:
+            DI.DOC_PUSH_CAP = real_cap
+        files = [urlparse(f).path for f in sigs_scan.inputFiles()]
+        # pyarrow twin over the SAME matched files: row groups whose
+        # doc_id stats admit any candidate (what the reader keeps)
+        cand_set = sorted(push_ids)
+        kept_rows = kept_bytes = tot_rows = tot_bytes = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            ci = [md.row_group(g) for g in range(md.num_row_groups)]
+            for rg in ci:
+                col = next(
+                    rg.column(c)
+                    for c in range(rg.num_columns)
+                    if rg.column(c).path_in_schema == "doc_id"
+                )
+                lo, hi = col.statistics.min, col.statistics.max
+                tot_rows += rg.num_rows
+                tot_bytes += rg.total_compressed_size
+                if any(lo <= i <= hi for i in cand_set):
+                    kept_rows += rg.num_rows
+                    kept_bytes += rg.total_compressed_size
+        docpush[label] = {
+            "matched_files": len(files),
+            "decoded_rows_scan_metric": decoded,
+            "stats_admitted_rows": kept_rows if cap else tot_rows,
+            "stats_admitted_bytes": kept_bytes if cap else tot_bytes,
+            "matched_file_rows": tot_rows,
+            "matched_file_bytes": tot_bytes,
+            "wall_s": round(min(walls), 3),
+            "walls": [round(w, 3) for w in walls],
+            "cpu_probe_s": probe_s,
+            "canary_s": canary_s,
+            "slot_contended": hot,
+        }
+        print(json.dumps({label: docpush[label]}))
+
     out = {
         "sf_dir": sf_dir,
         "n_buckets": n_buckets,
@@ -333,8 +467,12 @@ def main() -> None:
         # wall numbers carry the bench sentinel's verdict per point;
         # byte fractions are deterministic either way
         "host_contended": any(
-            p["slot_contended"] for p in points + fetch_points
+            p["slot_contended"]
+            for p in points
+            + fetch_points
+            + [docpush["with_push"], docpush["without_push"]]
         ),
+        "docpush": docpush,
         "probe_calm_ref": bench.PROBE_CALM_REF,
         "canary_calm_ref": bench.CANARY_CALM_REF,
         "points": points,

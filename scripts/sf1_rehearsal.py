@@ -107,7 +107,90 @@ DEFAULT_QUERIES = [
     # knn slots with the PQ family where lineage allows)
     "q_winnowing_indexed", "q_ivfpq_recall", "q_pq_recall_normalized",
     "q_ivfpq_residual_recall",
+    # round 13 (VERDICT r12 ask #4): the rankable aniso ladder at
+    # sf1's N (the fixture derives in-plan from vec_id, so the 10x
+    # replica ids exercise it directly), the r13 OPQ rung, and the
+    # persisted-index probe (regime-gate coverage is the dedicated
+    # dedup_index_regimes section below — this row is the end-to-end
+    # wall at rehearsal scale)
+    "q_pq_recall_aniso", "q_ivfpq_recall_aniso",
+    "q_ivfpq_residual_recall_aniso", "q_opq_recall_aniso",
+    "q_dedup_index_probe",
 ]
+
+
+def dedup_index_regimes(spark) -> dict:
+    """Regime-gate evidence at rehearsal scale (VERDICT r12 ask #4):
+    build the sf1 corpus's band index on TWO file grids — the default
+    (sf1's 40k corpus docs over 64 buckets = 625 rows/bucket, one
+    file each → the gate must route to DIRECTORY pruning) and a
+    40-rows/file grid reproducing the CORPUS regime's
+    files-per-bucket ratio (16 files/bucket — what a 16M-doc corpus
+    puts on the production 16,384-row grid → the gate must route to
+    the SIDECAR point-fetch) — probe the same batch against both,
+    and require row-equal results. The gate itself is a zero-job
+    plan decision off persisted meta; what this measures is that
+    BOTH plans are live at sf1 data volumes and agree."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+        _doc_shingles_with_minhash,
+    )
+    from mapreduceapp_spark.operators.dedup_index import (
+        SIDECAR_MIN_FILES_PER_BUCKET,
+        SIG_ROWS_PER_FILE,
+        index_meta,
+        probe_band_index,
+        write_band_index,
+    )
+    from mapreduceapp_spark.plans.staging import stage, staging_root
+
+    sh = stage(_doc_shingles_with_minhash(spark, OUT_DIR), "minhash_signatures")
+    batch = sh.filter((F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE)
+    out: dict[str, dict] = {}
+    rows_by_regime: dict[str, list] = {}
+    for label, rows_per_file in (
+        ("directory_pruning", SIG_ROWS_PER_FILE),
+        ("sidecar_point_fetch", 40),  # 625/40 → 16 files/bucket
+    ):
+        path = os.path.join(staging_root(), f"regime_idx_{label}")
+        t0 = _time.perf_counter()
+        write_band_index(spark, OUT_DIR, path, sig_rows_per_file=rows_per_file)
+        build_sec = round(_time.perf_counter() - t0, 2)
+        meta = index_meta(path)
+        sidecar_live = (
+            meta["n_sig_files"]
+            > SIDECAR_MIN_FILES_PER_BUCKET * meta["n_buckets"]
+        )
+        t0 = _time.perf_counter()
+        rows = sorted(
+            map(tuple, probe_band_index(spark, path, batch).collect())
+        )
+        probe_sec = round(_time.perf_counter() - t0, 2)
+        rows_by_regime[label] = rows
+        out[label] = {
+            "sig_rows_per_file": rows_per_file,
+            "n_buckets": meta["n_buckets"],
+            "n_sig_files": meta["n_sig_files"],
+            "gate_routes_to_sidecar": bool(sidecar_live),
+            "build_sec": build_sec,
+            "probe_sec": probe_sec,
+            "pairs": len(rows),
+        }
+        print(f"regime {label}: {out[label]}", file=sys.stderr)
+    assert out["directory_pruning"]["gate_routes_to_sidecar"] is False
+    assert out["sidecar_point_fetch"]["gate_routes_to_sidecar"] is True
+    equal = (
+        rows_by_regime["directory_pruning"]
+        == rows_by_regime["sidecar_point_fetch"]
+    )
+    assert equal and rows_by_regime["directory_pruning"]
+    out["rows_equal_across_regimes"] = equal
+    return out
 
 
 def candidate_growth(spark) -> dict:
@@ -287,6 +370,7 @@ def main() -> None:
 
     out = {"sf": f"{n_replicas}x sf0.1 synthetic", "queries": timings}
     out["candidates"] = candidate_growth(spark)
+    out["dedup_index_regimes"] = dedup_index_regimes(spark)
     out["cpu_probes"] = probes  # per-query sampled {n,min,mean,max}
     out["cpu_probe_sec"] = _cpu_probe()
     if retried:
