@@ -308,6 +308,15 @@ SIDECAR_MIN_FILES_PER_BUCKET = 2
 # file/directory grain already bounds the scan there.
 DOC_PUSH_CAP = 4096
 
+# Values-pushdown bound (r13): up to this many pushed ids convert to
+# a parquet VALUES predicate (row-group stats + dictionary skipping
+# inside matched files); beyond it, parquet-mr's binary OR-tree
+# representation makes the predicate itself the cost (measured:
+# 40-76 s predicate-JIT walls at 1,024 values, executor
+# StackOverflowError at 4,096), so larger lists keep only the
+# Catalyst row filter + the pushed min/max range.
+DOC_PUSH_VALUES_MAX = 256
+
 
 def _push_doc_filter(sigs: DataFrame, cand: DataFrame, n_cand: int) -> DataFrame:
     """Push the candidate doc ids into the sigs scan when the set is
@@ -317,9 +326,32 @@ def _push_doc_filter(sigs: DataFrame, cand: DataFrame, n_cand: int) -> DataFrame
     so restricting the scan to candidate ids drops only rows the join
     would drop. ``cand`` is staged by the probe, so the distinct
     collect is one small job over thin staged bytes, bounded by
-    ``n_cand`` ≤ DOC_PUSH_CAP rows."""
+    ``n_cand`` ≤ DOC_PUSH_CAP rows.
+
+    The IN list must survive conversion to a parquet VALUES predicate
+    or the push is theater (measured, r13): above
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` (default 10)
+    Spark pushes only the list's min/max RANGE, which spans the whole
+    corpus for uniformly-spread candidates — the reader then decodes
+    every row of every matched file (256,000 of 256,000 rows in the
+    r13 lab) where the values predicate skips at row-group/page grain
+    via stats and dictionary filtering. So the threshold is raised to
+    DOC_PUSH_VALUES_MAX here — NOT to DOC_PUSH_CAP: Spark hands
+    parquet-mr the list as a BINARY OR tree, so evaluation cost and
+    stack depth grow with the list (measured r13: 1,024 values
+    blow predicate-JIT walls to 40-76 s, 4,096 values
+    StackOverflowError executor tasks). Above the values bound the
+    push degrades gracefully to the row-level Catalyst filter +
+    min/max range, with the file/directory grain still bounding IO.
+    Session-level side effect, documented deliberately: it only
+    widens values-pushdown for other moderate IN plans and never
+    changes results."""
     if not 0 < n_cand <= DOC_PUSH_CAP:
         return sigs
+    spark = sigs.sparkSession
+    thresh_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if int(spark.conf.get(thresh_key, "10")) < DOC_PUSH_VALUES_MAX:
+        spark.conf.set(thresh_key, str(DOC_PUSH_VALUES_MAX))
     ids = [
         r["corpus_doc"]
         for r in cand.select("corpus_doc").distinct().collect()

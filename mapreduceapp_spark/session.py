@@ -69,6 +69,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # IN-lists above this threshold push only their min/max RANGE
+        # to parquet — useless for scattered point lookups (a uniform
+        # id set's range spans the whole table; measured r13: the
+        # range-only push decoded 100% of matched rows where the
+        # VALUES predicate skips at row-group grain). Bounded at 256,
+        # not higher: parquet-mr receives the list as a binary OR
+        # tree, so big lists make the predicate itself the cost
+        # (measured: 40-76 s predicate-JIT walls at 1,024 values,
+        # executor StackOverflowError at 4,096).
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
         # GC'd checkpointed RDDs get their files removed (defaults to
         # false; without it iterative queries strand checkpoint dirs)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

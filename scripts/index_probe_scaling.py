@@ -343,15 +343,20 @@ def main() -> None:
     #   procedure Spark's reader runs, computed from the footers.
     def _scan_decoded_rows(df) -> int | None:
         """Sum numOutputRows over the executed plan's parquet scan
-        leaves (post row-group skipping). None if the py4j walk ever
-        stops matching Spark internals — callers record the pyarrow
-        twin either way."""
+        leaves — the rows the vectorized reader actually materialized
+        after row-group/page stats skipping (record-level filtering
+        is off by default, so surviving-but-non-matching rows COUNT,
+        which is the point). Callers run with AQE disabled so the
+        leaves are real FileSourceScanExec nodes, not query-stage
+        wrappers. None if the py4j walk ever stops matching Spark
+        internals — callers record the pyarrow twin either way."""
         try:
             ep = df._jdf.queryExecution().executedPlan()
             if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
                 ep = ep.executedPlan()
             leaves = ep.collectLeaves()
             total = 0
+            found = False
             for i in range(leaves.size()):
                 leaf = leaves.apply(i)
                 if "FileSourceScan" not in leaf.getClass().getSimpleName():
@@ -361,7 +366,8 @@ def main() -> None:
                     kv = it.next()
                     if kv._1() == "numOutputRows":
                         total += kv._2().value()
-            return total
+                        found = True
+            return total if found else None
         except Exception:
             return None
 
@@ -372,7 +378,11 @@ def main() -> None:
         .sortWithinPartitions("sig_bucket", "doc_id")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", COARSE_FILE_ROWS)
-        .option("parquet.block.size", 65536)  # many row groups/file
+        # floor-small block target: the writer's row-count check
+        # interval (~100 rows) becomes the effective group size, so a
+        # 1,024-row file carries ~10 row groups (65536 gave ~650-row
+        # groups — the size check fires too late for ~500 B rows)
+        .option("parquet.block.size", 4096)
         .partitionBy("sig_bucket")
         .parquet(os.path.join(coarse_idx, "sigs"))
     )
@@ -390,69 +400,93 @@ def main() -> None:
         )
     import pyarrow.parquet as pq
 
-    N_PUSH_CAND = 64
-    push_ids = [
-        r["doc_id"]
-        for r in big_sig_scan.select("doc_id")
-        .orderBy(F.pmod(F.xxhash64("doc_id"), F.lit(999_983)), "doc_id")
-        .limit(N_PUSH_CAND)
-        .collect()
-    ]
-    push_cand = spark.createDataFrame(
-        [(i, 0) for i in push_ids], "corpus_doc long, new_doc long"
-    )
-    docpush = {"n_cand": N_PUSH_CAND, "sig_rows_per_file": COARSE_FILE_ROWS}
+    # Two candidate regimes: n_cand=4 is the UNSATURATED one (each
+    # ~100-row group here spans ~3% of the inflated doc space — the
+    # replica shifts dominate group ranges — so 64 uniform candidates
+    # admit most groups and the grain effect saturates; at 4 the
+    # skipping is visible). Production tables have dense ids, so
+    # group spans shrink with corpus size and the 4-candidate regime
+    # is the representative one.
+    docpush = {"sig_rows_per_file": COARSE_FILE_ROWS, "points": []}
     real_cap = DI.DOC_PUSH_CAP
-    for label, cap in (("with_push", real_cap), ("without_push", 0)):
-        try:
-            DI.DOC_PUSH_CAP = cap
-            probe_s, canary_s, hot = bench._probe_slot(spark, f"push_{label}")
-            walls, decoded = [], None
-            for _ in range(REPS):
-                t0 = time.monotonic()
-                sigs_scan, _n = DI.fetch_candidate_sigs(
-                    spark, coarse_idx, push_cand
+    # AQE off for this section only: its final plans wrap scans in
+    # query-stage leaves, hiding the scan metrics the measurement
+    # reads; the scan+agg shape gains nothing from AQE anyway
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    for n_push in (4, 64):
+        push_ids = [
+            r["doc_id"]
+            for r in big_sig_scan.select("doc_id")
+            .orderBy(F.pmod(F.xxhash64("doc_id"), F.lit(999_983)), "doc_id")
+            .limit(n_push)
+            .collect()
+        ]
+        push_cand = spark.createDataFrame(
+            [(i, 0) for i in push_ids], "corpus_doc long, new_doc long"
+        )
+        point = {"n_cand": n_push}
+        for label, cap in (("with_push", real_cap), ("without_push", 0)):
+            try:
+                DI.DOC_PUSH_CAP = cap
+                probe_s, canary_s, hot = bench._probe_slot(
+                    spark, f"push_{n_push}_{label}"
                 )
-                res = sigs_scan.agg(F.sum(F.size("sh")))
-                res.collect()
-                walls.append(time.monotonic() - t0)
-                decoded = _scan_decoded_rows(res)
-        finally:
-            DI.DOC_PUSH_CAP = real_cap
-        files = [urlparse(f).path for f in sigs_scan.inputFiles()]
-        # pyarrow twin over the SAME matched files: row groups whose
-        # doc_id stats admit any candidate (what the reader keeps)
-        cand_set = sorted(push_ids)
-        kept_rows = kept_bytes = tot_rows = tot_bytes = 0
-        for f in files:
-            md = pq.ParquetFile(f).metadata
-            ci = [md.row_group(g) for g in range(md.num_row_groups)]
-            for rg in ci:
-                col = next(
-                    rg.column(c)
-                    for c in range(rg.num_columns)
-                    if rg.column(c).path_in_schema == "doc_id"
-                )
-                lo, hi = col.statistics.min, col.statistics.max
-                tot_rows += rg.num_rows
-                tot_bytes += rg.total_compressed_size
-                if any(lo <= i <= hi for i in cand_set):
-                    kept_rows += rg.num_rows
-                    kept_bytes += rg.total_compressed_size
-        docpush[label] = {
-            "matched_files": len(files),
-            "decoded_rows_scan_metric": decoded,
-            "stats_admitted_rows": kept_rows if cap else tot_rows,
-            "stats_admitted_bytes": kept_bytes if cap else tot_bytes,
-            "matched_file_rows": tot_rows,
-            "matched_file_bytes": tot_bytes,
-            "wall_s": round(min(walls), 3),
-            "walls": [round(w, 3) for w in walls],
-            "cpu_probe_s": probe_s,
-            "canary_s": canary_s,
-            "slot_contended": hot,
-        }
-        print(json.dumps({label: docpush[label]}))
+                walls, decoded = [], None
+                for _ in range(REPS):
+                    t0 = time.monotonic()
+                    sigs_scan, _n = DI.fetch_candidate_sigs(
+                        spark, coarse_idx, push_cand
+                    )
+                    res = sigs_scan.agg(F.sum(F.size("sh")))
+                    res.collect()
+                    walls.append(time.monotonic() - t0)
+                    decoded = _scan_decoded_rows(res)
+            finally:
+                DI.DOC_PUSH_CAP = real_cap
+            files = [urlparse(f).path for f in sigs_scan.inputFiles()]
+            # pyarrow twin over the SAME matched files: row groups
+            # whose doc_id stats admit any candidate — the decision
+            # procedure the reader runs, recomputed from footers
+            cand_set = sorted(push_ids)
+            kept_rows = kept_bytes = tot_rows = tot_bytes = 0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    col = next(
+                        rg.column(c)
+                        for c in range(rg.num_columns)
+                        if rg.column(c).path_in_schema == "doc_id"
+                    )
+                    lo, hi = col.statistics.min, col.statistics.max
+                    # compressed bytes summed per column chunk — the
+                    # RowGroupMetaData field is UNcompressed only
+                    rg_bytes = sum(
+                        rg.column(c).total_compressed_size
+                        for c in range(rg.num_columns)
+                    )
+                    tot_rows += rg.num_rows
+                    tot_bytes += rg_bytes
+                    if any(lo <= i <= hi for i in cand_set):
+                        kept_rows += rg.num_rows
+                        kept_bytes += rg_bytes
+            point[label] = {
+                "matched_files": len(files),
+                "decoded_rows_scan_metric": decoded,
+                "stats_admitted_rows": kept_rows if cap else tot_rows,
+                "stats_admitted_bytes": kept_bytes if cap else tot_bytes,
+                "matched_file_rows": tot_rows,
+                "matched_file_bytes": tot_bytes,
+                "wall_s": round(min(walls), 3),
+                "walls": [round(w, 3) for w in walls],
+                "cpu_probe_s": probe_s,
+                "canary_s": canary_s,
+                "slot_contended": hot,
+            }
+            print(json.dumps({f"push_{n_push}_{label}": point[label]}))
+        docpush["points"].append(point)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
     out = {
         "sf_dir": sf_dir,
@@ -470,7 +504,11 @@ def main() -> None:
             p["slot_contended"]
             for p in points
             + fetch_points
-            + [docpush["with_push"], docpush["without_push"]]
+            + [
+                pt[lab]
+                for pt in docpush["points"]
+                for lab in ("with_push", "without_push")
+            ]
         ),
         "docpush": docpush,
         "probe_calm_ref": bench.PROBE_CALM_REF,

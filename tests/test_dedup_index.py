@@ -416,3 +416,44 @@ def test_slot_completeness_survives_missing_success_marker(
         json.dump(meta, fh)
     di._index_slot(spark, sf_dir)
     assert index_meta(path).get("complete") is True, "legacy slot not rebuilt"
+
+
+def test_doc_push_raises_parquet_in_filter_threshold(spark, sf_dir, tmp_path):
+    """r13: a pushed IN list above
+    spark.sql.parquet.pushdown.inFilterThreshold (default 10)
+    converts to a min/max RANGE parquet predicate — which spans the
+    whole corpus for scattered candidates, so the reader decodes
+    every row of every matched file and the 'point push' is theater.
+    _push_doc_filter must raise the threshold to DOC_PUSH_VALUES_MAX
+    so moderate candidate sets actually reach the reader's
+    stats/dictionary filters (NOT to DOC_PUSH_CAP: parquet-mr gets
+    the list as a binary OR tree — 4,096 values StackOverflow
+    executor tasks, measured r13)."""
+    from mapreduceapp_spark.operators.dedup_index import (
+        DOC_PUSH_CAP,
+        DOC_PUSH_VALUES_MAX,
+        fetch_candidate_sigs,
+    )
+
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10")  # Spark default
+        path = str(tmp_path / "idx")
+        write_band_index(spark, sf_dir, path, sig_rows_per_file=2)
+        docs = [
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(path, "sigs"))
+            .select("doc_id").distinct().limit(32).collect()
+        ]
+        assert 10 < len(docs) <= DOC_PUSH_CAP
+        cand = spark.createDataFrame(
+            [(d, 0) for d in docs], "corpus_doc long, new_doc long"
+        )
+        sigs, n_cand = fetch_candidate_sigs(spark, path, cand)
+        assert n_cand == len(docs)
+        assert int(spark.conf.get(key)) == DOC_PUSH_VALUES_MAX
+        got = sorted(r["doc_id"] for r in sigs.select("doc_id").collect())
+        assert got == sorted(docs)  # push is semantics-preserving
+    finally:
+        spark.conf.set(key, before)
