@@ -1289,11 +1289,52 @@ def _pq_centroid_slices(e: DataFrame, k_cent: int, stride: int) -> DataFrame:
     )
 
 
-def _pq_codes(e: DataFrame, cent_m: DataFrame) -> DataFrame:
+# Regime gate for the dense exact kernels (encode, exact kNN): below
+# this row count the whole-stage-codegen expression forms win — the
+# Arrow GEMM's action floor is ~0.9 s on local[32] (3-4 stage
+# boundaries + Arrow batch round-trips, measured flat from N=500 to
+# N=2000 warm) while the codegen forms finish in 0.3-0.7 s — and
+# above it the codegen row fan-outs take over: the encode scores
+# N·K·M rows (K=√N ⇒ N^1.5: 1.7 s at N=2k, 50-60 s at N=20k measured
+# cold) and the exact-kNN window shuffles N·Q = N²/100 scored rows
+# (0.64 s at N=2k; 6-38 s at N=20k, the spread being the r13
+# session-state watch item — see _knn_l2_topk). At N=20k the GEMM
+# runs 10-16 s cold / 5-8 s warm with no session sensitivity. The
+# crossover sits near N≈4k on both curves; the same decision-off-
+# footer-metadata grammar as the dedup-index regime gate.
+ANN_GEMM_MIN_ROWS = 4096
+
+
+def _pq_codes(
+    e: DataFrame, cent_m: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """Staged (vec_id, m, code) table. The encode is THE cost
-    (O(N·K·M) scored rows) and its output is the asset — staged so
-    every PQ consumer (search, recall evals, IVF+PQ) encodes once per
-    process, exactly the persisted-codes shape a deployment keeps."""
+    (O(N·K·M) scored distances) and its output is the asset — staged
+    so every PQ consumer (search, recall evals, IVF+PQ) encodes once
+    per process, exactly the persisted-codes shape a deployment keeps.
+
+    Two regimes behind one staged name (gate: ``ANN_GEMM_MIN_ROWS``
+    against the caller's footer-derived row count; None → the proven
+    small-N plan):
+
+    - *fixture scale* — the original crossJoin(broadcast) form: N·K·M
+      scored rows through codegen, folded to one code per (vector,
+      subspace) by a partial-aggregable min(struct(d, j)).
+    - *corpus scale* — a fragment-replicate Arrow GEMM, the same
+      shape ``_gemm_assign`` gave the k-means/IVF assign stages,
+      because the encode IS an assign done once per subspace: vectors
+      hash into ≤ P groups, the ≤ 256×8-slice codebook replicates to
+      each, and one in-task int64 matmul per (group, subspace)
+      computes every |slice − centroid|² via d = |x|² − 2⟨x,c⟩ + |c|²
+      — exact int64, so the argmin agrees bit-for-bit with the SQL
+      form and the DuckDB oracle, including ties (ascending-j columns
+      + first-min argmin ≡ the min(struct(d, j)) low-j rule; pinned
+      by test_pq_codes_gemm_equals_sql). Shuffle is N + P·K·M thin
+      rows; no N·K·M row set ever exists. r13 A/B at the sf1
+      rehearsal's N=20k: 50-60 s cold codegen → ~10 s GEMM.
+    """
+    if n_rows is not None and n_rows >= ANN_GEMM_MIN_ROWS:
+        return stage(_pq_codes_gemm(e, cent_m), "pq_codes")
     scored = (
         e.select("vec_id", "qv")
         .crossJoin(F.broadcast(cent_m))
@@ -1307,6 +1348,78 @@ def _pq_codes(e: DataFrame, cent_m: DataFrame) -> DataFrame:
             F.min(F.struct("d", "j"))["j"].alias("code")
         ),
         "pq_codes",
+    )
+
+
+def _pq_codes_gemm(e: DataFrame, cent_m: DataFrame) -> DataFrame:
+    """The corpus-scale encode plan — see :func:`_pq_codes`."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    p = max(32, spark.sparkContext.defaultParallelism)
+    v = e.select(
+        F.lit(0).alias("side"),
+        F.pmod(F.xxhash64(F.lit("pqenc:"), F.col("vec_id")), F.lit(p)).alias(
+            "pid"
+        ),
+        "vec_id",
+        "qv",
+        F.lit(None).cast("int").alias("m"),
+        F.lit(None).cast("int").alias("j"),
+        F.lit(None).cast("array<long>").alias("cv"),
+    )
+    c = cent_m.crossJoin(
+        spark.range(p).select(F.col("id").alias("pid"))
+    ).select(
+        F.lit(1).alias("side"),
+        "pid",
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("array<long>").alias("qv"),
+        "m",
+        "j",
+        "cv",
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        vec = pdf[pdf["side"] == 0]
+        cen = pdf[pdf["side"] == 1].sort_values(["m", "j"])  # ties → low j
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "m": pd.Series([], dtype="int32"),
+                "code": pd.Series([], dtype="int32"),
+            }
+        )
+        if not len(vec) or not len(cen):
+            return empty
+        n_sub = int(cen["m"].max()) + 1
+        X = np.stack(vec["qv"].values).astype(np.int64)
+        X = X.reshape(len(vec), n_sub, PQ_SUBDIM)
+        codes = np.empty((len(vec), n_sub), dtype=np.int32)
+        for m in range(n_sub):
+            blk = cen[cen["m"] == m]
+            js = blk["j"].to_numpy(np.int32)
+            C = np.stack(blk["cv"].values).astype(np.int64)  # K × 8
+            Xm = X[:, m, :]
+            d = (
+                (Xm * Xm).sum(axis=1)[:, None]
+                - 2 * (Xm @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )  # exact int64
+            codes[:, m] = js[d.argmin(axis=1)]  # first min = lowest j
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(vec["vec_id"].to_numpy(np.int64), n_sub),
+                "m": np.tile(np.arange(n_sub, dtype=np.int32), len(vec)),
+                "code": codes.reshape(-1),
+            }
+        )
+
+    return (
+        v.unionByName(c)
+        .groupBy("pid")
+        .applyInPandas(encode_group, "vec_id long, m int, code int")
     )
 
 
@@ -1346,7 +1459,9 @@ def pq_ann(
       combine.
     """
     cent_m = _pq_centroid_slices(e, k_cent, stride)
-    codes = _pq_codes(e, cent_m)
+    # k_cent·stride ≈ N by construction (stride = max(1, N div K)) —
+    # a footer-free row-count estimate for the encode regime gate
+    codes = _pq_codes(e, cent_m, n_rows=k_cent * stride)
     qs = e.filter(KNN_QUERY_PRED).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
@@ -1542,30 +1657,166 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget guard; distances are pure int64 (sq_q + sq_n - 2·dot on
     the quantized grid), so even the emitted distance hash-matches.
     """
-    return _knn_l2_topk(_quantized(spark, sf_dir), "q_knn_l2")
+    return _knn_l2_topk(
+        _quantized(spark, sf_dir),
+        "q_knn_l2",
+        n_rows=table_row_count(spark, sf_dir, "embeddings"),
+    )
 
 
-def _knn_l2_topk(e: DataFrame, guard_name: str) -> DataFrame:
+def _knn_l2_topk(
+    e: DataFrame, guard_name: str, n_rows: int | None = None
+) -> DataFrame:
     """Exact top-k L2 over any (vec_id, qv, sq) frame — shared by
-    q_knn_l2 and the normalized ground-truth slot."""
+    q_knn_l2 and every recall eval's ground-truth slot (base,
+    normalized, aniso, aniso-normalized).
+
+    Two regimes (gate: ``ANN_GEMM_MIN_ROWS`` against the caller's
+    footer-derived row count; None → the small-N plan):
+
+    - *fixture scale* — broadcast query set joined to one corpus
+      scan, scored by the int64 expression, global top-k window. The
+      window shuffles N·Q scored rows: fine at N=2k (0.64 s), but at
+      the sf1 rehearsal's N=20k this plan's wall swung 6-38 s with
+      SESSION STATE (the r13 watch item: q_pq_rerank_recall 50.6 s
+      inside rehearsal sessions vs 27.6 s isolated, reproduced this
+      round as 13 s ↔ 38 s for the same staging work depending on
+      which queries ran first) — the 4M-row shuffle+sort sits exactly
+      where JVM/codegen/GC warm-state variance bites.
+    - *corpus scale* — fragment-replicate Arrow GEMM with MAP-SIDE
+      partial top-k: the corpus hashes into ≤ P groups, the
+      (guard-wrapped, ≤ budget) query set replicates to each, one
+      in-task int64 matmul per group scores its fragment against
+      every query keeping each query's local top-k by (l2sq,
+      neighbor_id), and the global top-k is a window over P·Q·k THIN
+      rows. Same N·Q distances, no N·Q shuffle — at 100 TB that is
+      the difference between a ground-truth eval that runs and one
+      that doesn't; at N=20k it is 10-16 s cold / 5-8 s warm with no
+      session sensitivity (measured across three session shapes,
+      NOTES_r13). Distances stay pure int64, so ranks and emitted
+      distances are bit-identical to the SQL form and the DuckDB
+      oracle; per-group ties resolve to the lower neighbor_id because
+      corpus rows sort ascending before a STABLE argsort on distance
+      (pinned by test_knn_l2_gemm_equals_sql).
+
+    The broadcast-budget guard (``_guarded_query_set``) rides both
+    plans unchanged: query_id carries the folded raise_error, so an
+    over-budget query set fails the job at the same point with the
+    same message."""
     guarded_q = _guarded_query_set(e, guard_name, "q_ann_ivf / q_pq_ann")
-    scored = (
-        F.broadcast(guarded_q)
-        .join(e, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.col("q_sq") + F.col("sq")
-                - 2 * dot(F.col("q_qv"), F.col("qv"))
-            ).alias("l2sq"),
+    if n_rows is None or n_rows < ANN_GEMM_MIN_ROWS:
+        scored = (
+            F.broadcast(guarded_q)
+            .join(e, F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (
+                    F.col("q_sq") + F.col("sq")
+                    - 2 * dot(F.col("q_qv"), F.col("qv"))
+                ).alias("l2sq"),
+            )
         )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("l2sq"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_K)
+            .select("query_id", "neighbor_id", "rnk", "l2sq")
+        )
+    return _knn_l2_topk_gemm(e, guarded_q)
+
+
+def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
+    """The corpus-scale exact-kNN plan — see :func:`_knn_l2_topk`."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    p = max(32, spark.sparkContext.defaultParallelism)
+    v = e.select(
+        F.lit(0).alias("side"),
+        F.pmod(F.xxhash64(F.lit("knnl2:"), F.col("vec_id")), F.lit(p)).alias(
+            "pid"
+        ),
+        "vec_id",
+        "qv",
+        "sq",
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("array<long>").alias("q_qv"),
+        F.lit(None).cast("long").alias("q_sq"),
+    )
+    q = guarded_q.crossJoin(
+        spark.range(p).select(F.col("id").alias("pid"))
+    ).select(
+        F.lit(1).alias("side"),
+        "pid",
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("array<long>").alias("qv"),
+        F.lit(None).cast("long").alias("sq"),
+        "query_id",
+        "q_qv",
+        "q_sq",
+    )
+    sentinel = np.iinfo(np.int64).max
+
+    def topk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        vec = pdf[pdf["side"] == 0].sort_values("vec_id")  # ties → low id
+        qs = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "l2sq": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(vec) or not len(qs):
+            return empty
+        qids = qs["query_id"].to_numpy(np.int64)
+        Q = np.stack(qs["q_qv"].values).astype(np.int64)
+        qsq = qs["q_sq"].to_numpy(np.int64)
+        nq = len(qids)
+        best_d = np.full((nq, KNN_K), sentinel, dtype=np.int64)
+        best_id = np.full((nq, KNN_K), sentinel, dtype=np.int64)
+        # chunk the fragment so the distance block stays bounded
+        # regardless of fragment size (the 100 TB case: a group may
+        # hold millions of rows; Q × 8192 int64 ≈ 13 MB at Q=201)
+        for s in range(0, len(vec), 8192):
+            blk = vec.iloc[s : s + 8192]
+            ids = blk["vec_id"].to_numpy(np.int64)
+            X = np.stack(blk["qv"].values).astype(np.int64)
+            xsq = blk["sq"].to_numpy(np.int64)
+            d = qsq[:, None] + xsq[None, :] - 2 * (Q @ X.T)  # exact int64
+            d[qids[:, None] == ids[None, :]] = sentinel  # exclude self
+            cd = np.concatenate([best_d, d], axis=1)
+            cid = np.concatenate(
+                [best_id, np.broadcast_to(ids, (nq, len(ids)))], axis=1
+            )
+            order = np.lexsort((cid, cd), axis=1)[:, :KNN_K]
+            rows = np.arange(nq)[:, None]
+            best_d = cd[rows, order]
+            best_id = cid[rows, order]
+        keep = best_d != sentinel
+        qq, _ = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "query_id": qids[qq],
+                "neighbor_id": best_id[keep],
+                "l2sq": best_d[keep],
+            }
+        )
+
+    partial = (
+        v.unionByName(q)
+        .groupBy("pid")
+        .applyInPandas(topk_group, "query_id long, neighbor_id long, l2sq long")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("l2sq"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_K)
         .select("query_id", "neighbor_id", "rnk", "l2sq")
     )
@@ -1807,7 +2058,8 @@ def q_pq_recall_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_n = _normalized(spark, sf_dir)
     n = table_row_count(spark, sf_dir, "embeddings")
     exact = stage(
-        _knn_l2_topk(e_n, "q_pq_recall_normalized"), "knn_l2_norm_topk"
+        _knn_l2_topk(e_n, "q_pq_recall_normalized", n_rows=n),
+        "knn_l2_norm_topk",
     )
     approx = pq_ann(
         e_n, _pq_k(n), max(1, n // _pq_k(n)), n_queries_bound=n // 100 + 1
@@ -1883,7 +2135,7 @@ def ivfpq_ann(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
     cent_m = _pq_centroid_slices(e, k_cent, pq_stride)
-    codes = _pq_codes(e, cent_m)
+    codes = _pq_codes(e, cent_m, n_rows=k_cent * pq_stride)
     dtab = broadcast_if_small(
         _pq_dtab(qs, cent_m).withColumnRenamed("query_id", "d_query_id"),
         n_queries * PQ_M * k_cent,
@@ -2074,7 +2326,9 @@ def ivfpq_residual_ann(
     cent_m = _pq_centroid_slices(
         resid.select("vec_id", "qv"), k_cent, pq_stride
     )
-    codes = _pq_codes(resid.select("vec_id", "qv"), cent_m)
+    codes = _pq_codes(
+        resid.select("vec_id", "qv"), cent_m, n_rows=k_cent * pq_stride
+    )
     probes = _gemm_probe_topm(
         e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2"
     ).select("query_id", "q_qv", "probe")
@@ -2497,7 +2751,11 @@ def _aniso_exact_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared ground-truth side of the aniso ladder (one guard
     label so all consumers hash to the same slot)."""
     return stage(
-        _knn_l2_topk(_aniso(spark, sf_dir), "knn_l2_aniso"),
+        _knn_l2_topk(
+            _aniso(spark, sf_dir),
+            "knn_l2_aniso",
+            n_rows=table_row_count(spark, sf_dir, "embeddings"),
+        ),
         "knn_l2_aniso_topk",
     )
 
@@ -2661,7 +2919,8 @@ def q_pq_recall_normalized_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_na = _l2_normalize(_aniso(spark, sf_dir))
     n = table_row_count(spark, sf_dir, "embeddings")
     exact = stage(
-        _knn_l2_topk(e_na, "knn_l2_aniso_norm"), "knn_l2_aniso_norm_topk"
+        _knn_l2_topk(e_na, "knn_l2_aniso_norm", n_rows=n),
+        "knn_l2_aniso_norm_topk",
     )
     approx = pq_ann(
         e_na, _pq_k(n), max(1, n // _pq_k(n)), n_queries_bound=n // 100 + 1

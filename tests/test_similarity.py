@@ -783,3 +783,70 @@ def test_opq_rung_beats_raw_allocation(spark, sf_dir):
         for r in get_query("q_opq_recall_aniso").builder(spark, sf_dir).collect()
     )
     assert opq >= raw + 2, (raw, opq)
+
+
+def test_knn_l2_gemm_equals_sql(spark, sf_dir):
+    """The ANN_GEMM_MIN_ROWS regime gate swaps plans, never answers:
+    the fragment-replicate GEMM exact-kNN (corpus regime) must emit
+    row-identical (query_id, neighbor_id, rnk, l2sq) to the
+    broadcast-join + window form (fixture regime), including the
+    (l2sq, neighbor_id) tie rule — over BOTH geometries (quantized
+    uniform and the clustered aniso fixture). N=500 over 32 hash
+    groups also exercises fragments smaller than k (sentinel rows
+    must be dropped, not emitted)."""
+    from mapreduceapp_spark.operators.similarity import (
+        _aniso,
+        _knn_l2_topk,
+        _quantized,
+    )
+
+    for mk in (_quantized, _aniso):
+        e = mk(spark, sf_dir)
+        sql_rows = sorted(
+            map(tuple, _knn_l2_topk(e, "gate_sql", n_rows=None).collect())
+        )
+        gemm_rows = sorted(
+            map(tuple, _knn_l2_topk(e, "gate_gemm", n_rows=10**9).collect())
+        )
+        assert sql_rows == gemm_rows and sql_rows, mk.__name__
+
+
+def test_pq_codes_gemm_equals_sql(spark, sf_dir):
+    """Same gate contract for the encode: the per-(group, subspace)
+    int64 matmul argmin must assign every vector the same code as the
+    crossJoin + min(struct(d, j)) form — first-min argmin over
+    ascending-j columns reproduces the low-j tie rule exactly."""
+    from mapreduceapp_spark.operators.similarity import (
+        _pq_centroid_slices,
+        _pq_codes,
+        _pq_k,
+        _quantized,
+    )
+    from mapreduceapp_spark.sources.parquet import table_row_count
+
+    e = _quantized(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    k = _pq_k(n)
+    cent_m = _pq_centroid_slices(e, k, max(1, n // k))
+    sql_rows = sorted(map(tuple, _pq_codes(e, cent_m, n_rows=None).collect()))
+    gemm_rows = sorted(
+        map(tuple, _pq_codes(e, cent_m, n_rows=10**9).collect())
+    )
+    assert sql_rows == gemm_rows and sql_rows
+
+
+def test_knn_l2_gemm_budget_guard(spark, sf_dir, monkeypatch):
+    """The lazy broadcast-budget guard survives the GEMM re-plan:
+    query_id carries the folded raise_error through the replicate
+    projection, so an over-budget query set still fails the JOB (not
+    the build) with the same message."""
+    import pytest
+
+    import mapreduceapp_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "KNN_MAX_BROADCAST_QUERIES", 1)
+    over = sim._knn_l2_topk(
+        sim._quantized(spark, sf_dir), "gate_guard", n_rows=10**9
+    )  # builds fine: guard is lazy
+    with pytest.raises(Exception, match="broadcast budget"):
+        over.count()
