@@ -225,25 +225,167 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The job fails fast with a pointer at q_ann_ivf when the query
     set outgrows the broadcast budget.
+
+    Same ``ANN_GEMM_MIN_ROWS`` regime gate as the L2 twin
+    (:func:`_knn_l2_topk`): above the gate the N·Q scored rows never
+    shuffle — a fragment-replicate GEMM keeps map-side partial top-k
+    per query (cosine mode: exact int64 dots cast to double, then the
+    same two IEEE ops as :func:`cosine`, the ``_gemm_assign`` parity
+    discipline), and the global window sees P·Q·k thin rows.
     """
     e = _quantized(spark, sf_dir)
-    guarded_q = _guarded_query_set(e, "q_knn_cosine", "q_ann_ivf")
-    scored = (
-        F.broadcast(guarded_q)
-        .join(e, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(dot(F.col("q_qv"), F.col("qv")), F.col("q_sq"), F.col("sq")).alias(
-                "cos"
-            ),
+    return _knn_cos_topk(
+        e,
+        "q_knn_cosine",
+        "q_ann_ivf",
+        n_rows=table_row_count(spark, sf_dir, "embeddings"),
+    )
+
+
+def _knn_cos_topk(
+    e: DataFrame,
+    guard_name: str,
+    redirect: str,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine over any (vec_id, qv, sq) frame — the
+    cosine twin of :func:`_knn_l2_topk`, same two regimes, same
+    guard-survival and tie-rule contracts (pinned by
+    test_knn_cosine_gemm_equals_sql)."""
+    guarded_q = _guarded_query_set(e, guard_name, redirect)
+    if n_rows is None or n_rows < ANN_GEMM_MIN_ROWS:
+        scored = (
+            F.broadcast(guarded_q)
+            .join(e, F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(
+                    dot(F.col("q_qv"), F.col("qv")),
+                    F.col("q_sq"),
+                    F.col("sq"),
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_K)
+            .select(
+                "query_id", "neighbor_id", "rnk",
+                F.round("cos", 6).alias("cos"),
+            )
+        )
+    return _knn_cos_topk_gemm(e, guarded_q)
+
+
+def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
+    """The corpus-scale cosine-kNN plan — see :func:`_knn_cos_topk`.
+
+    Parity notes: the per-pair cosine is the exact int64 dot cast to
+    double divided by sqrt(sq_q_double · sq_n_double) — the same
+    operand order and the same two IEEE ops as the ``cosine()``
+    expression, so every scored value is bit-identical to the codegen
+    form's. Rounding to 6 decimals happens in the FINAL JVM
+    projection (F.round), not in numpy, so even the emitted float
+    goes through the identical rounding path. Partial top-k merges by
+    (−cos, neighbor_id) lexsort — float negation is exact, and
+    corpus rows enter ascending so equal cosines keep the lower id,
+    matching the window's (cos DESC, neighbor_id ASC)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    p = max(32, spark.sparkContext.defaultParallelism)
+    v = e.select(
+        F.lit(0).alias("side"),
+        F.pmod(F.xxhash64(F.lit("knncos:"), F.col("vec_id")), F.lit(p)).alias(
+            "pid"
+        ),
+        "vec_id",
+        "qv",
+        "sq",
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("array<long>").alias("q_qv"),
+        F.lit(None).cast("long").alias("q_sq"),
+    )
+    q = guarded_q.crossJoin(
+        spark.range(p).select(F.col("id").alias("pid"))
+    ).select(
+        F.lit(1).alias("side"),
+        "pid",
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("array<long>").alias("qv"),
+        F.lit(None).cast("long").alias("sq"),
+        "query_id",
+        "q_qv",
+        "q_sq",
+    )
+    id_sentinel = np.iinfo(np.int64).max
+
+    def topk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        vec = pdf[pdf["side"] == 0].sort_values("vec_id")  # ties → low id
+        qs = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(vec) or not len(qs):
+            return empty
+        qids = qs["query_id"].to_numpy(np.int64)
+        Q = np.stack(qs["q_qv"].values).astype(np.int64)
+        qsqf = qs["q_sq"].to_numpy(np.int64).astype(np.float64)
+        nq = len(qids)
+        best_c = np.full((nq, KNN_K), -np.inf)
+        best_id = np.full((nq, KNN_K), id_sentinel, dtype=np.int64)
+        for s in range(0, len(vec), 8192):
+            blk = vec.iloc[s : s + 8192]
+            ids = blk["vec_id"].to_numpy(np.int64)
+            X = np.stack(blk["qv"].values).astype(np.int64)
+            xsqf = blk["sq"].to_numpy(np.int64).astype(np.float64)
+            cos = (Q @ X.T).astype(np.float64) / np.sqrt(
+                qsqf[:, None] * xsqf[None, :]
+            )
+            cos[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            cc = np.concatenate([best_c, cos], axis=1)
+            cid = np.concatenate(
+                [best_id, np.broadcast_to(ids, (nq, len(ids)))], axis=1
+            )
+            order = np.lexsort((cid, -cc), axis=1)[:, :KNN_K]
+            rows = np.arange(nq)[:, None]
+            best_c = cc[rows, order]
+            best_id = cid[rows, order]
+        keep = np.isfinite(best_c)
+        qq, _ = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "query_id": qids[qq],
+                "neighbor_id": best_id[keep],
+                "cos": best_c[keep],
+            }
+        )
+
+    partial = (
+        v.unionByName(q)
+        .groupBy("pid")
+        .applyInPandas(
+            topk_group, "query_id long, neighbor_id long, cos double"
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_K)
-        .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cos"))
+        .select(
+            "query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cos")
+        )
     )
 
 

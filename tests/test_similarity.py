@@ -850,3 +850,27 @@ def test_knn_l2_gemm_budget_guard(spark, sf_dir, monkeypatch):
     )  # builds fine: guard is lazy
     with pytest.raises(Exception, match="broadcast budget"):
         over.count()
+
+
+def test_knn_cosine_gemm_equals_sql(spark, sf_dir):
+    """Cosine twin of the gate contract: float parity requires the
+    GEMM to replay cosine()'s exact op sequence (int64 dot → double,
+    divided by sqrt of the DOUBLE product of the cast norms) and to
+    defer the 6-decimal round to the same final JVM projection — so
+    even the emitted float is bit-identical, not just the ranking."""
+    from mapreduceapp_spark.operators.similarity import (
+        _knn_cos_topk,
+        _quantized,
+    )
+
+    e = _quantized(spark, sf_dir)
+    sql_rows = sorted(
+        map(tuple, _knn_cos_topk(e, "cgate_sql", "x", n_rows=None).collect())
+    )
+    gemm_rows = sorted(
+        map(
+            tuple,
+            _knn_cos_topk(e, "cgate_gemm", "x", n_rows=10**9).collect(),
+        )
+    )
+    assert sql_rows == gemm_rows and sql_rows
