@@ -65,6 +65,12 @@ KNN_QUERY_PRED = "vec_id % 100 = 0"
 # time (see q_knn_cosine), not with a driver-side count, so the
 # builder stays a pure plan.
 KNN_MAX_BROADCAST_QUERIES = 100_000
+# Fragment chunk for the GEMM kernels' running top-k merge: bounds
+# the per-chunk distance block (Q × chunk) regardless of how many
+# rows a hash group holds — the 100 TB case where one group is
+# millions of rows. Module-level so the multi-chunk merge path is
+# testable at fixture scale (test_gemm_chunked_merge_matches).
+GEMM_CHUNK_ROWS = 8192
 NEARDUP_COS_THRESHOLD = 0.45  # sits in a gap of the data's cosine distribution
 # Exact-path GEMM tiling: block count is DERIVED from the table's row
 # count so one tile side never exceeds NEARDUP_TILE_ROWS rows
@@ -343,8 +349,8 @@ def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
         nq = len(qids)
         best_c = np.full((nq, KNN_K), -np.inf)
         best_id = np.full((nq, KNN_K), id_sentinel, dtype=np.int64)
-        for s in range(0, len(vec), 8192):
-            blk = vec.iloc[s : s + 8192]
+        for s in range(0, len(vec), GEMM_CHUNK_ROWS):
+            blk = vec.iloc[s : s + GEMM_CHUNK_ROWS]
             ids = blk["vec_id"].to_numpy(np.int64)
             X = np.stack(blk["qv"].values).astype(np.int64)
             xsqf = blk["sq"].to_numpy(np.int64).astype(np.float64)
@@ -1924,8 +1930,8 @@ def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
         # chunk the fragment so the distance block stays bounded
         # regardless of fragment size (the 100 TB case: a group may
         # hold millions of rows; Q × 8192 int64 ≈ 13 MB at Q=201)
-        for s in range(0, len(vec), 8192):
-            blk = vec.iloc[s : s + 8192]
+        for s in range(0, len(vec), GEMM_CHUNK_ROWS):
+            blk = vec.iloc[s : s + GEMM_CHUNK_ROWS]
             ids = blk["vec_id"].to_numpy(np.int64)
             X = np.stack(blk["qv"].values).astype(np.int64)
             xsq = blk["sq"].to_numpy(np.int64)

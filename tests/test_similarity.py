@@ -874,3 +874,38 @@ def test_knn_cosine_gemm_equals_sql(spark, sf_dir):
         )
     )
     assert sql_rows == gemm_rows and sql_rows
+
+
+def test_gemm_chunked_merge_matches(spark, sf_dir, monkeypatch):
+    """The kernels' running top-k merge across fragment chunks is the
+    subtlest code path and never triggers at fixture scale (fragments
+    ≪ GEMM_CHUNK_ROWS) — force 7-row chunks so every group merges
+    several partial blocks (incl. sentinel-padded ones), for both the
+    int64 L2 merge and the float cosine merge."""
+    import mapreduceapp_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "GEMM_CHUNK_ROWS", 7)
+    e = sim._quantized(spark, sf_dir)
+    l2_sql = sorted(
+        map(tuple, sim._knn_l2_topk(e, "chunk_l2_sql", n_rows=None).collect())
+    )
+    l2_gemm = sorted(
+        map(
+            tuple,
+            sim._knn_l2_topk(e, "chunk_l2_gemm", n_rows=10**9).collect(),
+        )
+    )
+    assert l2_sql == l2_gemm and l2_sql
+    cos_sql = sorted(
+        map(
+            tuple,
+            sim._knn_cos_topk(e, "chunk_cos_sql", "x", n_rows=None).collect(),
+        )
+    )
+    cos_gemm = sorted(
+        map(
+            tuple,
+            sim._knn_cos_topk(e, "chunk_cos_gemm", "x", n_rows=10**9).collect(),
+        )
+    )
+    assert cos_sql == cos_gemm and cos_sql
