@@ -478,11 +478,35 @@ WINNOW_DF_CAP = 8   # fingerprints in more docs are boilerplate: drop
 WINNOW_MIN_SHARED = 4
 
 
-def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+# Regime gate for the winnowing char-gram kernel — same grammar as
+# similarity.ANN_GEMM_MIN_ROWS. The codegen HOF form re-slices a
+# K=16 array per gram position (O(len·K) fold steps + a per-position
+# array alloc): ~3 s warm at sf0.1's 6k docs / 2M chars and ~7 s at
+# the sf1 rehearsal's 60k docs / 19.6M chars. The batched kernel
+# concatenates each Arrow batch's code points into ONE array and
+# computes every doc's rolling hashes in K shifted multiply-adds +
+# W-1 sliding minimums over the concatenation (document boundaries
+# masked): 0.34 s at sf0.1, 0.45 s at sf1 warm — it wins from ~1k
+# docs up; the threshold keeps micro-frames (tests, streaming
+# micro-batches, which pass n_docs=None) on codegen where the
+# Python-worker round-trip isn't worth starting.
+WINNOW_GEMM_MIN_DOCS = 4096
+
+
+def winnow_fingerprints(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
     """(doc_id, fp) — each document's winnowing-selected fingerprints
-    (distinct per doc), as array-level HOFs: gram hashes and window
-    minima stay inside whole-stage codegen; the only explode emits
-    the ~2/(W+1)-density selected set."""
+    (distinct per doc).
+
+    Two regimes (gate: ``WINNOW_GEMM_MIN_DOCS`` against the caller's
+    footer-derived doc count; None → the codegen plan): array-level
+    HOFs — gram hashes and window minima inside whole-stage codegen,
+    the only explode emitting the ~2/(W+1)-density selected set — or,
+    at corpus scale, the batched Arrow rolling-hash kernel
+    (:func:`_winnow_fps_gemm`), bit-identical by construction and
+    pinned over ASCII + non-BMP unicode + short/empty docs by
+    test_winnow_fps_gemm_equals_codegen."""
+    if n_docs is not None and n_docs >= WINNOW_GEMM_MIN_DOCS:
+        return _winnow_fps_gemm(docs)
     codes = F.transform(chars("text"), lambda c: F.ascii(c).cast("long"))
     d = docs.select("doc_id", codes.alias("codes"))
     n_grams = F.size(F.col("codes")) - (WINNOW_K - 1)
@@ -507,6 +531,90 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<long>"))
     return d.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def _winnow_fps_gemm(docs: DataFrame) -> DataFrame:
+    """Corpus-scale winnowing derivation — see :func:`winnow_fingerprints`.
+
+    Per Arrow batch, every document's code points concatenate into
+    ONE int64 array and the whole batch is processed in a handful of
+    vectorized passes — no per-document Python-call overhead (the
+    naive per-doc numpy form pays ~150 µs × call on ~300-char docs
+    and loses to codegen outright):
+
+    - code points via utf-32 decode — verified identical to Spark's
+      split('') + ascii() on non-BMP input (both are code-point-wise;
+      a utf-16 decode would diverge on surrogate pairs);
+    - gram hash h_p = (Σ_j c_{p+j}·B^{K-1-j}) mod M ≡ the HOF fold's
+      (acc·B + c) % M by ring homomorphism, computed as K shifted
+      multiply-adds with ONE trailing mod — exact in int64 because
+      c < 2^21 (max code point), B^j mod M < 2^30, so each term
+      < 2^51 and the K=16-term sum < 2^55;
+    - window minima as W−1 in-place np.minimum passes (int64,
+      tie-free by value, same as the HOF array_min);
+    - positions whose K-gram or W-window crosses a document boundary
+      are masked out via the cumulative-length table — grams never
+      mix documents;
+    - per-doc distinct via one np.unique over (doc_index << 31) | fp
+      (fp < FP_MOD < 2^31; batch doc index < 2^32 headroom).
+    """
+    import numpy as np
+    import pandas as pd
+
+    wpow = np.array(
+        [pow(FP_BASE, WINNOW_K - 1 - j, FP_MOD) for j in range(WINNOW_K)],
+        dtype=np.int64,
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["text"].tolist()
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            lens = np.array(
+                [len(t) if t else 0 for t in texts], dtype=np.int64
+            )
+            buf = "".join(t or "" for t in texts)
+            if not buf:
+                continue
+            c = np.frombuffer(
+                buf.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            starts = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            ng = len(c) - WINNOW_K + 1
+            if ng < 1:
+                continue
+            h = np.zeros(ng, dtype=np.int64)
+            for j in range(WINNOW_K):
+                h += c[j : j + ng] * wpow[j]
+            h %= FP_MOD
+            did = np.searchsorted(starts, np.arange(ng), side="right") - 1
+            gram_valid = np.arange(ng) + WINNOW_K <= starts[did + 1]
+            nw = ng - WINNOW_W + 1
+            if nw < 1:
+                continue
+            gm = h[:nw].copy()
+            for j in range(1, WINNOW_W):
+                np.minimum(gm, h[j : j + nw], out=gm)
+            win_valid = (
+                gram_valid[:nw]
+                & gram_valid[WINNOW_W - 1 :]
+                & (did[:nw] == did[WINNOW_W - 1 :])
+            )
+            key = did[:nw][win_valid] * (1 << 31) + gm[win_valid]
+            uk = np.unique(key)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[(uk >> 31).astype(np.int64)],
+                    "fp": uk & ((1 << 31) - 1),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        part, "doc_id long, fp long"
     )
 
 
@@ -539,10 +647,14 @@ def winnow_fingerprint_pairs(
     value.
     """
     from mapreduceapp_spark.plans.staging import stage
+    from mapreduceapp_spark.sources.parquet import table_row_count
     from pyspark.sql import Window
 
     fps = stage(
-        winnow_fingerprints(tables(spark, sf_dir).documents)
+        winnow_fingerprints(
+            tables(spark, sf_dir).documents,
+            n_docs=table_row_count(spark, sf_dir, "documents"),
+        )
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("df") <= cap)
         .drop("df"),

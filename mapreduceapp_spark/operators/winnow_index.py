@@ -105,10 +105,11 @@ def write_winnow_index(spark: SparkSession, sf_dir: str, path: str) -> str:
     plan gate."""
     from mapreduceapp_spark.sources.parquet import table_row_count
 
-    n_buckets = winnow_bucket_count(
-        table_row_count(spark, sf_dir, "documents")
+    n_docs = table_row_count(spark, sf_dir, "documents")
+    n_buckets = winnow_bucket_count(n_docs)
+    fps = winnow_fingerprints(
+        tables(spark, sf_dir).documents, n_docs=n_docs
     )
-    fps = winnow_fingerprints(tables(spark, sf_dir).documents)
     entries = (
         fps.withColumn(
             "bucket", F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int")

@@ -264,3 +264,39 @@ def test_winnowing_guarantee_and_selectivity(spark, tmp_path):
         for r in winnow_fingerprint_pairs(spark, sf).collect()
     }
     assert pairs == {(1, 2, True)}
+
+
+def test_winnow_fps_gemm_equals_codegen(spark, sf_dir):
+    """The WINNOW_GEMM_MIN_DOCS regime gate swaps plans, never
+    answers: the batched rolling-hash kernel must emit the identical
+    (doc_id, fp) set as the codegen HOF form — over the corpus
+    fixture AND an adversarial frame (non-BMP unicode where a utf-16
+    decode would diverge on surrogate pairs, empty/short docs, a doc
+    exactly at the K+W boundary)."""
+    from mapreduceapp_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_fps_gemm,
+        winnow_fingerprints,
+    )
+    from mapreduceapp_spark.sources import tables
+
+    docs = tables(spark, sf_dir).documents
+    a = sorted(map(tuple, winnow_fingerprints(docs).collect()))
+    b = sorted(map(tuple, _winnow_fps_gemm(docs).collect()))
+    assert a == b and a
+
+    edge = spark.createDataFrame(
+        [
+            (1, "aé\U0001F600z" * 10),
+            (2, ""),
+            (3, "short"),
+            (4, "x" * (WINNOW_K + WINNOW_W - 1)),
+            (5, "Ünïcødé-" * 8),
+            (6, "y" * (WINNOW_K + WINNOW_W - 2)),  # one gram short of a window
+        ],
+        "doc_id long, text string",
+    )
+    ea = sorted(map(tuple, winnow_fingerprints(edge).collect()))
+    eb = sorted(map(tuple, _winnow_fps_gemm(edge).collect()))
+    assert ea == eb and ea
