@@ -443,3 +443,67 @@ def test_quantile_rollup_exact_median_law(spark, tmp_path_factory, groups):
     assert got["__ALL__"] == lower_median(
         [v for vs in groups for v in vs]
     )
+
+
+# --------------------------------------------- r13 regime-gate parity laws
+#
+# The dense-kernel regime gates (similarity.ANN_GEMM_MIN_ROWS,
+# text.WINNOW_GEMM_MIN_DOCS) swap PLANS, never answers. The fixture
+# equality tests pin the corpus tables; these pin the law on random
+# structure — adversarial unicode (astral plane, combining marks,
+# lone-looking chars), duplicate/empty docs, tiny and boundary-length
+# strings, and random small vector sets with engineered ties.
+
+doc_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=126),
+        st.characters(min_codepoint=0xE0, max_codepoint=0x10FFFF,
+                      blacklist_categories=("Cs",)),
+    ),
+    max_size=80,
+)
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=12))
+@SETTINGS
+def test_winnow_gemm_parity_law(spark, texts):
+    """Batched rolling-hash kernel ≡ codegen HOF winnowing on
+    arbitrary unicode documents (code-point decode, boundary masks,
+    per-doc distinct)."""
+    from mapreduceapp_spark.operators.text import (
+        _winnow_fps_gemm,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, winnow_fingerprints(df).collect()))
+    b = sorted(map(tuple, _winnow_fps_gemm(df).collect()))
+    assert a == b
+
+
+# small component range forces distance ties, exercising the
+# (l2sq, neighbor_id) / low-j tie rules the merges must reproduce
+tie_vec = st.lists(
+    st.integers(min_value=-2, max_value=2), min_size=64, max_size=64
+)
+
+
+@given(vecs=st.lists(tie_vec, min_size=3, max_size=24))
+@SETTINGS
+def test_knn_gemm_parity_law(spark, vecs):
+    """GEMM exact-kNN ≡ broadcast-join + window form on random tied
+    vector sets (every 100th vec_id is a query by the engine's
+    predicate, so seed vec_ids across the 0/100/200… boundary)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.functions.vectors import sq_norm
+    from mapreduceapp_spark.operators.similarity import _knn_l2_topk
+
+    rows = [(i * 50, v) for i, v in enumerate(vecs)]  # half are queries
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    e = df.withColumn("sq", sq_norm(F.col("qv")))
+    a = sorted(map(tuple, _knn_l2_topk(e, "prop_sql", n_rows=None).collect()))
+    b = sorted(map(tuple, _knn_l2_topk(e, "prop_gemm", n_rows=10**9).collect()))
+    assert a == b
