@@ -346,6 +346,15 @@ def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
         qids = qs["query_id"].to_numpy(np.int64)
         Q = np.stack(qs["q_qv"].values).astype(np.int64)
         qsqf = qs["q_sq"].to_numpy(np.int64).astype(np.float64)
+        if (qsqf == 0).any():
+            # parity with the codegen form under ANSI mode (the
+            # session default): cosine of a zero-norm vector is a
+            # DIVIDE_BY_ZERO job failure, not a NaN silently ranked
+            # or dropped (pinned by test_knn_cosine_zero_norm_fails
+            # on BOTH plans)
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] zero-norm query vector in cosine kNN"
+            )
         nq = len(qids)
         best_c = np.full((nq, KNN_K), -np.inf)
         best_id = np.full((nq, KNN_K), id_sentinel, dtype=np.int64)
@@ -354,6 +363,10 @@ def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
             ids = blk["vec_id"].to_numpy(np.int64)
             X = np.stack(blk["qv"].values).astype(np.int64)
             xsqf = blk["sq"].to_numpy(np.int64).astype(np.float64)
+            if (xsqf == 0).any():
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm corpus vector in cosine kNN"
+                )
             cos = (Q @ X.T).astype(np.float64) / np.sqrt(
                 qsqf[:, None] * xsqf[None, :]
             )

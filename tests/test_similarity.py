@@ -909,3 +909,23 @@ def test_gemm_chunked_merge_matches(spark, sf_dir, monkeypatch):
         )
     )
     assert cos_sql == cos_gemm and cos_sql
+
+
+def test_knn_cosine_zero_norm_fails_on_both_plans(spark):
+    """Under ANSI mode (the session default) a zero-norm vector makes
+    the codegen cosine a DIVIDE_BY_ZERO job failure; the GEMM plan
+    must fail the same way — loudly — rather than silently ranking
+    or dropping a NaN cosine."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.functions.vectors import sq_norm
+    from mapreduceapp_spark.operators.similarity import _knn_cos_topk
+
+    rows = [(0, [0] * 64), (1, [1] * 64), (2, [2] * 64), (3, [5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    e = df.withColumn("sq", sq_norm(F.col("qv")))
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _knn_cos_topk(e, "z_sql", "x", n_rows=None).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _knn_cos_topk(e, "z_gemm", "x", n_rows=10**9).collect()
