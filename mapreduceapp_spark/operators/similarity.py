@@ -1556,6 +1556,13 @@ def _pq_codes_gemm(e: DataFrame, cent_m: DataFrame) -> DataFrame:
             return empty
         n_sub = int(cen["m"].max()) + 1
         X = np.stack(vec["qv"].values).astype(np.int64)
+        # int64 headroom over 8-dim subspaces (4·8·B² < 2^63): numpy
+        # would wrap where ANSI codegen fails loudly — check instead
+        if X.size and np.abs(X).max() > 536_000_000:
+            raise ArithmeticError(
+                "[ARITHMETIC_OVERFLOW] PQ encode components exceed the "
+                "int64 sub-distance headroom (|v| <= 536000000)"
+            )
         X = X.reshape(len(vec), n_sub, PQ_SUBDIM)
         codes = np.empty((len(vec), n_sub), dtype=np.int32)
         for m in range(n_sub):
@@ -1921,6 +1928,12 @@ def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
         "q_sq",
     )
     sentinel = np.iinfo(np.int64).max
+    # int64 headroom for d = sq_q + sq_n − 2⟨q,n⟩ over 64 dims:
+    # |each term| ≤ 64·B², three terms ⇒ 4·64·B² < 2^63 requires
+    # |component| ≤ 1.898e8. The codegen form fails loudly past this
+    # (ANSI overflow); numpy would WRAP silently — so the kernel
+    # checks and raises the same class of error instead.
+    max_abs = 189_000_000
 
     def topk_group(pdf: pd.DataFrame) -> pd.DataFrame:
         vec = pdf[pdf["side"] == 0].sort_values("vec_id")  # ties → low id
@@ -1936,6 +1949,11 @@ def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
             return empty
         qids = qs["query_id"].to_numpy(np.int64)
         Q = np.stack(qs["q_qv"].values).astype(np.int64)
+        if Q.size and np.abs(Q).max() > max_abs:
+            raise ArithmeticError(
+                "[ARITHMETIC_OVERFLOW] exact-kNN components exceed the "
+                f"int64 distance headroom (|v| <= {max_abs})"
+            )
         qsq = qs["q_sq"].to_numpy(np.int64)
         nq = len(qids)
         best_d = np.full((nq, KNN_K), sentinel, dtype=np.int64)
@@ -1947,6 +1965,11 @@ def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
             blk = vec.iloc[s : s + GEMM_CHUNK_ROWS]
             ids = blk["vec_id"].to_numpy(np.int64)
             X = np.stack(blk["qv"].values).astype(np.int64)
+            if X.size and np.abs(X).max() > max_abs:
+                raise ArithmeticError(
+                    "[ARITHMETIC_OVERFLOW] exact-kNN components exceed "
+                    f"the int64 distance headroom (|v| <= {max_abs})"
+                )
             xsq = blk["sq"].to_numpy(np.int64)
             d = qsq[:, None] + xsq[None, :] - 2 * (Q @ X.T)  # exact int64
             d[qids[:, None] == ids[None, :]] = sentinel  # exclude self

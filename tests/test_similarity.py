@@ -929,3 +929,21 @@ def test_knn_cosine_zero_norm_fails_on_both_plans(spark):
         _knn_cos_topk(e, "z_sql", "x", n_rows=None).collect()
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         _knn_cos_topk(e, "z_gemm", "x", n_rows=10**9).collect()
+
+
+def test_knn_l2_gemm_overflow_guard(spark):
+    """Components past the int64 distance headroom make the GEMM
+    kernel raise (numpy would silently wrap where the ANSI codegen
+    form fails loudly)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.functions.vectors import sq_norm
+    from mapreduceapp_spark.operators.similarity import _knn_l2_topk
+
+    big = 10**9  # > 1.898e8 headroom bound
+    rows = [(0, [big] * 64), (1, [1] * 64), (2, [2] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    e = df.withColumn("sq", sq_norm(F.col("qv")))
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        _knn_l2_topk(e, "ovf_gemm", n_rows=10**9).collect()
