@@ -101,6 +101,44 @@ def _neardup_blocks(n_rows: int, parallelism: int = 64) -> int:
     return max(1, min(max(mem_floor, par_floor), n_rows))
 
 
+def _fragment_replicate(
+    big: DataFrame,
+    small: DataFrame,
+    salt: str,
+    big_cols: list[tuple[str, str]],
+    small_cols: list[tuple[str, str]],
+    hash_col: str,
+) -> DataFrame:
+    """The two-sided union frame every fragment-replicate GEMM here
+    shares (the ``_gemm_assign`` shape, operators/clustering.py): the
+    big side hashes into ≤ P groups on ``hash_col`` (salted so
+    unrelated kernels never correlate group skew), the small side
+    replicates to every group via a range cross join, and both sides
+    union under one (side, pid, …) schema with typed nulls for the
+    other side's columns. Consumers groupBy("pid").applyInPandas a
+    kernel that splits on ``side``. Shuffle is |big| + P·|small| rows;
+    no |big|·|small| row set ever exists."""
+    spark = big.sparkSession
+    p = max(32, spark.sparkContext.defaultParallelism)
+    v = big.select(
+        F.lit(0).alias("side"),
+        F.pmod(F.xxhash64(F.lit(salt), F.col(hash_col)), F.lit(p)).alias(
+            "pid"
+        ),
+        *[F.col(n) for n, _ in big_cols],
+        *[F.lit(None).cast(t).alias(n) for n, t in small_cols],
+    )
+    c = small.crossJoin(
+        spark.range(p).select(F.col("id").alias("pid"))
+    ).select(
+        F.lit(1).alias("side"),
+        "pid",
+        *[F.lit(None).cast(t).alias(n) for n, t in big_cols],
+        *[F.col(n) for n, _ in small_cols],
+    )
+    return v.unionByName(c)
+
+
 def _guarded_query_set(e: DataFrame, query_name: str, redirect: str) -> DataFrame:
     """(query_id, q_qv, q_sq) for the broadcast query set, with the
     LAZY over-budget guard folded into query_id (engineering
@@ -303,31 +341,13 @@ def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    spark = e.sparkSession
-    p = max(32, spark.sparkContext.defaultParallelism)
-    v = e.select(
-        F.lit(0).alias("side"),
-        F.pmod(F.xxhash64(F.lit("knncos:"), F.col("vec_id")), F.lit(p)).alias(
-            "pid"
-        ),
+    union = _fragment_replicate(
+        e.select("vec_id", "qv", "sq"),
+        guarded_q,
+        "knncos:",
+        [("vec_id", "long"), ("qv", "array<long>"), ("sq", "long")],
+        [("query_id", "long"), ("q_qv", "array<long>"), ("q_sq", "long")],
         "vec_id",
-        "qv",
-        "sq",
-        F.lit(None).cast("long").alias("query_id"),
-        F.lit(None).cast("array<long>").alias("q_qv"),
-        F.lit(None).cast("long").alias("q_sq"),
-    )
-    q = guarded_q.crossJoin(
-        spark.range(p).select(F.col("id").alias("pid"))
-    ).select(
-        F.lit(1).alias("side"),
-        "pid",
-        F.lit(None).cast("long").alias("vec_id"),
-        F.lit(None).cast("array<long>").alias("qv"),
-        F.lit(None).cast("long").alias("sq"),
-        "query_id",
-        "q_qv",
-        "q_sq",
     )
     id_sentinel = np.iinfo(np.int64).max
 
@@ -389,12 +409,8 @@ def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
             }
         )
 
-    partial = (
-        v.unionByName(q)
-        .groupBy("pid")
-        .applyInPandas(
-            topk_group, "query_id long, neighbor_id long, cos double"
-        )
+    partial = union.groupBy("pid").applyInPandas(
+        topk_group, "query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -1517,29 +1533,13 @@ def _pq_codes_gemm(e: DataFrame, cent_m: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    spark = e.sparkSession
-    p = max(32, spark.sparkContext.defaultParallelism)
-    v = e.select(
-        F.lit(0).alias("side"),
-        F.pmod(F.xxhash64(F.lit("pqenc:"), F.col("vec_id")), F.lit(p)).alias(
-            "pid"
-        ),
+    union = _fragment_replicate(
+        e.select("vec_id", "qv"),
+        cent_m,
+        "pqenc:",
+        [("vec_id", "long"), ("qv", "array<long>")],
+        [("m", "int"), ("j", "int"), ("cv", "array<long>")],
         "vec_id",
-        "qv",
-        F.lit(None).cast("int").alias("m"),
-        F.lit(None).cast("int").alias("j"),
-        F.lit(None).cast("array<long>").alias("cv"),
-    )
-    c = cent_m.crossJoin(
-        spark.range(p).select(F.col("id").alias("pid"))
-    ).select(
-        F.lit(1).alias("side"),
-        "pid",
-        F.lit(None).cast("long").alias("vec_id"),
-        F.lit(None).cast("array<long>").alias("qv"),
-        "m",
-        "j",
-        "cv",
     )
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1584,10 +1584,8 @@ def _pq_codes_gemm(e: DataFrame, cent_m: DataFrame) -> DataFrame:
             }
         )
 
-    return (
-        v.unionByName(c)
-        .groupBy("pid")
-        .applyInPandas(encode_group, "vec_id long, m int, code int")
+    return union.groupBy("pid").applyInPandas(
+        encode_group, "vec_id long, m int, code int"
     )
 
 
@@ -1901,31 +1899,13 @@ def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    spark = e.sparkSession
-    p = max(32, spark.sparkContext.defaultParallelism)
-    v = e.select(
-        F.lit(0).alias("side"),
-        F.pmod(F.xxhash64(F.lit("knnl2:"), F.col("vec_id")), F.lit(p)).alias(
-            "pid"
-        ),
+    union = _fragment_replicate(
+        e.select("vec_id", "qv", "sq"),
+        guarded_q,
+        "knnl2:",
+        [("vec_id", "long"), ("qv", "array<long>"), ("sq", "long")],
+        [("query_id", "long"), ("q_qv", "array<long>"), ("q_sq", "long")],
         "vec_id",
-        "qv",
-        "sq",
-        F.lit(None).cast("long").alias("query_id"),
-        F.lit(None).cast("array<long>").alias("q_qv"),
-        F.lit(None).cast("long").alias("q_sq"),
-    )
-    q = guarded_q.crossJoin(
-        spark.range(p).select(F.col("id").alias("pid"))
-    ).select(
-        F.lit(1).alias("side"),
-        "pid",
-        F.lit(None).cast("long").alias("vec_id"),
-        F.lit(None).cast("array<long>").alias("qv"),
-        F.lit(None).cast("long").alias("sq"),
-        "query_id",
-        "q_qv",
-        "q_sq",
     )
     sentinel = np.iinfo(np.int64).max
     # int64 headroom for d = sq_q + sq_n − 2⟨q,n⟩ over 64 dims:
@@ -1991,10 +1971,8 @@ def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
             }
         )
 
-    partial = (
-        v.unionByName(q)
-        .groupBy("pid")
-        .applyInPandas(topk_group, "query_id long, neighbor_id long, l2sq long")
+    partial = union.groupBy("pid").applyInPandas(
+        topk_group, "query_id long, neighbor_id long, l2sq long"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("l2sq"), F.asc("neighbor_id")
