@@ -1009,29 +1009,13 @@ def _gemm_probe_topm(
     import numpy as np
     import pandas as pd
 
-    spark = queries.sparkSession
-    p = max(32, spark.sparkContext.defaultParallelism)
-    q = queries.select(
-        F.lit(0).alias("side"),
-        F.pmod(F.xxhash64(F.lit("ivfprobe:"), F.col("vec_id")), F.lit(p)).alias(
-            "pid"
-        ),
-        F.col("vec_id").alias("query_id"),
-        "qv",
-        "sq",
-        F.lit(None).cast("long").alias("cent_id"),
-        F.lit(None).cast("array<long>").alias("c_qv"),
-        F.lit(None).cast("long").alias("c_sq"),
-    )
-    c = cents.crossJoin(spark.range(p).select(F.col("id").alias("pid"))).select(
-        F.lit(1).alias("side"),
-        "pid",
-        F.lit(None).cast("long").alias("query_id"),
-        F.lit(None).cast("array<long>").alias("qv"),
-        F.lit(None).cast("long").alias("sq"),
-        "cent_id",
-        "c_qv",
-        "c_sq",
+    union = _fragment_replicate(
+        queries.select(F.col("vec_id").alias("query_id"), "qv", "sq"),
+        cents,
+        "ivfprobe:",
+        [("query_id", "long"), ("qv", "array<long>"), ("sq", "long")],
+        [("cent_id", "long"), ("c_qv", "array<long>"), ("c_sq", "long")],
+        "query_id",
     )
 
     def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1080,7 +1064,7 @@ def _gemm_probe_topm(
             }
         )
 
-    return q.unionByName(c).groupBy("pid").applyInPandas(
+    return union.groupBy("pid").applyInPandas(
         probe_group, "query_id long, q_qv array<long>, q_sq long, probe long"
     )
 
