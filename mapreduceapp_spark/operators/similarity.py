@@ -3001,6 +3001,42 @@ def q_opq_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
 
 
+def opq_residual_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ladder's composition rung — residual IVFADC over the
+    TRANSPOSE-PERMUTED aniso table: does balanced allocation stack
+    with residual codebooks? Valid against the unpermuted exact slot
+    for the same orthogonality reason as q_opq_recall_aniso, and the
+    IVF stage is untouched by the permutation (coarse assignment is
+    full-64-dim L2, which a permutation preserves, and the
+    stride-sampled centroid set depends on vec_id only — so cells,
+    probes and residual magnitudes are identical; ONLY the residual
+    PQ's dim→subspace allocation changes).
+
+    UNREGISTERED in r13: the registry is rotation-saturated (149+1
+    names / 50-slot window — NOTES_r13 §10), so this ships as
+    library surface + pytest coverage and registers when a slot
+    frees (its oracle is the q_ivfpq_residual_recall_aniso SQL with
+    the _ORACLE_OPQ_ANISO_QV source, same composition as the
+    existing rungs). Measured (mean recall@10, N=500 / N=2000):
+    **0.68 / 0.84** — allocation and residual COMPOSE, and
+    super-additively at N=2000 (residual-only 0.58 / 0.555, OPQ-only
+    0.56 / 0.565, raw 0.48 / 0.30): residuals shrink the cube every
+    codebook must cover while the balanced allocation stops subspace
+    0 from hoarding the fixture's (j+1)⁻² noise octaves — each fix
+    removes a DIFFERENT error term, so together they compound
+    (pinned by test_opq_residual_composition_rung)."""
+    e_p = _opq_permute(_aniso(spark, sf_dir))
+    n = table_row_count(spark, sf_dir, "embeddings")
+    approx = ivfpq_residual_ann(
+        e_p,
+        _ivf_stride(n),
+        _pq_k(n),
+        max(1, n // _pq_k(n)),
+        n_queries_bound=n // 100 + 1,
+    )
+    return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
+
+
 @register(
     "q_pq_recall_aniso",
     oracle=_oracle_recall(
@@ -3022,6 +3058,7 @@ def q_pq_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF+PQ          0.48 / 0.305
         OPQ-permuted PQ 0.56 / 0.565   (r13 rung)
         residual IVFADC 0.58 / 0.555
+        OPQ + residual  0.68 / 0.840   (r13, unregistered — §10)
     The r11 isotropic parity is BROKEN, in the direction theory
     predicts: residual codebooks win decisively on clustered data
     (+0.10 / +0.25 over raw at the same codebook budget) because

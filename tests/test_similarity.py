@@ -947,3 +947,32 @@ def test_knn_l2_gemm_overflow_guard(spark):
     e = df.withColumn("sq", sq_norm(F.col("qv")))
     with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
         _knn_l2_topk(e, "ovf_gemm", n_rows=10**9).collect()
+
+
+def test_opq_residual_composition_rung(spark, sf_dir):
+    """The unregistered composition rung (NOTES_r13 §10: registry
+    saturated, ships as library surface): balanced allocation +
+    residual codebooks must beat BOTH single-lever rungs with
+    daylight — measured 0.68 vs 0.58/0.56 at N=500 (and 0.84 vs
+    0.555/0.565 at N=2000). Pinned as strict total-hit inequalities
+    like the other ladder pins."""
+    from mapreduceapp_spark.operators.similarity import (
+        opq_residual_recall_aniso,
+    )
+    from mapreduceapp_spark.plans.registry import get_query
+
+    both = sum(
+        r.n_hit for r in opq_residual_recall_aniso(spark, sf_dir).collect()
+    )
+    residual_only = sum(
+        r.n_hit
+        for r in get_query("q_ivfpq_residual_recall_aniso")
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    opq_only = sum(
+        r.n_hit
+        for r in get_query("q_opq_recall_aniso").builder(spark, sf_dir).collect()
+    )
+    assert both >= residual_only + 2, (both, residual_only)
+    assert both >= opq_only + 2, (both, opq_only)
