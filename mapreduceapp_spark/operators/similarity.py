@@ -80,6 +80,15 @@ NEARDUP_COS_THRESHOLD = 0.45  # sits in a gap of the data's cosine distribution
 # bounded no matter how large the table grows.
 NEARDUP_TILE_ROWS = 32_768
 GEMM_CHUNK = 256
+# Fragment-replicate group size ceiling (r14, VERDICT r13 "What's
+# wrong" #1): a hash group materializes as one pandas DataFrame, so
+# cap it at the same ~16 MB of 64-dim int64 vectors the neardup tile
+# uses; P = max(parallelism floor, ceil(N / this)) keeps per-task
+# input memory constant in N. The replicated small side (≤ 2048
+# codebook rows / √N centroids / Q ≤ 100k queries) adds P·|small|
+# shuffle rows — at P = N/32768 that is N·|small|/32768 total, still
+# far below the N·|small| row set the frame exists to avoid.
+FRAGMENT_GROUP_ROWS = 32_768
 
 
 def _neardup_blocks(n_rows: int, parallelism: int = 64) -> int:
@@ -108,6 +117,7 @@ def _fragment_replicate(
     big_cols: list[tuple[str, str]],
     small_cols: list[tuple[str, str]],
     hash_col: str,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The two-sided union frame every fragment-replicate GEMM here
     shares (the ``_gemm_assign`` shape, operators/clustering.py): the
@@ -117,9 +127,28 @@ def _fragment_replicate(
     union under one (side, pid, …) schema with typed nulls for the
     other side's columns. Consumers groupBy("pid").applyInPandas a
     kernel that splits on ``side``. Shuffle is |big| + P·|small| rows;
-    no |big|·|small| row set ever exists."""
+    no |big|·|small| row set ever exists.
+
+    P scales with the big side's row count (VERDICT r13 "What's
+    wrong" #1): ``applyInPandas`` materializes each group as ONE
+    pandas DataFrame, so with a fixed P the per-task input is N/P
+    rows × 64 int64 dims — linear in N on a fixed cluster even
+    though the kernels chunk their *distance* blocks. Same two
+    constraints as :func:`_neardup_blocks`: a memory ceiling of
+    ``FRAGMENT_GROUP_ROWS`` big rows per group (32,768 rows × 64
+    dims × 8 B ≈ 16 MB of vectors before pandas overhead) and a
+    parallelism floor of max(32, defaultParallelism). Callers pass
+    the same footer-derived ``n_rows`` that decides the regime gate;
+    None keeps the floor alone (micro-frames and tests — identical
+    to the pre-r14 behavior). Result-invariant by construction:
+    every consumer's merge is a per-key top-k/argmin over columns
+    that do not depend on the grouping, so P changes task shape,
+    never output rows (pinned by the four GEMM parity tests plus
+    test_fragment_replicate_group_count)."""
     spark = big.sparkSession
     p = max(32, spark.sparkContext.defaultParallelism)
+    if n_rows is not None:
+        p = max(p, -(-n_rows // FRAGMENT_GROUP_ROWS))
     v = big.select(
         F.lit(0).alias("side"),
         F.pmod(F.xxhash64(F.lit(salt), F.col(hash_col)), F.lit(p)).alias(
@@ -322,10 +351,12 @@ def _knn_cos_topk(
                 F.round("cos", 6).alias("cos"),
             )
         )
-    return _knn_cos_topk_gemm(e, guarded_q)
+    return _knn_cos_topk_gemm(e, guarded_q, n_rows)
 
 
-def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
+def _knn_cos_topk_gemm(
+    e: DataFrame, guarded_q: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """The corpus-scale cosine-kNN plan — see :func:`_knn_cos_topk`.
 
     Parity notes: the per-pair cosine is the exact int64 dot cast to
@@ -348,8 +379,19 @@ def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
         [("vec_id", "long"), ("qv", "array<long>"), ("sq", "long")],
         [("query_id", "long"), ("q_qv", "array<long>"), ("q_sq", "long")],
         "vec_id",
+        n_rows=n_rows,
     )
     id_sentinel = np.iinfo(np.int64).max
+    # int64 headroom for the dot product alone (the cosine divides by
+    # norms AFTER the integer matmul): |⟨q,x⟩| ≤ 64·B² < 2^63 requires
+    # |component| ≤ 3.796e8. Until r14 this kernel leaned on an
+    # implicit invariant (sq comes from the ANSI sq_norm codegen over
+    # the same vectors, so Cauchy–Schwarz bounds |dot| ≤ √(sq_q·sq_x)
+    # ≤ int64 max whenever the norms survived codegen) — true for
+    # every in-repo caller, but a caller supplying sq from elsewhere
+    # would wrap silently where codegen raises. Checked explicitly
+    # now, same class as the L2/encode siblings (ADVICE r13).
+    max_abs = 379_000_000
 
     def topk_group(pdf: pd.DataFrame) -> pd.DataFrame:
         vec = pdf[pdf["side"] == 0].sort_values("vec_id")  # ties → low id
@@ -365,6 +407,11 @@ def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
             return empty
         qids = qs["query_id"].to_numpy(np.int64)
         Q = np.stack(qs["q_qv"].values).astype(np.int64)
+        if Q.size and np.abs(Q).max() > max_abs:
+            raise ArithmeticError(
+                "[ARITHMETIC_OVERFLOW] cosine-kNN components exceed "
+                f"the int64 dot-product headroom (|v| <= {max_abs})"
+            )
         qsqf = qs["q_sq"].to_numpy(np.int64).astype(np.float64)
         if (qsqf == 0).any():
             # parity with the codegen form under ANSI mode (the
@@ -382,6 +429,11 @@ def _knn_cos_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
             blk = vec.iloc[s : s + GEMM_CHUNK_ROWS]
             ids = blk["vec_id"].to_numpy(np.int64)
             X = np.stack(blk["qv"].values).astype(np.int64)
+            if X.size and np.abs(X).max() > max_abs:
+                raise ArithmeticError(
+                    "[ARITHMETIC_OVERFLOW] cosine-kNN components exceed "
+                    f"the int64 dot-product headroom (|v| <= {max_abs})"
+                )
             xsqf = blk["sq"].to_numpy(np.int64).astype(np.float64)
             if (xsqf == 0).any():
                 raise ArithmeticError(
@@ -986,7 +1038,11 @@ def _centroids(e: DataFrame, stride: int) -> DataFrame:
 
 
 def _gemm_probe_topm(
-    queries: DataFrame, cents: DataFrame, m: int, metric: str = "cosine"
+    queries: DataFrame,
+    cents: DataFrame,
+    m: int,
+    metric: str = "cosine",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Each query's ``m`` best centroids by (cos DESC, cent_id ASC)
     — or, with ``metric="l2"``, by (squared L2 ASC, cent_id ASC) in
@@ -999,11 +1055,15 @@ def _gemm_probe_topm(
     argsort over ascending-cid columns).
 
     ``queries`` carries (vec_id, qv, sq); ``cents`` (cent_id, c_qv,
-    c_sq). Queries hash into ≤ max(parallelism, 32) groups, the
-    centroid table replicates to each; shuffle is Q + P·C rows, and
-    no Q·C row set ever materializes (the old broadcast-join form
-    fanned out Q·C rows with both ∝ N — quadratic, the same regime
-    the r5 verdict flagged on the assign stage).
+    c_sq). Queries hash into ≤ P groups (parallelism floor, plus the
+    FRAGMENT_GROUP_ROWS memory ceiling when the caller passes its
+    ``n_queries`` bound — the big side here is the Q ≈ N/100 query
+    set, so the ceiling binds 100× later than on the corpus-side
+    kernels), the centroid table replicates to each; shuffle is
+    Q + P·C rows, and no Q·C row set ever materializes (the old
+    broadcast-join form fanned out Q·C rows with both ∝ N —
+    quadratic, the same regime the r5 verdict flagged on the assign
+    stage).
     Returns (query_id, q_qv, q_sq, probe) — m rows per query.
     """
     import numpy as np
@@ -1016,6 +1076,7 @@ def _gemm_probe_topm(
         [("query_id", "long"), ("qv", "array<long>"), ("sq", "long")],
         [("cent_id", "long"), ("c_qv", "array<long>"), ("c_sq", "long")],
         "query_id",
+        n_rows=n_queries,
     )
 
     def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1495,7 +1556,7 @@ def _pq_codes(
       rehearsal's N=20k: 50-60 s cold codegen → ~10 s GEMM.
     """
     if n_rows is not None and n_rows >= ANN_GEMM_MIN_ROWS:
-        return stage(_pq_codes_gemm(e, cent_m), "pq_codes")
+        return stage(_pq_codes_gemm(e, cent_m, n_rows), "pq_codes")
     scored = (
         e.select("vec_id", "qv")
         .crossJoin(F.broadcast(cent_m))
@@ -1512,7 +1573,9 @@ def _pq_codes(
     )
 
 
-def _pq_codes_gemm(e: DataFrame, cent_m: DataFrame) -> DataFrame:
+def _pq_codes_gemm(
+    e: DataFrame, cent_m: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """The corpus-scale encode plan — see :func:`_pq_codes`."""
     import numpy as np
     import pandas as pd
@@ -1524,6 +1587,7 @@ def _pq_codes_gemm(e: DataFrame, cent_m: DataFrame) -> DataFrame:
         [("vec_id", "long"), ("qv", "array<long>")],
         [("m", "int"), ("j", "int"), ("cv", "array<long>")],
         "vec_id",
+        n_rows=n_rows,
     )
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1553,6 +1617,18 @@ def _pq_codes_gemm(e: DataFrame, cent_m: DataFrame) -> DataFrame:
             blk = cen[cen["m"] == m]
             js = blk["j"].to_numpy(np.int32)
             C = np.stack(blk["cv"].values).astype(np.int64)  # K × 8
+            # the same headroom check on the replicated codebook side
+            # (ADVICE r13): every in-repo caller samples centroids
+            # from the SAME frame, so an over-bound centroid's source
+            # row fails the X check in its own group — but that is a
+            # cross-function coupling, not a kernel guarantee; an
+            # externally-trained codebook would wrap silently without
+            # this. ≤ 256×8 values per group — negligible.
+            if C.size and np.abs(C).max() > 536_000_000:
+                raise ArithmeticError(
+                    "[ARITHMETIC_OVERFLOW] PQ codebook components exceed "
+                    "the int64 sub-distance headroom (|v| <= 536000000)"
+                )
             Xm = X[:, m, :]
             d = (
                 (Xm * Xm).sum(axis=1)[:, None]
@@ -1875,10 +1951,12 @@ def _knn_l2_topk(
             .filter(F.col("rnk") <= KNN_K)
             .select("query_id", "neighbor_id", "rnk", "l2sq")
         )
-    return _knn_l2_topk_gemm(e, guarded_q)
+    return _knn_l2_topk_gemm(e, guarded_q, n_rows)
 
 
-def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
+def _knn_l2_topk_gemm(
+    e: DataFrame, guarded_q: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """The corpus-scale exact-kNN plan — see :func:`_knn_l2_topk`."""
     import numpy as np
     import pandas as pd
@@ -1890,6 +1968,7 @@ def _knn_l2_topk_gemm(e: DataFrame, guarded_q: DataFrame) -> DataFrame:
         [("vec_id", "long"), ("qv", "array<long>"), ("sq", "long")],
         [("query_id", "long"), ("q_qv", "array<long>"), ("q_sq", "long")],
         "vec_id",
+        n_rows=n_rows,
     )
     sentinel = np.iinfo(np.int64).max
     # int64 headroom for d = sq_q + sq_n − 2⟨q,n⟩ over 64 dims:
@@ -2157,29 +2236,21 @@ _ORACLE_NORM_QUANTIZED = f"""
 """
 
 
-@register(
-    "q_pq_recall_normalized",
-    oracle=f"""
-        WITH exact AS ({_oracle_knn_l2(_ORACLE_NORM_QUANTIZED)}),
-        approx AS ({_oracle_pq(KNN_K, src=_ORACLE_NORM_QV)}),
-        hits AS (
-            SELECT e.query_id, count(a.neighbor_id) AS n_hit
-            FROM exact e LEFT JOIN approx a
-              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-            GROUP BY e.query_id
-        )
-        SELECT query_id,
-               CAST(n_hit AS BIGINT) AS n_hit,
-               round(n_hit / {KNN_K}.0, 4) AS recall_at_k
-        FROM hits
-    """,
-    doc="PQ recall on L2-normalized vectors (integer-grid "
-    "normalization) — the deployment-shaped recall number: after "
-    "normalization cosine and L2 rankings coincide, so ADC "
-    "approximates the metric users actually rank by (C3).",
-)
 def q_pq_recall_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of PQ code search over the L2-NORMALIZED table vs
+    """RETIRED from the registry in r14 (VERDICT r13 "Next round" #1):
+    folded into q_pq_recall_normalized_aniso, which carries the same
+    normalization rung on the fixture where the finding is
+    corroborated rather than vacuous — this isotropic twin's own
+    measured result below records that normalization is a no-op on
+    the isotropic fixture (recall EQUALS the unnormalized number),
+    so the two queries' driver rows were redundant evidence for one
+    claim. The slot freed funds q_opq_residual_recall_aniso, the
+    ladder's best measured configuration. The function stays as
+    library surface (still pytest-covered for grid-unit-norm
+    invariants via _normalized); its last green driver row is
+    CORRECTNESS_r13.
+
+    Original doc — recall@k of PQ code search over the L2-NORMALIZED table vs
     exact L2 kNN over the same table — the number a deployment sees
     (VERDICT r10 ask #4: raw-code recall on unnormalized uniform
     synthetic was 0.1-0.4 with the L2-vs-cosine mismatch diagnosed;
@@ -2266,7 +2337,8 @@ def ivfpq_ann(
     )
     n_queries = qs.count() if n_queries_bound is None else n_queries_bound
     probes = _gemm_probe_topm(
-        e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2"
+        e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2",
+        n_queries=n_queries,
     ).select("query_id", "probe")
     # Q × nprobe rows — gated like every runtime-sized broadcast
     # (ADVICE r11: an external caller with a corpus-scale query set
@@ -2476,7 +2548,8 @@ def ivfpq_residual_ann(
         resid.select("vec_id", "qv"), cent_m, n_rows=k_cent * pq_stride
     )
     probes = _gemm_probe_topm(
-        e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2"
+        e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2",
+        n_queries=n_queries_bound,
     ).select("query_id", "q_qv", "probe")
     rq = probes.join(
         F.broadcast(cents.select(F.col("cent_id").alias("probe"), "c_qv")),
@@ -3001,7 +3074,17 @@ def q_opq_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
 
 
-def opq_residual_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "q_opq_residual_recall_aniso",
+    oracle=_oracle_recall(
+        _oracle_knn_l2(_ORACLE_ANISO_QUANTIZED),
+        _oracle_ivfpq_residual_approx(src=_ORACLE_OPQ_ANISO_QV),
+    ),
+    doc="OPQ allocation + residual codebooks composed — the top rung "
+    "of the rankable ANN ladder (C3; registered r14 in the slot "
+    "freed by retiring the isotropic normalized-recall twin).",
+)
+def q_opq_residual_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ladder's composition rung — residual IVFADC over the
     TRANSPOSE-PERMUTED aniso table: does balanced allocation stack
     with residual codebooks? Valid against the unpermuted exact slot
@@ -3012,12 +3095,12 @@ def opq_residual_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes and residual magnitudes are identical; ONLY the residual
     PQ's dim→subspace allocation changes).
 
-    UNREGISTERED in r13: the registry is rotation-saturated (149+1
-    names / 50-slot window — NOTES_r13 §10), so this ships as
-    library surface + pytest coverage and registers when a slot
-    frees (its oracle is the q_ivfpq_residual_recall_aniso SQL with
-    the _ORACLE_OPQ_ANISO_QV source, same composition as the
-    existing rungs). Measured (mean recall@10, N=500 / N=2000):
+    Shipped unregistered in r13 (rotation saturation, NOTES_r13 §10);
+    REGISTERED in r14 with the declared oracle — the
+    q_ivfpq_residual_recall_aniso SQL over the _ORACLE_OPQ_ANISO_QV
+    source — in the window slot freed by folding
+    q_pq_recall_normalized into its aniso twin (VERDICT r13 "Next
+    round" #1). Measured (mean recall@10, N=500 / N=2000):
     **0.68 / 0.84** — allocation and residual COMPOSE, and
     super-additively at N=2000 (residual-only 0.58 / 0.555, OPQ-only
     0.56 / 0.565, raw 0.48 / 0.30): residuals shrink the cube every

@@ -110,32 +110,13 @@ def _load_all() -> None:
 # registry); any newly registered name is by definition never-checked
 # and sorts to the very front automatically.
 _CHECK_ROTATION = [
-    # Stalest first: freshest driver evidence is CORRECTNESS_r10.json
-    # (the structural 49-name tail of a 149-query registry against a
-    # 50-slot window). They lead round 13's window unconditionally,
-    # alphabetical — VERDICT r12 "Next round" #2. 49 + new
-    # registrations must stay <= 50 (brand-new names auto-sort ahead
-    # of this group — see _rotation_key — so the invariant test caps
-    # new ids at 1 this round).
-    "q_abtest", "q_ann_lsh", "q_approx_distinct", "q_contamination",
-    "q_corr_subquery", "q_count_distinct", "q_cube", "q_curation_pipeline",
-    "q_data_audit", "q_dedup_clusters", "q_dedup_survivors", "q_distinct",
-    "q_domain_mix", "q_dup_degree", "q_embedding_neardup", "q_equijoin",
-    "q_exact_dedup", "q_except", "q_filter_project", "q_fingerprint",
-    "q_frame_sample", "q_groupby_agg", "q_grouping_sets",
-    "q_heavy_hitters_by_group", "q_intersect", "q_inverted_index_salted",
-    "q_knn_l2", "q_pii_scrub", "q_pq_ann", "q_pq_recall",
-    "q_pq_rerank_recall", "q_quantile_rollup", "q_rollup", "q_sample_split",
-    "q_scalar_funcs", "q_semi_join", "q_session_window",
-    "q_simhash_neardup", "q_text_normalize", "q_tumbling_window",
-    "q_txlog_delete_travel", "q_txlog_incremental_agg", "q_udf_quality",
-    "q_union_all", "q_unpivot", "q_user_totals", "q_window_rank",
-    "q_window_running", "q_winnowing",
-    # Checked in round 11 (CORRECTNESS_r11.json) but not round 12 —
-    # middle of the rotation, alphabetical (includes the two rows-only
-    # names, whose r11 rows were the weaker 'no_oracle' check by
-    # design). Window overflow lands on the alphabetical tail of THIS
-    # group (r11-green evidence).
+    # Stalest first: freshest driver evidence is CORRECTNESS_r11.json
+    # (49 names after r14 retired q_pq_recall_normalized from this
+    # group — VERDICT r13 "Next round" #1/#3). They lead round 14's
+    # window, alphabetical. 49 + new registrations must stay <= 50
+    # (brand-new names auto-sort ahead of this group — see
+    # _rotation_key — so the invariant test caps new ids at 1 this
+    # round; r14's one registration is q_opq_residual_recall_aniso).
     "q_ann_ivf", "q_anti_join", "q_approx_percentile", "q_array_funcs",
     "q_asof_join", "q_dup_rate_by_source", "q_duplicate_passages",
     "q_embedding_neardup_lsh", "q_funnel", "q_fuzzy_match", "q_having",
@@ -146,14 +127,14 @@ _CHECK_ROTATION = [
     "q_media_features", "q_media_metadata", "q_mr_charcount",
     "q_multimodal_cols", "q_multiway_join", "q_ngram_counts",
     "q_outer_join", "q_outlier_events", "q_pack_sequences", "q_percentiles",
-    "q_pivot", "q_pq_recall_normalized", "q_progress", "q_range_join",
+    "q_pivot", "q_progress", "q_range_join",
     "q_repetition_filter", "q_temperature_resample", "q_tpch_q13",
     "q_tpch_q17", "q_tpch_q18", "q_tpch_q21", "q_tpch_q22",
     "q_unigram_logprob", "q_winnowing_contamination", "q_winnowing_indexed",
     "q_wordcount",
-    # Confirmed in round 12 (CORRECTNESS_r12.json) — freshest-checked,
-    # back of the rotation, alphabetical (the aniso ladder joined the
-    # rotation here after its debut window).
+    # Checked in round 12 (CORRECTNESS_r12.json) but not round 13 —
+    # middle of the rotation, alphabetical. Window overflow lands on
+    # the alphabetical tail of THIS group (r12-green evidence).
     "q_bm25", "q_broadcast_join", "q_charcount", "q_chunk_documents",
     "q_cluster_purity", "q_cohort_retention", "q_containment",
     "q_containment_prefix", "q_copurchase_triangles", "q_dedup_index_probe",
@@ -169,6 +150,24 @@ _CHECK_ROTATION = [
     "q_tpch_q9", "q_training_order", "q_txlog_changes",
     "q_txlog_time_travel", "q_vocab_stats", "q_window_leadlag",
     "q_window_range_frame", "q_zipf_fit",
+    # Confirmed in round 13 (CORRECTNESS_r13.json) — freshest-checked,
+    # back of the rotation, alphabetical (q_opq_recall_aniso joined
+    # the rotation here after its r13 debut window).
+    "q_abtest", "q_ann_lsh", "q_approx_distinct", "q_contamination",
+    "q_corr_subquery", "q_count_distinct", "q_cube", "q_curation_pipeline",
+    "q_data_audit", "q_dedup_clusters", "q_dedup_survivors", "q_distinct",
+    "q_domain_mix", "q_dup_degree", "q_embedding_neardup", "q_equijoin",
+    "q_exact_dedup", "q_except", "q_filter_project", "q_fingerprint",
+    "q_frame_sample", "q_groupby_agg", "q_grouping_sets",
+    "q_heavy_hitters_by_group", "q_intersect", "q_inverted_index_salted",
+    "q_knn_l2", "q_opq_recall_aniso", "q_pii_scrub", "q_pq_ann",
+    "q_pq_recall",
+    "q_pq_rerank_recall", "q_quantile_rollup", "q_rollup", "q_sample_split",
+    "q_scalar_funcs", "q_semi_join", "q_session_window",
+    "q_simhash_neardup", "q_text_normalize", "q_tumbling_window",
+    "q_txlog_delete_travel", "q_txlog_incremental_agg", "q_udf_quality",
+    "q_union_all", "q_unpivot", "q_user_totals", "q_window_rank",
+    "q_window_running", "q_winnowing",
 ]
 
 

@@ -105,7 +105,7 @@ DEFAULT_QUERIES = [
     # slot, so its time is the marginal capped self-join), the IVF+PQ
     # composition and normalized-PQ recall (share the staged codes/
     # knn slots with the PQ family where lineage allows)
-    "q_winnowing_indexed", "q_ivfpq_recall", "q_pq_recall_normalized",
+    "q_winnowing_indexed", "q_ivfpq_recall",
     "q_ivfpq_residual_recall",
     # round 13 (VERDICT r12 ask #4): the rankable aniso ladder at
     # sf1's N (the fixture derives in-plan from vec_id, so the 10x
@@ -116,6 +116,11 @@ DEFAULT_QUERIES = [
     "q_pq_recall_aniso", "q_ivfpq_recall_aniso",
     "q_ivfpq_residual_recall_aniso", "q_opq_recall_aniso",
     "q_dedup_index_probe",
+    # round 14: the composition rung, registered this round in the
+    # slot freed by retiring q_pq_recall_normalized (whose rehearsal
+    # row it replaces — the retired query's cost was the marginal
+    # normalized-lineage staging, subsumed by the aniso rungs above)
+    "q_opq_residual_recall_aniso",
 ]
 
 
@@ -302,6 +307,18 @@ def main() -> None:
     import threading
 
     timings: dict[str, float | str] = {}
+    # r14 (VERDICT r13 ask #5): cross-round comparisons kept
+    # requiring archaeology because `queries` mixes first-run colds
+    # with warm-retry marginals (e.g. the pre-r13 q_dedup_clusters
+    # 0.06 s marginal vs an 8.18 s cold). `walls` records both
+    # explicitly per query: cold_wall = the FIRST run of this
+    # process (session-cold for the query — earlier queries may
+    # still have warmed the JVM/staged slots, which is why the run
+    # ORDER comment above matters), best_wall = min over this
+    # process's runs (retry included). Cross-run merges take
+    # min(cold_wall) and min(best_wall) per query and say so in
+    # merge_note; `queries` stays the best_wall for back-compat.
+    walls: dict[str, dict] = {}
     probes: dict[str, dict] = {}
     retried: dict[str, list[float]] = {}
     for name in names:
@@ -353,6 +370,7 @@ def main() -> None:
             q = get_query(name)
             _probe_slot(spark, name)
             wall, stats = run_once(q)
+            cold_wall = wall
             if stats["mean"] and stats["mean"] > 1.4 * PROBE_CALM_REF:
                 _probe_slot(spark, f"{name}:retry")
                 wall2, stats2 = run_once(q)
@@ -360,6 +378,7 @@ def main() -> None:
                 if wall2 < wall:
                     wall, stats = wall2, stats2
             timings[name] = wall
+            walls[name] = {"cold_wall": cold_wall, "best_wall": wall}
             probes[name] = stats
         except Exception as e:  # noqa: BLE001 — harness boundary
             timings[name] = f"{type(e).__name__}: {e}"[:200]
@@ -369,6 +388,7 @@ def main() -> None:
         )
 
     out = {"sf": f"{n_replicas}x sf0.1 synthetic", "queries": timings}
+    out["walls"] = walls  # per-query {cold_wall, best_wall} — ask r13 #5
     out["candidates"] = candidate_growth(spark)
     out["dedup_index_regimes"] = dedup_index_regimes(spark)
     out["cpu_probes"] = probes  # per-query sampled {n,min,mean,max}

@@ -216,7 +216,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir, tmp_path, monkeypatch
         "q_pq_ann",           # ≤2048-row centroid-slice broadcast
         "q_pq_recall",        # consumes q_pq_ann + q_knn_l2 plans
         "q_pq_rerank_recall", # consumes q_pq_ann + q_knn_l2 plans
-        "q_pq_recall_normalized",  # same slots, normalized lineage
+        # (q_pq_recall_normalized retired from the registry in r14 —
+        # its "same slots, normalized lineage" entry left with it)
         "q_ivfpq_recall",     # centroid-slice broadcast + guard join
         "q_ivfpq_residual_recall",  # same class, residual lineage
         # aniso fixture twins (r12): same bounded guard/centroid/stats
@@ -227,6 +228,10 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir, tmp_path, monkeypatch
         "q_ivfpq_residual_recall_aniso",  # residual lineage, 5 bounded BNLJs
         "q_pq_recall_normalized_aniso",  # normalized lineage, guard join
         "q_opq_recall_aniso",  # guard join (permuted q_pq_recall_aniso twin)
+        # r14: residual lineage over the OPQ-permuted source — same 5
+        # bounded BNLJs as q_ivfpq_residual_recall_aniso (the
+        # permutation is a map-side projection, no new join classes)
+        "q_opq_residual_recall_aniso",
     }
     for name, builder in all_queries().items():
         if name in skip:

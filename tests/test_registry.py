@@ -41,7 +41,7 @@ def test_every_query_builds_lazily(spark, sf_dir):
               # the staged PQ code table via the pq_codes slot
               "q_pq_ann", "q_pq_recall", "q_pq_rerank_recall",
               # same slots over the normalized / IVF-composed lineage
-              "q_pq_recall_normalized", "q_ivfpq_recall",
+              "q_ivfpq_recall",
               "q_ivfpq_residual_recall",
               # same slots over the anisotropic-fixture lineage
               # (knn_l2_aniso_topk / knn_l2_aniso_norm_topk + pq_codes)
@@ -49,6 +49,8 @@ def test_every_query_builds_lazily(spark, sf_dir):
               "q_ivfpq_recall_aniso", "q_ivfpq_residual_recall_aniso",
               # r13: same slots over the OPQ-permuted aniso lineage
               "q_opq_recall_aniso",
+              # r14: residual IVFADC over the OPQ-permuted lineage
+              "q_opq_residual_recall_aniso",
               # builds (or reuses) the persisted band index + collects
               # the bounded touched-bucket set at plan time
               "q_dedup_index_probe",
@@ -110,16 +112,19 @@ def test_bench_subset_is_registered():
 # Redefined queries (schema/semantics changed since their last driver
 # row) are deliberately REMOVED from the rotation so they re-check
 # like brand-new queries; list them here too.
-# (rotation regenerated at the start of round 13 from the r10/r11/r12
-# artifacts — every name registered through round 12 is in the
-# rotation; add round-13 registrations to this set. BUDGET: at most
-# 1 new name this round (49 r10-stale names + 1 = 50), or the
-# r10-stale group loses window slots —
-# test_three_window_union_covers_registry enforces the consequence.)
+# (rotation regenerated at the start of round 14 from the r11/r12/r13
+# artifacts — every name registered through round 13 is in the
+# rotation; add round-14 registrations to this set. BUDGET: at most
+# 1 new name this round (49 r11-stale names after the
+# q_pq_recall_normalized retirement + 1 = 50), or the r11-stale group
+# loses window slots — test_three_window_union_covers_registry
+# enforces the consequence.)
 _NEW_SINCE_ROTATION: set[str] = {
-    # r13: the OPQ rotation rung of the rankable ANN ladder (VERDICT
-    # r12 ask #5) — exactly the 1-slot budget
-    "q_opq_recall_aniso",
+    # r14: the OPQ+residual composition rung (VERDICT r13 "Next
+    # round" #1), registered in the slot freed by folding
+    # q_pq_recall_normalized into its aniso twin — exactly the
+    # 1-slot budget
+    "q_opq_residual_recall_aniso",
 }
 
 
@@ -154,44 +159,45 @@ def _driver_window_names(round_no: int) -> set[str]:
 
 def test_three_window_union_covers_registry():
     """Full-registry freshness within 3 rounds (VERDICT r9 ask #3):
-    the union of the last TWO driver windows (CORRECTNESS_r11/r12,
+    the union of the last TWO driver windows (CORRECTNESS_r12/r13,
     read from the recorded artifacts) and the UPCOMING window (first
     50 of the current order) must cover the whole registry — so
-    CORRECTNESS_r13 ∪ r12 ∪ r11 covers all registered names. With
-    149 names, 50+50 recorded + 50 upcoming leaves slack of 1; the
-    round-13 registration budget is that slack (every brand-new name
-    auto-sorts to the window front, displacing an r10-stale name
+    CORRECTNESS_r14 ∪ r13 ∪ r12 covers all registered names. With
+    150 names (149 after the r14 q_pq_recall_normalized retirement
+    + 1 new), 50+50 recorded + 50 upcoming leaves slack of 1; the
+    round-14 registration budget is that slack (every brand-new name
+    auto-sorts to the window front, displacing an r11-stale name
     one-for-one once the budget is exceeded — this test is the
     guard)."""
     registry = set(all_queries())
-    covered = _driver_window_names(11) | _driver_window_names(12)
+    covered = _driver_window_names(12) | _driver_window_names(13)
     upcoming = set(list(all_queries())[:_DRIVER_WINDOW])
     uncovered = registry - covered - upcoming
     assert not uncovered, (
-        f"names whose r13 evidence would be 3+ rounds stale: "
+        f"names whose r14 evidence would be 3+ rounds stale: "
         f"{sorted(uncovered)}"
     )
 
 
 def test_stalest_queries_lead_the_window():
-    """Priority order inside the upcoming (round-13) window:
+    """Priority order inside the upcoming (round-14) window:
     brand-new / redefined queries first (no trustworthy driver row),
-    then the 49 names whose freshest row is round 10 (the structural
-    tail of 149 names over a 50-slot window), then round-11-checked
-    names. No round-12-fresh name may occupy a slot while a staler
-    candidate overflows."""
+    then the 49 surviving names whose freshest row is round 11 (the
+    structural tail of the rotation after the r14 retirement), then
+    round-12-checked names. No round-13-fresh name may occupy a slot
+    while a staler candidate overflows."""
     order = list(all_queries())
     window = set(order[:_DRIVER_WINDOW])
-    last = _driver_window_names(12)
+    last = _driver_window_names(13)
     fresh_in_window = (window & last) - _NEW_SINCE_ROTATION
     overflow = (set(order) - last) - window
     if overflow:
-        # a round-12-fresh name in the window while stale names
+        # a round-13-fresh name in the window while stale names
         # overflow would mean the rotation is mis-ordered
         assert not fresh_in_window, sorted(fresh_in_window)
-    # every r10-stale name (no r11/r12 row) must re-check in round 13
-    r10_stale = set(order) - last - _driver_window_names(11)
-    r10_stale = {n for n in r10_stale if n in _driver_window_names(10)}
-    assert r10_stale <= window, sorted(r10_stale - window)
+    # every r11-stale name (no r12/r13 row) must re-check in round 14
+    r11_stale = set(order) - last - _driver_window_names(12)
+    r11_stale = {n for n in r11_stale if n in _driver_window_names(11)}
+    assert r11_stale <= window, sorted(r11_stale - window)
     for name in _NEW_SINCE_ROTATION & set(order):
         assert name in window, f"redefined/new {name} missed the window"

@@ -568,10 +568,13 @@ def test_pq_code_is_argmin_of_subspace_distances(spark, sf_dir):
 
 
 def test_normalized_and_ivfpq_oracle(spark, sf_dir):
+    # q_pq_recall_normalized left the registry in r14 (folded into
+    # its aniso twin, which keeps its own oracle test) — the
+    # isotropic normalized lineage stays grid-checked by
+    # test_normalized_vectors_are_unit_on_the_grid below.
     from tests.oracle import assert_matches_oracle
 
-    for name in ("q_pq_recall_normalized", "q_ivfpq_recall"):
-        assert_matches_oracle(spark, name, sf_dir)
+    assert_matches_oracle(spark, "q_ivfpq_recall", sf_dir)
 
 
 def test_normalized_vectors_are_unit_on_the_grid(spark, sf_dir):
@@ -743,6 +746,17 @@ def test_opq_rung_oracle(spark, sf_dir):
     from tests.oracle import assert_matches_oracle
 
     assert_matches_oracle(spark, "q_opq_recall_aniso", sf_dir)
+
+
+def test_opq_residual_rung_oracle(spark, sf_dir):
+    """The r14-registered composition rung's declared oracle (the
+    residual IVFADC SQL over the OPQ-permuted source) hash-matches —
+    the same check the driver runs, pinned in pytest so regressions
+    in the shared staged slots surface here first (VERDICT r13
+    "What's wrong" #2)."""
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(spark, "q_opq_residual_recall_aniso", sf_dir)
 
 
 def test_opq_permutation_preserves_exact_knn(spark, sf_dir):
@@ -933,36 +947,178 @@ def test_knn_cosine_zero_norm_fails_on_both_plans(spark):
 
 def test_knn_l2_gemm_overflow_guard(spark):
     """Components past the int64 distance headroom make the GEMM
-    kernel raise (numpy would silently wrap where the ANSI codegen
-    form fails loudly)."""
+    KERNEL raise (numpy would silently wrap where the ANSI codegen
+    form fails loudly).
+
+    ADVICE r13: the old fixture used big=10**9, for which the
+    JVM-side sq_norm aggregation (64·(1e9)² > 2^63) raised
+    ARITHMETIC_OVERFLOW before any Arrow batch reached the kernel —
+    the kernel's own guard path was never executed. Components at
+    3e8 thread the needle: sq = 64·9e16 ≈ 5.8e18 fits int64 (the JVM
+    succeeds) while 3e8 > the kernel's 1.89e8 bound, so the raise
+    below can only come from the kernel."""
     import pytest
     from pyspark.sql import functions as F
 
     from mapreduceapp_spark.functions.vectors import sq_norm
     from mapreduceapp_spark.operators.similarity import _knn_l2_topk
 
-    big = 10**9  # > 1.898e8 headroom bound
+    big = 3 * 10**8  # sq fits int64; > 1.89e8 kernel headroom bound
     rows = [(0, [big] * 64), (1, [1] * 64), (2, [2] * 64)]
     df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
     e = df.withColumn("sq", sq_norm(F.col("qv")))
-    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
         _knn_l2_topk(e, "ovf_gemm", n_rows=10**9).collect()
 
 
-def test_opq_residual_composition_rung(spark, sf_dir):
-    """The unregistered composition rung (NOTES_r13 §10: registry
-    saturated, ships as library surface): balanced allocation +
-    residual codebooks must beat BOTH single-lever rungs with
-    daylight — measured 0.68 vs 0.58/0.56 at N=500 (and 0.84 vs
-    0.555/0.565 at N=2000). Pinned as strict total-hit inequalities
-    like the other ladder pins."""
+def test_knn_l2_gemm_headroom_boundary_exact(spark):
+    """The guard fires BEFORE, not after, the first value that could
+    wrap (VERDICT r13 ask #8): components at exactly ±189,000,000
+    (the documented bound) must pass the kernel AND bit-match the
+    codegen twin — the worst distance 4·64·B² ≈ 9.14e18 still fits
+    int64 — while one component at bound+1 must raise, even though
+    that particular datum would not yet wrap (the guard is a
+    conservative component bound by design)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.functions.vectors import sq_norm
+    from mapreduceapp_spark.operators.similarity import _knn_l2_topk
+
+    b = 189_000_000
+    rows = [(0, [b] * 64), (1, [-b] * 64), (2, [1] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    e = df.withColumn("sq", sq_norm(F.col("qv")))
+    sql_rows = sorted(
+        map(tuple, _knn_l2_topk(e, "hb_sql", n_rows=None).collect())
+    )
+    gemm_rows = sorted(
+        map(tuple, _knn_l2_topk(e, "hb_gemm", n_rows=10**9).collect())
+    )
+    assert sql_rows == gemm_rows and sql_rows
+
+    rows_over = [(0, [b + 1] + [b] * 63), (1, [-b] * 64), (2, [1] * 64)]
+    df_o = spark.createDataFrame(rows_over, "vec_id long, qv array<long>")
+    e_o = df_o.withColumn("sq", sq_norm(F.col("qv")))
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        _knn_l2_topk(e_o, "hb_gemm_over", n_rows=10**9).collect()
+
+
+def test_knn_cosine_gemm_overflow_guard(spark):
+    """The cosine kernel's r14 headroom guard (ADVICE r13): a single
+    10**9 component keeps sq ≈ 1e18 (JVM sq_norm succeeds) but
+    exceeds the 3.79e8 dot-product component bound, so the raise can
+    only come from the kernel — previously the kernel leaned on the
+    implicit Cauchy–Schwarz/ANSI-sq invariant and numpy would have
+    wrapped silently for an externally supplied sq."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.functions.vectors import sq_norm
+    from mapreduceapp_spark.operators.similarity import _knn_cos_topk
+
+    rows = [(0, [10**9] + [1] * 63), (1, [1] * 64), (2, [2] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    e = df.withColumn("sq", sq_norm(F.col("qv")))
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        _knn_cos_topk(e, "cos_ovf_gemm", "x", n_rows=10**9).collect()
+
+
+def test_pq_codes_gemm_codebook_guard(spark):
+    """The encode kernel's headroom check covers the CODEBOOK side
+    too (ADVICE r13): every in-repo caller samples centroids from the
+    same frame, so an over-bound centroid's source row used to fail
+    its own group's X check — an implicit cross-function coupling. An
+    externally-trained codebook with a 10**9 component must raise in
+    the kernel even when every vector is in-bound."""
+    import pytest
+
+    from mapreduceapp_spark.operators.similarity import _pq_codes_gemm
+
+    e = spark.createDataFrame(
+        [(0, [1] * 64), (1, [2] * 64)], "vec_id long, qv array<long>"
+    )
+    cent = spark.createDataFrame(
+        [(m, 0, [10**9] * 8) for m in range(8)],
+        "m int, j int, cv array<long>",
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        _pq_codes_gemm(e, cent).collect()
+
+
+def test_fragment_replicate_group_count(spark):
+    """The fragment frame's group count scales with the big side's
+    row count (VERDICT r13 "What's wrong" #1): the parallelism floor
+    alone when n_rows is small/None, ceil(n_rows /
+    FRAGMENT_GROUP_ROWS) when the memory ceiling binds — so per-task
+    input stays ~constant in N. P is observable as the small side's
+    replica count (one row per pid)."""
     from mapreduceapp_spark.operators.similarity import (
-        opq_residual_recall_aniso,
+        FRAGMENT_GROUP_ROWS,
+        _fragment_replicate,
+    )
+
+    big = spark.createDataFrame([(1, 2)], "k long, v long")
+    small = spark.createDataFrame([(9,)], "w long")
+    floor = max(32, spark.sparkContext.defaultParallelism)
+
+    def p_for(n_rows):
+        u = _fragment_replicate(
+            big, small, "t:", [("k", "long"), ("v", "long")],
+            [("w", "long")], "k", n_rows=n_rows,
+        )
+        return u.filter("side = 1").count()
+
+    assert p_for(None) == floor
+    assert p_for(100) == floor  # ceiling far from binding
+    n_big = FRAGMENT_GROUP_ROWS * 1000  # 32.8M rows → 1000 groups
+    assert p_for(n_big) == max(floor, 1000)
+
+
+def test_pq_codes_gemm_headroom_boundary_exact(spark):
+    """Encode twin of the kNN boundary pin (VERDICT r13 ask #8):
+    components at exactly ±536,000,000 pass (worst sub-distance
+    4·8·B² ≈ 9.19e18 fits int64) and bit-match the codegen form;
+    one component at bound+1 raises."""
+    import pytest
+
+    from mapreduceapp_spark.operators.similarity import _pq_codes
+
+    b = 536_000_000
+    e = spark.createDataFrame(
+        [(0, [b] * 64), (1, [-b] * 64), (2, [7] * 64)],
+        "vec_id long, qv array<long>",
+    )
+    cent = spark.createDataFrame(
+        [(m, j, [v] * 8) for m in range(8) for j, v in ((0, b), (1, -b))],
+        "m int, j int, cv array<long>",
+    )
+    sql_rows = sorted(map(tuple, _pq_codes(e, cent, n_rows=None).collect()))
+    gemm_rows = sorted(map(tuple, _pq_codes(e, cent, n_rows=10**9).collect()))
+    assert sql_rows == gemm_rows and sql_rows
+
+    e_o = spark.createDataFrame(
+        [(0, [b + 1] + [b] * 63), (1, [7] * 64)],
+        "vec_id long, qv array<long>",
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        _pq_codes(e_o, cent, n_rows=10**9).collect()
+
+
+def test_opq_residual_composition_rung(spark, sf_dir):
+    """The composition rung (registered r14 as
+    q_opq_residual_recall_aniso): balanced allocation + residual
+    codebooks must beat BOTH single-lever rungs with daylight —
+    measured 0.68 vs 0.58/0.56 at N=500 (and 0.84 vs 0.555/0.565 at
+    N=2000). Pinned as strict total-hit inequalities like the other
+    ladder pins."""
+    from mapreduceapp_spark.operators.similarity import (
+        q_opq_residual_recall_aniso,
     )
     from mapreduceapp_spark.plans.registry import get_query
 
     both = sum(
-        r.n_hit for r in opq_residual_recall_aniso(spark, sf_dir).collect()
+        r.n_hit for r in q_opq_residual_recall_aniso(spark, sf_dir).collect()
     )
     residual_only = sum(
         r.n_hit
