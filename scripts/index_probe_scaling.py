@@ -254,14 +254,21 @@ def main() -> None:
 
     # ---- no-prune control: same 1-doc probe, full scans -------------
     real_touched = DI.touched_buckets
+    real_stats = DI._probe_pruning_stats
     try:
         DI.touched_buckets = lambda pb: list(range(n_buckets))
+        # r14: probe_band_index reads its pruning literals through
+        # _probe_pruning_stats (one job also carrying the sig_n
+        # broadcast-gate estimate) — patch it too or the control
+        # silently keeps band pruning on
+        DI._probe_pruning_stats = lambda pb: (list(range(n_buckets)), 1)
         _write_meta()  # neither sigs pruning flag
         points.append(
             measure(staged_batches[1], "noprune_1doc", file_grain=False)
         )
     finally:
         DI.touched_buckets = real_touched
+        DI._probe_pruning_stats = real_stats
         _write_meta(**META_FULL)
 
     # ---- planted-candidate point-fetch curve ------------------------
