@@ -214,10 +214,19 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Results are independent of the grouping (each vector's argmin is
 # computed alone), so the fragment count is purely a throughput knob.
 KM_ASSIGN_PARTS = 32
+# Memory ceiling twin of similarity.FRAGMENT_GROUP_ROWS (r14, the
+# VERDICT r13 "What's wrong" #1 class): a hash group materializes as
+# ONE pandas frame, so cap it at ~16 MB of 64-dim int64 vectors and
+# let P grow with the caller's footer row count past ~1.05 M rows.
+# Own constant (not imported) to keep clustering → similarity
+# import-free; the derivation is documented once at
+# similarity._fragment_replicate.
+KM_GROUP_ROWS = 32_768
 
 
 def _gemm_assign(
-    vectors: DataFrame, centroids: DataFrame, mode: str
+    vectors: DataFrame, centroids: DataFrame, mode: str,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Argmin-centroid assignment as a fragment-replicate Arrow GEMM.
 
@@ -259,6 +268,8 @@ def _gemm_assign(
 
     spark = vectors.sparkSession
     p = max(KM_ASSIGN_PARTS, spark.sparkContext.defaultParallelism)
+    if n_rows is not None:
+        p = max(p, -(-n_rows // KM_GROUP_ROWS))
     v = vectors.select(
         F.lit(0).alias("side"),
         F.pmod(F.xxhash64(F.lit("kmassign:"), F.col("vec_id")), F.lit(p)).alias(
@@ -380,7 +391,8 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroid-update aggregate stays a JVM map-side partial agg."""
     from mapreduceapp_spark.sources.parquet import table_row_count
 
-    stride = _km_stride(table_row_count(spark, sf_dir, "embeddings"))
+    n = table_row_count(spark, sf_dir, "embeddings")
+    stride = _km_stride(n)
     e = tables(spark, sf_dir).embeddings
     qs = e.select(
         "vec_id", quantize("embedding").alias("x")
@@ -390,7 +402,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("cx"),
         F.col("sq").alias("csq"),
     )
-    a1 = _gemm_assign(qs, c0, "int")
+    a1 = _gemm_assign(qs, c0, "int", n_rows=n)
     m1 = a1.groupBy("cid").agg(
         F.count(F.lit(1)).alias("c"),
         F.array(
@@ -398,7 +410,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sx"),
     )
     return _gemm_assign(
-        a1.select("vec_id", "x", "sq"), m1, "rational"
+        a1.select("vec_id", "x", "sq"), m1, "rational", n_rows=n
     ).withColumnRenamed("cid", "cluster_id")
 
 

@@ -1136,6 +1136,7 @@ def ann_ivf(
     query_pred: str = KNN_QUERY_PRED,
     k: int = KNN_K,
     nprobe: int = IVF_NPROBE,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via an inverted-file (IVF) index.
 
@@ -1188,6 +1189,7 @@ def ann_ivf(
             F.col("c_sq").alias("csq"),
         ),
         "cosine",
+        n_rows=n_rows,
     ).select(
         "vec_id", F.col("x").alias("qv"), "sq", F.col("cid").alias("cluster")
     )
@@ -1282,8 +1284,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, shuffle shape, and cost model. The √N stride derives
     from the parquet footer row count (no job). Deterministic sampled
     centroids ⇒ fully oracle-checked, unlike the LSH path."""
-    stride = _ivf_stride(table_row_count(spark, sf_dir, "embeddings"))
-    return ann_ivf(_quantized(spark, sf_dir), stride)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    return ann_ivf(_quantized(spark, sf_dir), _ivf_stride(n), n_rows=n)
 
 
 # ------------------------------------------------- ANN-family consumers
@@ -2294,6 +2296,7 @@ def ivfpq_ann(
     k: int = KNN_K,
     nprobe: int = IVF_NPROBE,
     n_queries_bound: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Coarse cells + in-cell ADC — the corpus-scale ANN shape
     (VERDICT r10 ask #3; Jégou et al., TPAMI 2011's IVFADC, public
@@ -2331,6 +2334,7 @@ def ivfpq_ann(
             F.col("c_sq").alias("csq"),
         ),
         "int",
+        n_rows=n_rows,
     ).select("vec_id", F.col("cid").alias("cluster"))
     qs = e.filter(KNN_QUERY_PRED).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
@@ -2485,6 +2489,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_k(n),
         max(1, n // _pq_k(n)),
         n_queries_bound=n // 100 + 1,
+        n_rows=n,
     )
     return _recall_vs(stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), approx)
 
@@ -2499,6 +2504,7 @@ def ivfpq_residual_ann(
     k: int = KNN_K,
     nprobe: int = IVF_NPROBE,
     n_queries_bound: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """True IVFADC (Jégou et al., TPAMI 2011 §III-C): PQ codebooks
     trained on RESIDUALS (vector − its cell centroid) instead of raw
@@ -2547,6 +2553,7 @@ def ivfpq_residual_ann(
             F.col("c_sq").alias("csq"),
         ),
         "int",
+        n_rows=n_rows,
     ).select("vec_id", "x", F.col("cid").alias("cluster"))
     cents_b = F.broadcast(
         cents.select(F.col("cent_id").alias("cluster"), "c_qv")
@@ -2779,6 +2786,7 @@ def q_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_k(n),
         max(1, n // _pq_k(n)),
         n_queries_bound=n // 100 + 1,
+        n_rows=n,
     )
     return _recall_vs(stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), approx)
 
@@ -3137,6 +3145,7 @@ def q_opq_residual_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_k(n),
         max(1, n // _pq_k(n)),
         n_queries_bound=n // 100 + 1,
+        n_rows=n,
     )
     return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
 
@@ -3240,6 +3249,7 @@ def q_ivfpq_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_k(n),
         max(1, n // _pq_k(n)),
         n_queries_bound=n // 100 + 1,
+        n_rows=n,
     )
     return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
 
@@ -3272,5 +3282,6 @@ def q_ivfpq_residual_recall_aniso(spark: SparkSession, sf_dir: str) -> DataFrame
         _pq_k(n),
         max(1, n // _pq_k(n)),
         n_queries_bound=n // 100 + 1,
+        n_rows=n,
     )
     return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
