@@ -333,6 +333,17 @@ DOC_PUSH_CAP = 4096
 # Catalyst row filter + the pushed min/max range.
 DOC_PUSH_VALUES_MAX = 256
 
+# Candidate-count gate between the probe's two prefilter shapes
+# (see probe_band_index): at or above this many candidate rows the
+# thin-sig prefilter + survivor join-back wins (measured 2.5-3× at
+# sf1's 378k candidates); below it the extra join-back and broadcasts
+# are fixed costs that dominate micro-batch probes (measured: the
+# streaming epoch loop regressed 6.95 → 11.1-11.9 s always-thin).
+# 32,768 candidates × ~5 KB of arrays ≈ 160 MB through the payload
+# join — comfortably under the exchange volumes the thin form exists
+# to avoid, so the crossover sits safely between the regimes.
+THIN_PREFILTER_MIN_CAND = 32_768
+
 
 def _push_doc_filter(sigs: DataFrame, cand: DataFrame, n_cand: int) -> DataFrame:
     """Push the candidate doc ids into the sigs scan when the set is
@@ -542,28 +553,58 @@ def probe_band_index(
     sigs, n_cand = fetch_candidate_sigs(spark, index_path, cand)
     if n_cand is not None:
         cand = broadcast_if_small(cand, n_cand)
-    # THIN prefilter (r14, VERDICT r13 ask #6): the r13 plan joined
-    # BOTH payloads — sig (64 ints) AND shingles (~300 ints) — to
-    # every candidate row before the agreement filter, so ~5 KB of
-    # arrays per candidate flowed through the join chain and the
-    # pair-dedup exchange; profiled at sf1 as THE probe cost (the
-    # prefilter+verify stage was 23 s of a 24 s steady-state probe
-    # against sub-second candidate/fetch stages, 378k candidates).
-    # Now the prefilter carries sigs alone and the shingle arrays
-    # join back for SURVIVORS only (~10³ pairs, not 10⁵ candidates):
-    # measured warm steady-state probe 10.0 → 4.0 s at sf1,
-    # row-equal (780 = 780). The batch side broadcasts when its
-    # estimated doc count fits the budget — map-side prefilter, no
-    # candidate×sig exchange at all.
-    sig_c = sigs.select(
-        F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c")
-    )
-    sig_n = broadcast_if_small(
-        probe_sh.select(
-            F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n")
-        ),
-        n_batch_est,
-    )
+    # Two prefilter regimes behind the candidate count the fetch just
+    # measured (r14, VERDICT r13 ask #6 + the streaming follow-up):
+    #
+    # - THIN (corpus scale, n_cand ≥ THIN_PREFILTER_MIN_CAND): the
+    #   r13 plan joined BOTH payloads — sig (64 ints) AND shingles
+    #   (~300 ints) — to every candidate row before the agreement
+    #   filter, so ~5 KB of arrays per candidate flowed through the
+    #   join chain and the pair-dedup exchange; profiled at sf1 as
+    #   THE probe cost (prefilter+verify was 23 s of a 24 s
+    #   steady-state probe, 378k candidates). The thin prefilter
+    #   carries sigs alone and joins the shingle arrays back for
+    #   SURVIVORS only (~10³ pairs): measured warm steady-state
+    #   probe 10.0 → 3.1-4.0 s at sf1, row-equal (780 = 780). This
+    #   is the convention the non-indexed minhash/incremental paths
+    #   already follow. The batch side broadcasts when its estimated
+    #   doc count fits the budget — map-side prefilter, no
+    #   candidate×sig exchange at all.
+    # - PAYLOAD (micro-batch scale, below the gate): the extra
+    #   survivor join-back + second pair of broadcasts are FIXED
+    #   per-call costs that dominate when candidates are few —
+    #   measured on the streaming ingest probe (hundreds of docs per
+    #   epoch, a probe_band_index call per epoch): the always-thin
+    #   form regressed the epoch loop 6.95 → 11.1-11.9 s across two
+    #   harness runs while corpus batches won 2.5-3×. Below the gate
+    #   the r13 single-pass shape (payloads ride the prefilter join)
+    #   is kept verbatim.
+    #
+    # Same row set either side (the gate only reorders when the
+    # shingle columns attach); pinned by
+    # test_probe_prefilter_regimes_row_equal.
+    thin = n_cand is None or n_cand >= THIN_PREFILTER_MIN_CAND
+    if thin:
+        sig_c = sigs.select(
+            F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c")
+        )
+        sig_n = broadcast_if_small(
+            probe_sh.select(
+                F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n")
+            ),
+            n_batch_est,
+        )
+    else:
+        sig_c = sigs.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col("sig").alias("sig_c"),
+            F.col("sh").alias("sh_c"),
+        )
+        sig_n = probe_sh.select(
+            F.col("doc_id").alias("new_doc"),
+            F.col("sig").alias("sig_n"),
+            F.col("sh").alias("sh_n"),
+        )
     surv = (
         sig_c.join(cand, "corpus_doc")
         .join(sig_n, "new_doc")
@@ -583,19 +624,24 @@ def probe_band_index(
         # distinct AFTER the prefilter (multi-band collisions arrive
         # once per band) and BEFORE the exact verify, so the
         # |shingles|-wide intersect runs once per surviving pair.
-        .select("corpus_doc", "new_doc")
+        .select(
+            "corpus_doc", "new_doc", *([] if thin else ["sh_c", "sh_n"])
+        )
         .dropDuplicates(["corpus_doc", "new_doc"])
     )
-    sh_c = sigs.select(
-        F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
-    )
-    sh_n = broadcast_if_small(
-        probe_sh.select(
-            F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n")
-        ),
-        n_batch_est,
-    )
-    est = surv.join(sh_c, "corpus_doc").join(sh_n, "new_doc")
+    if thin:
+        sh_c = sigs.select(
+            F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
+        )
+        sh_n = broadcast_if_small(
+            probe_sh.select(
+                F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n")
+            ),
+            n_batch_est,
+        )
+        est = surv.join(sh_c, "corpus_doc").join(sh_n, "new_doc")
+    else:
+        est = surv
     return (
         est.withColumn("inter", F.size(F.array_intersect("sh_c", "sh_n")))
         .withColumn("uni", F.size("sh_c") + F.size("sh_n") - F.col("inter"))

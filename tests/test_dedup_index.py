@@ -51,6 +51,23 @@ def test_probe_equals_incremental_twin(spark, sf_dir):
     assert len(got) > 0  # fixture has cross-split duplicates
 
 
+def test_probe_prefilter_regimes_row_equal(spark, sf_dir, monkeypatch):
+    """The r14 candidate-count gate between the payload prefilter
+    (micro-batch regime) and the thin-sig prefilter + survivor
+    join-back (corpus regime) only reorders WHEN the shingle columns
+    attach — both shapes must emit the identical verified pair set.
+    The fixture's candidate count sits on one side of the real gate,
+    so the other shape is forced by pinning the gate to 0."""
+    import mapreduceapp_spark.operators.dedup_index as DI
+
+    builder = get_query("q_dedup_index_probe").builder
+    monkeypatch.setattr(DI, "THIN_PREFILTER_MIN_CAND", 10**9)  # payload
+    payload = _pairs(builder(spark, sf_dir).collect())
+    monkeypatch.setattr(DI, "THIN_PREFILTER_MIN_CAND", 0)  # thin
+    thin = _pairs(builder(spark, sf_dir).collect())
+    assert payload == thin and payload
+
+
 def test_index_layout(spark, sf_dir, tmp_path):
     """Index directories are bucket=0..N-1 partitions; every entry's
     bucket equals pmod(band_key, N); entries are band_key-sorted
