@@ -2250,7 +2250,8 @@ def q_pq_recall_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder's best measured configuration. The function stays as
     library surface (still pytest-covered for grid-unit-norm
     invariants via _normalized); its last green driver row is
-    CORRECTNESS_r13.
+    CORRECTNESS_r11 (the name's final rotation window before
+    retirement; r12/r13 windows covered other groups).
 
     Original doc — recall@k of PQ code search over the L2-NORMALIZED table vs
     exact L2 kNN over the same table — the number a deployment sees
