@@ -1,0 +1,559 @@
+"""Persisted, cell-partitioned ANN index (IVF + OPQ + residual PQ).
+
+The C3 family's production ingest shape (VERDICT r14 "Next round"
+#1): every in-plan ANN query re-derives centroids, codebooks and
+codes per process, amortized only by the in-process ``stage()`` memo
+— at 100 TB those artifacts are exactly what a deployment persists
+once per corpus compaction and probes per query batch. The engine
+already proved the pattern twice (band index r9 —
+operators/dedup_index.py; winnow index r11 —
+operators/winnow_index.py); this module gives the ANN ladder's best
+measured configuration — the OPQ+residual composition rung, 0.68/0.84
+recall@10 vs 0.48/0.30 raw (q_opq_residual_recall_aniso) — the same
+build-once / partition-pruned-probe lifecycle:
+
+1. :func:`write_ann_index` — ONCE per corpus compaction: stride-
+   sampled IVF centroids, exact-int64 cell assignment (the
+   ``_gemm_assign`` kernel), residual PQ codebook + codes (the
+   ``_pq_codes`` kernel over vector − centroid residuals), persisted
+   as four tables — tiny ``centroids/`` and ``codebook/`` read whole
+   at probe time, ``codes/`` partitioned by
+   ``cell_bucket = pmod(cluster, n_buckets)`` with cluster-sorted
+   files of bounded row count, and a ``code_files/`` stats sidecar
+   (one (path, cell_bucket, lo, hi) cluster-range row per data file —
+   the dedup index's ``sig_files`` chunking pattern).
+2. :func:`probe_ann_index` — per query batch: probe the ``nprobe``
+   nearest cells per query (same GEMM as the in-plan path), then scan
+   ONLY the probed cells' bytes: a partition filter on the touched
+   cell-bucket directories, the sidecar's cluster ranges selecting
+   exact files inside them, and (for bounded probe sets) the probed
+   cell ids pushed into the parquet scan as a VALUES predicate for
+   row-group/dictionary skipping below the file grid. ADC + top-k are
+   the in-plan stages verbatim, so the probe is ROW-EQUAL to
+   :func:`~mapreduceapp_spark.operators.similarity.ivfpq_residual_ann`
+   over the same lineage (the q_dedup_index_probe ≡
+   q_incremental_dedup precedent; pinned by tests/test_ann_index.py
+   and the shared driver oracle).
+
+Why partition by ``pmod(cluster, n_buckets)`` and not ``cluster``:
+cells number ~√N — at 10¹¹ vectors that is ~316k directories (the
+over-partitioning failure the band index documents), and the probe's
+partition literals must stay a modest plan constant. ``n_buckets``
+(power of two in [64, 65536], derived from the corpus footer count at
+build and persisted in ``_meta.json``) keeps directory counts flat;
+inside a bucket the cluster-sorted files + the sidecar's per-file
+cluster ranges carry the pruning, so probed bytes track probed cells,
+not bucket width.
+
+Everything persisted is exact int64 (quantized vectors, stride-
+sampled codebooks), so a probe against the on-disk tables is
+bit-identical to the in-plan derivation — including argmin/rank ties
+— whatever process built the index.
+
+Reference grounding: the reference has no persistence at all (one
+in-memory job, ``MapReduceFramework.cpp:140``); this is the
+similarity family's index-shaped sink, the analog of its phase-output
+vectors made durable and prunable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.operators.dedup_index import (
+    INDEX_ENTRIES_PER_BUCKET,
+    INDEX_MAX_BUCKETS,
+    INDEX_MIN_BUCKETS,
+    SIDECAR_MIN_FILES_PER_BUCKET,
+)
+from mapreduceapp_spark.operators.similarity import (
+    IVF_NPROBE,
+    KNN_K,
+    KNN_QUERY_PRED,
+    PQ_M,
+    _aniso,
+    _aniso_exact_slot,
+    _centroids,
+    _gemm_probe_topm,
+    _ivf_stride,
+    _opq_permute,
+    _pq_centroid_slices,
+    _pq_codes,
+    _pq_sub_dist,
+    _pq_k,
+    _recall_vs,
+)
+from mapreduceapp_spark.plans.hints import broadcast_if_small
+from mapreduceapp_spark.plans.registry import register
+from mapreduceapp_spark.plans.staging import stage, staging_root
+
+# Rows per codes/ data file. codes are thin (vec_id, m, code ≈ 20
+# bytes/row, PQ_M rows per vector) so the healthy 32-64 MB scan unit
+# is a few million rows; tests and the scaling script pass smaller
+# values to make file-grain skipping observable at fixture scale
+# (the SIG_ROWS_PER_FILE convention).
+CODE_ROWS_PER_FILE = 2_097_152
+
+# Bounded-literal cap for pushing the probed cell ids into the codes
+# scan as a parquet VALUES predicate (the DOC_PUSH_CAP class from the
+# band index — same measured parquet-mr limits apply, so the values
+# threshold raise is shared via _push_values_filter). Probe batches
+# touch ≤ Q·nprobe distinct cells; above the cap the file/directory
+# grain already bounds the scan and the join supplies the row filter.
+CELL_PUSH_CAP = 4096
+
+# Driver-side collect bound for the probed-cell set. The set is
+# bounded by min(Q·nprobe, n_cells) and n_cells ≈ √N — modest at any
+# rehearsal scale, but at 10¹¹ vectors √N ≈ 316k ids exceeds the
+# plan-literal class, so past this cap the probe keeps directory
+# pruning only (bucket literals are pmod-collapsed to ≤ n_buckets ≤
+# 65,536 — always bounded) and skips the file grid + values push.
+CELL_COLLECT_CAP = 65_536
+
+
+def ann_index_bucket_count(n_rows: int) -> int:
+    """Power-of-two codes/ directory count for an ``n_rows``-vector
+    corpus: smallest b in [MIN, MAX] with b × ENTRIES_PER_BUCKET ≥
+    n_rows × PQ_M (the band index's derivation with code rows for
+    band entries). Pure integer arithmetic — identical in every
+    process that derives it."""
+    entries = max(1, n_rows) * PQ_M
+    b = INDEX_MIN_BUCKETS
+    while b < INDEX_MAX_BUCKETS and b * INDEX_ENTRIES_PER_BUCKET < entries:
+        b <<= 1
+    return b
+
+
+def _meta_path(index_path: str) -> str:
+    return os.path.join(index_path, "_meta.json")
+
+
+def ann_index_meta(index_path: str) -> dict:
+    """Layout + codebook-geometry metadata the probe must agree with
+    the build on. Unlike the band index there is no pre-metadata
+    generation to default for — an ANN index without meta is not an
+    index."""
+    with open(_meta_path(index_path)) as fh:
+        return json.load(fh)
+
+
+def write_code_file_stats(spark: SparkSession, path: str) -> int:
+    """Derive and persist the ``code_files/`` stats sidecar — one
+    (path, cell_bucket, lo, hi) cluster-range row per codes/ data
+    file — and return the file count. Distributed, column-pruned
+    (cluster + the partition column only; codes never decode), the
+    ``write_sig_file_stats`` pattern including RELATIVE paths: an
+    index directory is a durable per-compaction asset that may be
+    moved or re-mounted, and absolute ``input_file_name()`` URIs
+    would probe the old location after any move. Split on the last
+    ``/codes/``: below the root the only segments are
+    ``cell_bucket=N/part-*.parquet``, which cannot contain it."""
+    scan = spark.read.parquet(os.path.join(path, "codes"))
+    stats = (
+        scan.select(
+            "cluster",
+            "cell_bucket",
+            F.element_at(
+                F.split(F.input_file_name(), "/codes/"), -1
+            ).alias("path"),
+        )
+        .groupBy("path", "cell_bucket")
+        .agg(F.min("cluster").alias("lo"), F.max("cluster").alias("hi"))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "code_files")
+    )
+    return spark.read.parquet(os.path.join(path, "code_files")).count()
+
+
+def write_ann_index(
+    spark: SparkSession,
+    e: DataFrame,
+    n_rows: int,
+    path: str,
+    code_rows_per_file: int = CODE_ROWS_PER_FILE,
+) -> str:
+    """Build and persist the ANN index for lineage ``e`` (a
+    (vec_id, qv, sq) frame — quantized, optionally OPQ-permuted);
+    returns ``path``.
+
+    The derivation stages are ``ivfpq_residual_ann``'s corpus-side
+    stages VERBATIM (same kernels, same stride/codebook constants
+    from ``n_rows``), so the persisted tables are bit-identical to
+    what the in-plan path derives — the probe's row-equality is by
+    construction, not by tolerance:
+
+    - ``centroids/`` — (cent_id, c_qv, c_sq): the stride-sampled IVF
+      coarse centroids, ~√N rows, one file, read whole per probe.
+    - ``codebook/`` — (m, j, cv): the residual PQ codebook slices,
+      ≤ 256×8 rows, one file, broadcast per probe.
+    - ``codes/`` — (cluster, vec_id, m, code) partitioned by
+      ``cell_bucket = pmod(cluster, n_buckets)``, cluster-sorted
+      within files of ≤ ``code_rows_per_file`` rows — each bucket is
+      written by exactly one task, so per-file cluster ranges are
+      tight and the sidecar grid is disjoint. The cell id rides the
+      table, so a probe needs NO separate assignment lookup: the
+      pruned codes scan IS the candidate set.
+    - ``code_files/`` — the per-file cluster-range stats the probe
+      prunes with (see :func:`write_code_file_stats`).
+    - ``_meta.json`` LAST with ``complete: true`` (the ADVICE r12
+      torn-build rule: its presence proves every table landed).
+    """
+    stride = _ivf_stride(n_rows)
+    k_cent = _pq_k(n_rows)
+    pq_stride = max(1, n_rows // k_cent)
+    n_buckets = ann_index_bucket_count(n_rows)
+
+    from mapreduceapp_spark.operators.clustering import _gemm_assign
+
+    cents = _centroids(e, stride)
+    assigned = _gemm_assign(
+        e.select("vec_id", F.col("qv").alias("x"), "sq"),
+        cents.select(
+            F.col("cent_id").alias("cid"),
+            F.col("c_qv").alias("cx"),
+            F.col("c_sq").alias("csq"),
+        ),
+        "int",
+        n_rows=n_rows,
+    ).select("vec_id", "x", F.col("cid").alias("cluster"))
+    resid = assigned.join(
+        F.broadcast(cents.select(F.col("cent_id").alias("cluster"), "c_qv")),
+        "cluster",
+    ).select(
+        "vec_id",
+        "cluster",
+        F.zip_with("x", "c_qv", lambda a, b: a - b).alias("qv"),
+    )
+    # the residual frame feeds three build writes (codebook, codes'
+    # encode, codes' cell join) — staged so the assign GEMM runs once
+    # per build instead of once per consumer (values identical, so
+    # persisted tables still match the unstaged in-plan derivation)
+    resid = stage(resid, "ann_index_resid")
+    cent_m = _pq_centroid_slices(
+        resid.select("vec_id", "qv"), k_cent, pq_stride
+    )
+    codes = _pq_codes(
+        resid.select("vec_id", "qv"), cent_m, n_rows=k_cent * pq_stride
+    )
+
+    (
+        cents.coalesce(1)
+        .sortWithinPartitions("cent_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+    n_cells = spark.read.parquet(os.path.join(path, "centroids")).count()
+    cent_m.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebook")
+    )
+    (
+        codes.join(resid.select("vec_id", "cluster"), "vec_id")
+        .withColumn(
+            "cell_bucket",
+            F.pmod(F.col("cluster"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, "cell_bucket")
+        .sortWithinPartitions("cluster", "vec_id", "m")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", code_rows_per_file)
+        .partitionBy("cell_bucket")
+        .parquet(os.path.join(path, "codes"))
+    )
+    n_code_files = write_code_file_stats(spark, path)
+    os.makedirs(path, exist_ok=True)
+    with open(_meta_path(path), "w") as fh:
+        json.dump(
+            {
+                "n_rows": n_rows,
+                "stride": stride,
+                "k_cent": k_cent,
+                "pq_stride": pq_stride,
+                "pq_m": PQ_M,
+                "n_buckets": n_buckets,
+                "n_cells": n_cells,
+                "n_code_files": n_code_files,
+                "complete": True,
+            },
+            fh,
+        )
+    return path
+
+
+def _push_values_filter(scan: DataFrame, col: str, ids: list[int]) -> DataFrame:
+    """Push a bounded id list into a parquet scan as a VALUES
+    predicate — the band index's ``_push_doc_filter`` with the column
+    and id source generalized (same measured parquet-mr limits, same
+    session-level threshold raise, shared bound constants)."""
+    from mapreduceapp_spark.operators.dedup_index import (
+        DOC_PUSH_VALUES_MAX,
+    )
+
+    if not 0 < len(ids) <= CELL_PUSH_CAP:
+        return scan
+    spark = scan.sparkSession
+    thresh_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if int(spark.conf.get(thresh_key, "10")) < DOC_PUSH_VALUES_MAX:
+        spark.conf.set(thresh_key, str(DOC_PUSH_VALUES_MAX))
+    return scan.filter(F.col(col).isin(ids))
+
+
+def fetch_probed_codes(
+    spark: SparkSession, index_path: str, cells: list[int]
+) -> DataFrame:
+    """Pruned scan of the index's ``codes/`` table for a probed-cell
+    set: partition filter on the touched cell-bucket directories,
+    exact-file selection via the ``code_files`` cluster-range sidecar
+    (engaged when the file grid is finer than the directory grid —
+    the band index's regime gate), and the cell ids pushed as a
+    parquet VALUES predicate below whichever grid chose the files.
+    ``cells`` is a plan-literal-bounded driver list (the caller
+    enforces CELL_COLLECT_CAP); an empty list short-circuits to an
+    empty scan with the full schema."""
+    meta = ann_index_meta(index_path)
+    n_buckets = meta["n_buckets"]
+    codes_root = os.path.join(index_path, "codes")
+    if not cells:
+        return (
+            spark.read.parquet(codes_root)
+            .filter(F.lit(False))
+            .drop("cell_bucket")
+        )
+    buckets = sorted({c % n_buckets for c in cells})
+    use_sidecar = (
+        meta.get("n_code_files", 0)
+        > SIDECAR_MIN_FILES_PER_BUCKET * n_buckets
+    )
+    if use_sidecar:
+        # the sidecar is small (one row per data file) and the match
+        # is driver-side over the touched buckets only — bounded by
+        # files-in-touched-buckets, the same quantity the scan reads
+        stats = (
+            spark.read.parquet(os.path.join(index_path, "code_files"))
+            .filter(F.col("cell_bucket").isin(buckets))
+            .collect()
+        )
+        cells_by_bucket: dict[int, list[int]] = {}
+        for c in cells:
+            cells_by_bucket.setdefault(c % n_buckets, []).append(c)
+        files = sorted(
+            r["path"]
+            if ("://" in r["path"] or r["path"].startswith("/"))
+            else os.path.join(codes_root, r["path"])
+            for r in stats
+            if any(
+                r["lo"] <= c <= r["hi"]
+                for c in cells_by_bucket.get(r["cell_bucket"], ())
+            )
+        )
+        if not files:
+            return (
+                spark.read.parquet(codes_root)
+                .filter(F.lit(False))
+                .drop("cell_bucket")
+            )
+        scan = spark.read.option("basePath", codes_root).parquet(*files)
+    else:
+        scan = spark.read.parquet(codes_root).filter(
+            F.col("cell_bucket").isin(buckets)
+        )
+    return _push_values_filter(scan, "cluster", cells).drop("cell_bucket")
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = KNN_K,
+    nprobe: int = IVF_NPROBE,
+    n_queries_bound: int | None = None,
+) -> DataFrame:
+    """Probe a query batch (a (vec_id, qv, sq) frame on the SAME
+    quantized/permuted lineage the index was built from) against a
+    persisted ANN index; emit (query_id, neighbor_id, rnk, adc) —
+    row-equal to ``ivfpq_residual_ann`` over the corpus lineage.
+
+    Query-side stages are the in-plan path verbatim (probe GEMM →
+    per-(query, probed cell) residual → ADC distance table, both
+    staged per the r14 convention); the CORPUS side — assignment,
+    codebook training, encoding, at 100 TB the dominant cost — is
+    replaced by three pruned reads: whole-file ``centroids/`` (~√N
+    rows, the structural-smallness broadcast class),
+    ``codebook/`` (≤ 2048 rows), and the probed cells' slice of
+    ``codes/`` via :func:`fetch_probed_codes`. Probed bytes track
+    probed cells — a small query batch reads a small fraction of the
+    index no matter how large the corpus.
+
+    The probed-cell set is collected driver-side from the staged
+    probe table (ONE bounded job — the ``_probe_pruning_stats``
+    class: ≤ min(Q·nprobe, n_cells) ints, and meta's n_cells is
+    checked against CELL_COLLECT_CAP first; a hypothetical
+    316k-cell geometry keeps bucket-literal pruning only, with the
+    bucket set pmod-collapsed to ≤ n_buckets ≤ 65,536)."""
+    meta = ann_index_meta(index_path)
+    k_cent = meta["k_cent"]
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    cent_m = spark.read.parquet(os.path.join(index_path, "codebook"))
+    probes = stage(
+        _gemm_probe_topm(
+            queries, cents, nprobe, metric="l2", n_queries=n_queries_bound
+        ).select("query_id", "q_qv", "probe"),
+        "ann_index_probes",
+    )
+    if meta["n_cells"] <= CELL_COLLECT_CAP:
+        cells = sorted(
+            r["probe"] for r in probes.select("probe").distinct().collect()
+        )
+        codes = fetch_probed_codes(spark, index_path, cells)
+    else:
+        # extreme-geometry fallback: bucket literals only (bounded by
+        # construction); the join below still restricts rows exactly
+        n_buckets = meta["n_buckets"]
+        buckets = sorted(
+            r["b"]
+            for r in probes.select(
+                F.pmod(F.col("probe"), F.lit(n_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        codes = (
+            spark.read.parquet(os.path.join(index_path, "codes"))
+            .filter(F.col("cell_bucket").isin(buckets))
+            .drop("cell_bucket")
+        )
+    rq = probes.join(
+        F.broadcast(
+            cents.select(F.col("cent_id").alias("probe"), "c_qv")
+        ),
+        "probe",
+    ).select(
+        "query_id",
+        "probe",
+        F.zip_with("q_qv", "c_qv", lambda a, b: a - b).alias("rq"),
+    )
+    n_queries = (
+        probes.select("query_id").distinct().count()
+        if n_queries_bound is None
+        else n_queries_bound
+    )
+    dtab = broadcast_if_small(
+        stage(
+            rq.crossJoin(F.broadcast(cent_m)).select(
+                F.col("query_id").alias("d_query_id"),
+                F.col("probe").alias("d_probe"),
+                "m",
+                "j",
+                _pq_sub_dist(F.col("rq"), F.col("m")).alias("d"),
+            ),
+            "ann_index_dtab",
+        ),
+        n_queries * nprobe * PQ_M * k_cent,
+    )
+    # the pruned codes scan IS the candidate set (cluster rides the
+    # table): Q·nprobe probe rows broadcast against it, self-matches
+    # excluded — algebraically the in-plan cand→codes join collapsed
+    # to one join, same (query, neighbor, m) row set
+    cand_codes = broadcast_if_small(
+        probes.select("query_id", "probe"), n_queries * nprobe
+    ).join(
+        codes,
+        (F.col("cluster") == F.col("probe"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    adc = (
+        cand_codes.join(
+            dtab,
+            (F.col("d_query_id") == F.col("query_id"))
+            & (F.col("d_probe") == F.col("probe"))
+            & (dtab["m"] == cand_codes["m"])
+            & (dtab["j"] == cand_codes["code"]),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adc")
+    )
+
+
+def _ann_index_slot(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic per-(process, sf_dir) index path under the
+    staging root; built on first use from the OPQ-permuted aniso
+    lineage (the ladder's best measured configuration), reused after
+    — the build is the 'corpus compaction' event, probes the steady
+    state (the ``_index_slot`` convention, including the
+    meta-written-last completeness rule)."""
+    from mapreduceapp_spark.sources.parquet import table_row_count
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(staging_root(), f"ann_index_{safe}")
+    complete = os.path.exists(_meta_path(path)) and ann_index_meta(path).get(
+        "complete"
+    )
+    if not (path.startswith(("hdfs://", "s3a://")) or complete):
+        write_ann_index(
+            spark,
+            _opq_permute(_aniso(spark, sf_dir)),
+            table_row_count(spark, sf_dir, "embeddings"),
+            path,
+        )
+    return path
+
+
+@register(
+    "q_ann_index_probe",
+    # Same ground truth as q_opq_residual_recall_aniso: the index is
+    # a persisted re-layout of the identical IVF/codebook/codes
+    # derivation, the probe the identical ADC chain, so the recall
+    # frame is the same — oracle adopted verbatim below.
+    oracle=None,
+    doc="Probe of the persisted cell-partitioned ANN index (IVF + "
+    "OPQ + residual PQ — the ladder's best configuration) — the "
+    "corpus-scale similarity ingest path (C3 family).",
+)
+def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persisted-index loop as a driver query: build (or
+    reuse) the ANN index for the OPQ-permuted aniso lineage, probe
+    the fixture's query set against it, and publish recall@k against
+    the exact L2 slot. Equals ``q_opq_residual_recall_aniso``
+    row-for-row — pinned by the shared oracle AND
+    tests/test_ann_index.py's direct in-plan comparison."""
+    from mapreduceapp_spark.sources.parquet import table_row_count
+
+    e_p = _opq_permute(_aniso(spark, sf_dir))
+    n = table_row_count(spark, sf_dir, "embeddings")
+    approx = probe_ann_index(
+        spark,
+        _ann_index_slot(spark, sf_dir),
+        e_p.filter(KNN_QUERY_PRED),
+        n_queries_bound=n // 100 + 1,
+    )
+    return _recall_vs(_aniso_exact_slot(spark, sf_dir), approx)
+
+
+# Reuse the composition rung's oracle verbatim (single source of
+# truth for the OPQ+residual recall ground truth — the
+# q_dedup_index_probe adoption pattern).
+def _adopt_composition_oracle() -> None:
+    import dataclasses
+
+    from mapreduceapp_spark.plans.registry import _REGISTRY
+
+    q = _REGISTRY["q_ann_index_probe"]
+    src = _REGISTRY["q_opq_residual_recall_aniso"]
+    _REGISTRY["q_ann_index_probe"] = dataclasses.replace(
+        q, oracle=src.oracle
+    )
+
+
+_adopt_composition_oracle()

@@ -294,12 +294,18 @@ def _probe_pruning_stats(probe_bands: DataFrame) -> tuple[list[int], int]:
     band expansion would double the fixed per-probe cost. approx is
     deliberate: the count sizes a broadcast, never semantics.
     Module-level (like touched_buckets) so the scaling harness can
-    patch the pruning decision for its no-prune control."""
+    patch the pruning decision for its no-prune control.
+
+    The doc estimate is INFLATED by the sketch's error band before
+    return (ADVICE r14): approx_count_distinct defaults to ~5% rsd,
+    so an underestimate near BROADCAST_KEY_ROWS could hint a
+    broadcast of a frame that actually exceeds the budget — a
+    perf/memory risk, never semantics. 10% headroom covers ~2σ."""
     row = probe_bands.agg(
         F.collect_set("bucket").alias("bs"),
         F.approx_count_distinct("new_doc").alias("nd"),
     ).collect()[0]
-    return sorted(row["bs"]), row["nd"]
+    return sorted(row["bs"]), int(row["nd"] * 1.1) + 1
 
 
 # The sidecar-stats join is an extra bounded job; it pays for itself
@@ -583,7 +589,14 @@ def probe_band_index(
     # Same row set either side (the gate only reorders when the
     # shingle columns attach); pinned by
     # test_probe_prefilter_regimes_row_equal.
-    thin = n_cand is None or n_cand >= THIN_PREFILTER_MIN_CAND
+    #
+    # Unknown candidate count (a pre-metadata legacy index: sigs is a
+    # FULL-corpus scan) keeps the single-pass payload shape (ADVICE
+    # r14): the thin form would read that unpruned corpus sigs table
+    # twice more (sig prefilter + shingle join-back) — exactly the
+    # fixed-cost regime the 6.95 → 11.9 s micro-batch measurement
+    # warns about, with no candidate bound to justify it.
+    thin = n_cand is not None and n_cand >= THIN_PREFILTER_MIN_CAND
     if thin:
         sig_c = sigs.select(
             F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c")

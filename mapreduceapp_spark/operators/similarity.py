@@ -1816,15 +1816,20 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_pq_recall",
-    oracle=None,  # set after q_knn_l2 is defined below
-    doc="ANN quality evaluation: per-query recall@k of PQ asymmetric-"
-    "distance search against the exact L2 kNN ground truth (C3 "
-    "consumer) — L2, not cosine: ADC approximates Euclidean distance.",
-)
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of the PQ code search vs exact L2 kNN — the number
+    """RETIRED from the registry in r15 (VERDICT r14 "Next round"
+    #2, the r14 retire-into-twin pattern): folded into
+    q_pq_recall_aniso — the isotropic fixture's raw-PQ recall is the
+    ladder's documented parity finding (see q_pq_recall_aniso's
+    ladder table, which records both fixtures), so the two driver
+    rows were redundant evidence for one claim, and the freed slot
+    registers q_ann_index_probe (the persisted ANN index — VERDICT
+    r14 "Next round" #1). The function stays as library surface
+    (still pytest-covered: rerank-dominance and IVF+PQ-subset
+    invariants consume this frame directly); its last green driver
+    row is CORRECTNESS_r13.
+
+    Original doc — recall@k of the PQ code search vs exact L2 kNN — the number
     that sizes the rerank window a PQ deployment keeps (fetch top-R
     by ADC, rerank survivors at full precision; R grows until recall
     holds). The ground truth is the L2 twin (q_knn_l2), because ADC
@@ -2049,33 +2054,10 @@ def _knn_l2_topk_gemm(
     )
 
 
-# q_pq_recall's oracle references both _ORACLE_PQ and _ORACLE_KNN_L2,
-# which is defined after the query above — bind it now that both
-# exist (the q_dedup_index_probe oracle-adoption pattern).
-def _set_pq_recall_oracle() -> None:
-    from mapreduceapp_spark.plans.registry import _REGISTRY, Query
-
-    q = _REGISTRY["q_pq_recall"]
-    oracle = f"""
-        WITH exact AS ({_ORACLE_KNN_L2}),
-        approx AS ({_ORACLE_PQ}),
-        hits AS (
-            SELECT e.query_id, count(a.neighbor_id) AS n_hit
-            FROM exact e LEFT JOIN approx a
-              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-            GROUP BY e.query_id
-        )
-        SELECT query_id,
-               CAST(n_hit AS BIGINT) AS n_hit,
-               round(n_hit / {KNN_K}.0, 4) AS recall_at_k
-        FROM hits
-    """
-    import dataclasses
-
-    _REGISTRY["q_pq_recall"] = dataclasses.replace(q, oracle=oracle)
-
-
-_set_pq_recall_oracle()
+# (q_pq_recall's post-hoc oracle binding — the q_dedup_index_probe
+# adoption pattern over _ORACLE_PQ + _ORACLE_KNN_L2 — left with its
+# registration in r15; the aniso twin's declared oracle carries the
+# recall ground truth now.)
 
 
 # The production PQ pattern: codes give a cheap shortlist, full

@@ -260,8 +260,15 @@ def main() -> None:
         # r14: probe_band_index reads its pruning literals through
         # _probe_pruning_stats (one job also carrying the sig_n
         # broadcast-gate estimate) — patch it too or the control
-        # silently keeps band pruning on
-        DI._probe_pruning_stats = lambda pb: (list(range(n_buckets)), 1)
+        # silently keeps band pruning on. The estimate is computed by
+        # the REAL agg (ADVICE r14: a hardcoded 1 forced the sig_n
+        # broadcasts unconditionally — right for a 1-doc control,
+        # brittle if reused with a larger batch); only the bucket
+        # list is overridden to defeat pruning.
+        DI._probe_pruning_stats = lambda pb: (
+            list(range(n_buckets)),
+            real_stats(pb)[1],
+        )
         _write_meta()  # neither sigs pruning flag
         points.append(
             measure(staged_batches[1], "noprune_1doc", file_grain=False)

@@ -1,0 +1,297 @@
+"""Persisted ANN index: build/probe row-equality with the in-plan
+IVFADC, partition/file pruning proofs, relocation, regime gates
+(rules stated in operators/ann_index.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceapp_spark.operators import ann_index as ai
+from mapreduceapp_spark.operators.ann_index import (
+    _ann_index_slot,
+    ann_index_bucket_count,
+    ann_index_meta,
+    fetch_probed_codes,
+    probe_ann_index,
+    q_ann_index_probe,
+    write_ann_index,
+)
+from mapreduceapp_spark.operators.similarity import (
+    KNN_QUERY_PRED,
+    PQ_M,
+    _aniso,
+    _ivf_stride,
+    _opq_permute,
+    _pq_k,
+    ivfpq_residual_ann,
+)
+from mapreduceapp_spark.sources.parquet import table_row_count
+
+
+def _lineage(spark, sf_dir):
+    return _opq_permute(_aniso(spark, sf_dir))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_bucket_count_derivation_regimes():
+    """Derived from corpus size like the band index: floor of 64
+    directories at fixture scale, growing in powers of two, capped at
+    65,536 — where per-bucket file ranges take over."""
+    assert ann_index_bucket_count(100) == 64
+    # 1e8 vectors × 8 = 8e8 code rows → 256 buckets of ≤4M entries
+    assert ann_index_bucket_count(10**8) == 256
+    assert ann_index_bucket_count(10**8) * 4_000_000 >= 10**8 * PQ_M
+    assert ann_index_bucket_count(10**12) == 65_536
+    b = ann_index_bucket_count(10**9)
+    assert b & (b - 1) == 0 and 64 <= b <= 65_536
+
+
+def test_probe_equals_inplan_twin(spark, sf_dir):
+    """The headline contract (VERDICT r14 ask #1): the persisted-
+    index probe is ROW-EQUAL to the in-plan residual IVFADC over the
+    same lineage — bit-identical tables in, bit-identical ADC ranks
+    out. Also pins the registered query frame against its in-plan
+    twin and the adopted oracle identity."""
+    e_p = _lineage(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    inplan = ivfpq_residual_ann(
+        e_p,
+        _ivf_stride(n),
+        _pq_k(n),
+        max(1, n // _pq_k(n)),
+        n_queries_bound=n // 100 + 1,
+        n_rows=n,
+    )
+    probed = probe_ann_index(
+        spark,
+        _ann_index_slot(spark, sf_dir),
+        e_p.filter(KNN_QUERY_PRED),
+        n_queries_bound=n // 100 + 1,
+    )
+    assert probed.columns == inplan.columns
+    rows = _rows(probed)
+    assert rows == _rows(inplan) and rows
+    # registered query ≡ the composition rung, frame for frame
+    from mapreduceapp_spark.plans.registry import get_query
+
+    lhs = _rows(q_ann_index_probe(spark, sf_dir))
+    rhs = _rows(
+        get_query("q_opq_residual_recall_aniso").builder(spark, sf_dir)
+    )
+    assert lhs == rhs and lhs
+    # the oracle is adopted verbatim — one ground truth, two paths
+    assert (
+        get_query("q_ann_index_probe").oracle
+        == get_query("q_opq_residual_recall_aniso").oracle
+    )
+
+
+def test_index_layout(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ann_index")
+    e_p = _lineage(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    write_ann_index(spark, e_p, n, path)
+    meta = ann_index_meta(path)
+    assert meta["complete"] and meta["n_rows"] == n
+    assert meta["stride"] == _ivf_stride(n)
+    assert meta["k_cent"] == _pq_k(n)
+    assert meta["n_buckets"] == ann_index_bucket_count(n)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assert cents.count() == meta["n_cells"] > 0
+    book = spark.read.parquet(os.path.join(path, "codebook"))
+    assert book.count() == meta["k_cent"] * PQ_M <= 2048
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    # every vector encodes: PQ_M code rows each, cell id riding along
+    assert codes.count() == n * PQ_M
+    assert set(codes.columns) == {"vec_id", "m", "code", "cluster", "cell_bucket"}
+    buckets_on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(path, "codes"))
+        if d.startswith("cell_bucket=")
+    }
+    assert buckets_on_disk == {
+        r["c"] % meta["n_buckets"]
+        for r in cents.select(F.col("cent_id").alias("c")).collect()
+    }
+    sidecar = spark.read.parquet(os.path.join(path, "code_files"))
+    assert sidecar.count() == meta["n_code_files"] >= len(buckets_on_disk)
+    # sidecar paths are RELATIVE to codes/ (the moved-index rule)
+    assert all(
+        not r["path"].startswith(("/", "file:"))
+        for r in sidecar.select("path").collect()
+    )
+
+
+def test_probe_prunes_partitions(spark, tmp_path, monkeypatch):
+    """The scale contract: probed bytes track probed cells. Built at
+    sf0.01 (10 cells) with a 4-directory layout (several cells per
+    bucket) and a tiny file size so BOTH pruning grains are
+    observable at fixture scale: the file grid inside a bucket
+    discriminates between its cells via the sidecar's cluster ranges,
+    and unmatched files/directories are provably dead weight
+    (deleting them leaves the probe's rows unchanged — the band-index
+    proof shape)."""
+    from tests.conftest import SF_DIR_MID
+
+    sf_dir = SF_DIR_MID
+    monkeypatch.setattr(ai, "ann_index_bucket_count", lambda n: 4)
+    path = str(tmp_path / "ann_index_small")
+    e_p = _lineage(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    write_ann_index(spark, e_p, n, path, code_rows_per_file=64)
+    meta = ann_index_meta(path)
+    assert meta["n_buckets"] == 4
+    assert meta["n_code_files"] > 2 * meta["n_buckets"]  # sidecar engaged
+
+    queries = e_p.filter("vec_id = 0")
+    probed = probe_ann_index(spark, path, queries, nprobe=1)
+    before = _rows(probed)
+    assert before
+
+    # re-derive the probed cell from the probe GEMM the index uses
+    from mapreduceapp_spark.operators.similarity import _gemm_probe_topm
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cells = sorted(
+        r["probe"]
+        for r in _gemm_probe_topm(queries, cents, 1, metric="l2")
+        .select("probe")
+        .distinct()
+        .collect()
+    )
+    assert len(cells) == 1
+    scan = fetch_probed_codes(spark, path, cells)
+    from urllib.parse import urlparse
+
+    matched = {urlparse(f).path for f in scan.inputFiles()}
+    all_files = {
+        urlparse(f).path
+        for f in spark.read.parquet(os.path.join(path, "codes")).inputFiles()
+    }
+    assert matched < all_files  # strictly finer than a full scan
+    # file grain is strictly finer than directory grain: other cells
+    # share the probed cell's bucket, and their files are skipped
+    bucket_files = {
+        f
+        for f in all_files
+        if f"cell_bucket={cells[0] % meta['n_buckets']}/" in f
+    }
+    assert matched < bucket_files
+    # the matched files agree with the sidecar's cluster ranges
+    stats = spark.read.parquet(os.path.join(path, "code_files")).collect()
+    expected = {
+        os.path.join(path, "codes", r["path"])
+        for r in stats
+        if r["cell_bucket"] == cells[0] % meta["n_buckets"]
+        and r["lo"] <= cells[0] <= r["hi"]
+    }
+    assert matched == expected
+    # behavioral proof: unmatched directories and files are dead
+    # weight for this probe
+    codes_dir = os.path.join(path, "codes")
+    for d in os.listdir(codes_dir):
+        if (
+            d.startswith("cell_bucket=")
+            and int(d.split("=")[1]) != cells[0] % meta["n_buckets"]
+        ):
+            shutil.rmtree(os.path.join(codes_dir, d))
+    removed = 0
+    for root, _, files in os.walk(codes_dir):
+        for f in files:
+            full = os.path.join(root, f)
+            if f.endswith(".parquet") and full not in matched:
+                os.remove(full)
+                removed += 1
+    assert removed > 0
+    after = _rows(probe_ann_index(spark, path, queries, nprobe=1))
+    assert after == before
+
+
+def test_directory_pruning_regime_and_plan_filter(spark, sf_dir, tmp_path):
+    """Default-geometry indexes (one file per bucket at fixture
+    scale) route to directory pruning — the sidecar gate — and the
+    codes scan carries a planning-time PartitionFilter, not a
+    post-scan filter."""
+    path = str(tmp_path / "ann_index_dir")
+    e_p = _lineage(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    write_ann_index(spark, e_p, n, path)
+    meta = ann_index_meta(path)
+    assert (
+        meta["n_code_files"]
+        <= ai.SIDECAR_MIN_FILES_PER_BUCKET * meta["n_buckets"]
+    )
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    one_cell = [cents.select("cent_id").orderBy("cent_id").first()["cent_id"]]
+    scan = fetch_probed_codes(spark, path, one_cell)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "cell_bucket" in seg[:300]
+        for seg in plan.split("PartitionFilters")[1:]
+    ), plan
+    assert {r["cluster"] for r in scan.select("cluster").distinct().collect()} <= {
+        c
+        for c in (
+            r["cent_id"] for r in cents.select("cent_id").collect()
+        )
+        if c % meta["n_buckets"] == one_cell[0] % meta["n_buckets"]
+    }
+
+
+def test_probe_cell_collect_gate_row_equal(spark, sf_dir, tmp_path, monkeypatch):
+    """Both sides of the CELL_COLLECT_CAP gate produce the same rows:
+    the bounded-literal path (cells collected, files pruned) and the
+    extreme-geometry fallback (bucket literals only). The fallback is
+    forced by pinning the cap to 0 — the regime-gate grammar's
+    pin-both-sides rule."""
+    path = str(tmp_path / "ann_index_gate")
+    e_p = _lineage(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    write_ann_index(spark, e_p, n, path)
+    queries = e_p.filter(KNN_QUERY_PRED)
+    lit_rows = _rows(probe_ann_index(spark, path, queries))
+    monkeypatch.setattr(ai, "CELL_COLLECT_CAP", 0)
+    fb_rows = _rows(probe_ann_index(spark, path, queries))
+    assert fb_rows == lit_rows and fb_rows
+
+
+def test_index_survives_relocation(spark, sf_dir, tmp_path):
+    """Relative sidecar paths: a moved/copied index probes its
+    current location, never its birthplace."""
+    path = str(tmp_path / "ann_index_a")
+    e_p = _lineage(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    # small files so the sidecar path (the one that stores paths) is
+    # the regime under test (sf0.001: 800 code rows / 2 per file =
+    # 400 files > 2 × 64 buckets)
+    write_ann_index(spark, e_p, n, path, code_rows_per_file=2)
+    queries = e_p.filter(KNN_QUERY_PRED)
+    before = _rows(probe_ann_index(spark, path, queries))
+    moved = str(tmp_path / "ann_index_b")
+    shutil.move(path, moved)
+    after = _rows(probe_ann_index(spark, moved, queries))
+    assert after == before and after
+
+
+def test_probe_of_empty_query_set(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ann_index_e")
+    e_p = _lineage(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    write_ann_index(spark, e_p, n, path)
+    out = probe_ann_index(spark, path, e_p.filter(F.lit(False)))
+    assert out.columns == ["query_id", "neighbor_id", "rnk", "adc"]
+    assert out.count() == 0
+
+
+def test_meta_is_required(tmp_path):
+    """No pre-metadata generation exists for this index — a directory
+    without _meta.json is not an index and must fail loudly."""
+    with pytest.raises(FileNotFoundError):
+        ann_index_meta(str(tmp_path / "nowhere"))

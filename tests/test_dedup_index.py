@@ -51,6 +51,33 @@ def test_probe_equals_incremental_twin(spark, sf_dir):
     assert len(got) > 0  # fixture has cross-split duplicates
 
 
+def test_legacy_prometadata_index_keeps_payload_shape(spark, sf_dir, tmp_path):
+    """A pre-metadata index (no _meta.json: full sigs scan, candidate
+    count unknown) routes to the single-pass PAYLOAD prefilter
+    (ADVICE r14: the thin form would rescan the unpruned corpus sigs
+    table twice more — sig prefilter + shingle join-back — with no
+    candidate bound to justify the fixed costs) and still emits the
+    modern probe's exact verified pair set."""
+    from mapreduceapp_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_RESIDUE,
+        _doc_shingles_with_minhash,
+    )
+    from mapreduceapp_spark.plans.staging import stage
+
+    path = str(tmp_path / "legacy_index")
+    write_band_index(spark, sf_dir, path)
+    os.remove(os.path.join(path, "_meta.json"))
+    assert index_meta(path) == {"n_buckets": INDEX_MIN_BUCKETS}
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    batch = sh.filter((F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE)
+    legacy = _pairs(probe_band_index(spark, path, batch).collect())
+    modern = _pairs(
+        get_query("q_dedup_index_probe").builder(spark, sf_dir).collect()
+    )
+    assert legacy == modern and legacy
+
+
 def test_probe_prefilter_regimes_row_equal(spark, sf_dir, monkeypatch):
     """The r14 candidate-count gate between the payload prefilter
     (micro-batch regime) and the thin-sig prefilter + survivor

@@ -214,10 +214,9 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir, tmp_path, monkeypatch
         "q_quantile_rollup",  # 1-row (lo, width) domain broadcast
         "q_knn_l2",           # plan-level budget-guard join (knn twin)
         "q_pq_ann",           # ≤2048-row centroid-slice broadcast
-        "q_pq_recall",        # consumes q_pq_ann + q_knn_l2 plans
         "q_pq_rerank_recall", # consumes q_pq_ann + q_knn_l2 plans
-        # (q_pq_recall_normalized retired from the registry in r14 —
-        # its "same slots, normalized lineage" entry left with it)
+        # (q_pq_recall_normalized retired from the registry in r14,
+        # q_pq_recall in r15 — their entries left with them)
         "q_ivfpq_recall",     # centroid-slice broadcast + guard join
         "q_ivfpq_residual_recall",  # same class, residual lineage
         # aniso fixture twins (r12): same bounded guard/centroid/stats
@@ -232,6 +231,10 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir, tmp_path, monkeypatch
         # bounded BNLJs as q_ivfpq_residual_recall_aniso (the
         # permutation is a map-side projection, no new join classes)
         "q_opq_residual_recall_aniso",
+        # r15: the persisted-index probe of that same lineage — the
+        # corpus side becomes pruned reads, but the query-side guard
+        # join, dtab crossJoin and exact-slot classes are unchanged
+        "q_ann_index_probe",
     }
     for name, builder in all_queries().items():
         if name in skip:

@@ -465,8 +465,9 @@ def test_recall_pair_tells_the_index_story(spark, sf_dir):
 def test_pq_family_oracle(spark, sf_dir):
     from tests.oracle import assert_matches_oracle
 
-    for name in ("q_knn_l2", "q_pq_ann", "q_pq_recall",
-                  "q_pq_rerank_recall"):
+    # (q_pq_recall retired from the registry in r15 — its recall
+    # ground truth lives on the oracled aniso twin, q_pq_recall_aniso)
+    for name in ("q_knn_l2", "q_pq_ann", "q_pq_rerank_recall"):
         assert_matches_oracle(spark, name, sf_dir)
 
 
@@ -477,9 +478,12 @@ def test_pq_rerank_dominates_raw_codes(spark, sf_dir):
     R-candidate shortlist, so exact reranking can only add hits."""
     from mapreduceapp_spark.plans.registry import get_query
 
+    from mapreduceapp_spark.operators.similarity import q_pq_recall
+
+    # q_pq_recall is library surface since its r15 retirement — the
+    # invariant it feeds here is unchanged, so call it directly
     raw = {
-        r.query_id: r.n_hit
-        for r in get_query("q_pq_recall").builder(spark, sf_dir).collect()
+        r.query_id: r.n_hit for r in q_pq_recall(spark, sf_dir).collect()
     }
     rer = {
         r.query_id: r.n_hit
@@ -613,9 +617,10 @@ def test_ivfpq_recall_bounded_by_pq(spark, sf_dir):
     from mapreduceapp_spark.operators.similarity import KNN_K
     from mapreduceapp_spark.plans.registry import get_query
 
+    from mapreduceapp_spark.operators.similarity import q_pq_recall
+
     pq = {
-        r.query_id: r.n_hit
-        for r in get_query("q_pq_recall").builder(spark, sf_dir).collect()
+        r.query_id: r.n_hit for r in q_pq_recall(spark, sf_dir).collect()
     }
     comp = {
         r.query_id: r.n_hit
