@@ -526,18 +526,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded sign-LSH and runs this same exact GEMM only inside
     buckets.
     """
-    import numpy as np
-    import pandas as pd
-
-    # footer-metadata count: the builder stays a pure plan (no job),
-    # and repeat invocations never re-count (ADVICE r5). Block layout
-    # still varies with defaultParallelism — result-invariant, only
-    # the tiling changes.
+    # footer-metadata count (ADVICE r5: the builder never re-counts).
+    # Block layout still varies with defaultParallelism —
+    # result-invariant, only the tiling changes.
     n_rows = table_row_count(spark, sf_dir, "embeddings")
     nb = _neardup_blocks(n_rows, spark.sparkContext.defaultParallelism)
     e = _quantized(spark, sf_dir).withColumn(
         "bid", (F.col("vec_id") % nb).cast("int")
     )
+    return _neardup_pairs_gemm(e, nb)
+
+
+def _neardup_pairs_gemm(e: DataFrame, nb: int) -> DataFrame:
+    """The tile fan-out + per-tile exact GEMM over a prepared
+    (vec_id, qv, sq, bid) frame — split from the registered builder
+    (r15) so the input frame can be staged or raw without duplicating
+    the tiling code (the A/B harness drives both through this one
+    body)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
     tiles = spark.createDataFrame(
         [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
     )
