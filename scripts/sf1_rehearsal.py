@@ -121,6 +121,12 @@ DEFAULT_QUERIES = [
     # row it replaces — the retired query's cost was the marginal
     # normalized-lineage staging, subsumed by the aniso rungs above)
     "q_opq_residual_recall_aniso",
+    # round 15: the persisted ANN index probe AFTER the composition
+    # rung (shares the exact-slot + query-side staged pair where
+    # lineage allows): its cold_wall is build + first probe — the
+    # corpus-compaction event — and best_wall the steady-state probe;
+    # the dedicated build/probe split is ann_index_split_r15.json
+    "q_ann_index_probe",
 ]
 
 
