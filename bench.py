@@ -513,7 +513,31 @@ def main() -> None:
             cpu_probe_sec=_cpu_probe(),
         )
         _dump_full_record(full)
-    print(json.dumps(out))
+    # The stdout line is what the driver archives (BENCH_r{N}.json
+    # keeps only a ~2000-char stdout TAIL — it truncated the
+    # per-query map every round since r4). Two levers (VERDICT r14
+    # "What's missing" #4): print COMPACT (no whitespace, 3-decimal
+    # walls — a 145-query map shrinks ~35%), and order the object so
+    # the most informative bytes sit at the END where the tail keeps
+    # them — walls ASCENDING (cheap sub-second walls get truncated
+    # first, the expensive ones survive), then errors, then the
+    # aggregate value last. JSON key order is semantically free;
+    # bench_full_r{N}.json stays the complete 4-decimal record with
+    # sentinel/canaries/runs.
+    compact = {
+        "metric": out["metric"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "contaminated": out.get("contaminated", False),
+        "queries": {
+            n: round(t, 3)
+            for n, t in sorted(timings.items(), key=lambda kv: kv[1])
+        },
+    }
+    if errors:
+        compact["errors"] = errors
+    compact["value"] = out["value"]
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
     # Exit 0 when at least one query succeeded: the JSON line above is
     # the round's perf evidence even if some query broke.
