@@ -284,6 +284,93 @@ def write_ann_index(
     return path
 
 
+def append_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    e_new: DataFrame,
+    n_new: int | None = None,
+    code_rows_per_file: int = CODE_ROWS_PER_FILE,
+) -> str:
+    """Append a vector batch to an existing index WITHOUT retraining —
+    the incremental-ingest half of the compaction lifecycle (the
+    q_incremental_dedup ↔ band-index relationship, on the ANN side):
+    between corpus compactions, new vectors are assigned to the
+    FROZEN centroids and encoded against the FROZEN codebook, and only
+    thin code rows land on disk. Returns ``index_path``.
+
+    Semantics: the appended rows are exactly what a full build over
+    (corpus ∪ batch) would emit for the batch ids IF the build's
+    stride sampling had still picked the corpus's centroids/codebook —
+    i.e. quantization quality for the batch is the corpus codebook's
+    (the standard IVF ingest contract; recall drifts only as the data
+    distribution drifts, which is what the next compaction absorbs).
+    Appends are segmentation-invariant (one batch ≡ any split of it —
+    pinned by test) because every row's cell and code depend only on
+    the frozen artifacts.
+
+    ``n_new`` sizes the assign/encode kernels' regime gates (pass the
+    caller's footer-derived count; None = one bounded count job).
+    Crash note: the append is NOT atomic — codes files land before
+    the sidecar + meta rewrite, and a crash between them leaves the
+    sidecar-pruned probe serving the pre-append view while the
+    directory-pruning fallback would see the new files. Re-running
+    the append's stats step (:func:`write_code_file_stats` + meta)
+    heals it; a transactional append is what the TxLog format exists
+    for and stays out of scope here (same boundary the band index
+    documents for its builds)."""
+    meta = ann_index_meta(index_path)
+    n_buckets = meta["n_buckets"]
+    if n_new is None:
+        n_new = e_new.count()
+
+    from mapreduceapp_spark.operators.clustering import _gemm_assign
+
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    cent_m = spark.read.parquet(os.path.join(index_path, "codebook"))
+    assigned = _gemm_assign(
+        e_new.select("vec_id", F.col("qv").alias("x"), "sq"),
+        cents.select(
+            F.col("cent_id").alias("cid"),
+            F.col("c_qv").alias("cx"),
+            F.col("c_sq").alias("csq"),
+        ),
+        "int",
+        n_rows=n_new,
+    ).select("vec_id", "x", F.col("cid").alias("cluster"))
+    resid = stage(
+        assigned.join(
+            F.broadcast(
+                cents.select(F.col("cent_id").alias("cluster"), "c_qv")
+            ),
+            "cluster",
+        ).select(
+            "vec_id",
+            "cluster",
+            F.zip_with("x", "c_qv", lambda a, b: a - b).alias("qv"),
+        ),
+        "ann_index_append_resid",
+    )
+    codes = _pq_codes(resid.select("vec_id", "qv"), cent_m, n_rows=n_new)
+    (
+        codes.join(resid.select("vec_id", "cluster"), "vec_id")
+        .withColumn(
+            "cell_bucket",
+            F.pmod(F.col("cluster"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, "cell_bucket")
+        .sortWithinPartitions("cluster", "vec_id", "m")
+        .write.mode("append")
+        .option("maxRecordsPerFile", code_rows_per_file)
+        .partitionBy("cell_bucket")
+        .parquet(os.path.join(index_path, "codes"))
+    )
+    meta["n_code_files"] = write_code_file_stats(spark, index_path)
+    meta["appended_rows"] = meta.get("appended_rows", 0) + n_new
+    with open(_meta_path(index_path), "w") as fh:
+        json.dump(meta, fh)
+    return index_path
+
+
 def _push_values_filter(scan: DataFrame, col: str, ids: list[int]) -> DataFrame:
     """Push a bounded id list into a parquet scan as a VALUES
     predicate — the band index's ``_push_doc_filter`` with the column

@@ -290,6 +290,115 @@ def test_probe_of_empty_query_set(spark, sf_dir, tmp_path):
     assert out.count() == 0
 
 
+def test_append_placement_and_consistency(spark, sf_dir, tmp_path):
+    """Incremental append (the compaction-lifecycle ingest half):
+    appended code rows are EXACTLY the frozen-artifact encode of the
+    batch — same cells, same codes — recomputed here by composing the
+    kernels against the index's persisted centroids/codebook
+    independently of the append path; sidecar and meta stay
+    consistent (every on-disk file covered, counts agree)."""
+    from mapreduceapp_spark.operators.ann_index import append_ann_index
+    from mapreduceapp_spark.operators.clustering import _gemm_assign
+    from mapreduceapp_spark.operators.similarity import _pq_codes
+
+    e_p = _lineage(spark, sf_dir)
+    corpus = e_p.filter("vec_id % 10 < 8")
+    batch = e_p.filter("vec_id % 10 >= 8")
+    n_c = corpus.count()
+    path = str(tmp_path / "ann_index_app")
+    write_ann_index(spark, corpus, n_c, path)
+    before_rows = spark.read.parquet(os.path.join(path, "codes")).count()
+    append_ann_index(spark, path, batch)
+    meta = ann_index_meta(path)
+    assert meta["appended_rows"] == batch.count()
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    got = sorted(
+        map(
+            tuple,
+            codes.filter("vec_id % 10 >= 8")
+            .select("vec_id", "m", "code", "cluster")
+            .collect(),
+        )
+    )
+    assert codes.count() == before_rows + meta["appended_rows"] * PQ_M
+    # independent frozen-artifact recomputation
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cent_m = spark.read.parquet(os.path.join(path, "codebook"))
+    assigned = _gemm_assign(
+        batch.select("vec_id", F.col("qv").alias("x"), "sq"),
+        cents.select(
+            F.col("cent_id").alias("cid"),
+            F.col("c_qv").alias("cx"),
+            F.col("c_sq").alias("csq"),
+        ),
+        "int",
+    ).select("vec_id", "x", F.col("cid").alias("cluster"))
+    resid = assigned.join(
+        F.broadcast(cents.select(F.col("cent_id").alias("cluster"), "c_qv")),
+        "cluster",
+    ).select(
+        "vec_id",
+        "cluster",
+        F.zip_with("x", "c_qv", lambda a, b: a - b).alias("qv"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            _pq_codes(resid.select("vec_id", "qv"), cent_m)
+            .join(resid.select("vec_id", "cluster"), "vec_id")
+            .select("vec_id", "m", "code", "cluster")
+            .collect(),
+        )
+    )
+    assert got == want and got
+    # sidecar covers exactly the on-disk files, ranges hold their rows
+    sidecar = spark.read.parquet(os.path.join(path, "code_files"))
+    assert sidecar.count() == meta["n_code_files"]
+    from urllib.parse import urlparse
+
+    on_disk = {
+        urlparse(f).path for f in codes.inputFiles()
+    }
+    listed = {
+        os.path.join(path, "codes", r["path"])
+        for r in sidecar.select("path").collect()
+    }
+    assert listed == on_disk
+
+
+def test_append_segmentation_invariant(spark, sf_dir, tmp_path):
+    """append(batch) ≡ append(half1); append(half2): every appended
+    row's cell and code depend only on the frozen artifacts, so the
+    probe over either index is row-identical — and the appended
+    vectors are live probe candidates (the fixture's queries pick up
+    batch neighbors)."""
+    from mapreduceapp_spark.operators.ann_index import append_ann_index
+
+    e_p = _lineage(spark, sf_dir)
+    corpus = e_p.filter("vec_id % 10 < 8")
+    batch = e_p.filter("vec_id % 10 >= 8")
+    n_c = corpus.count()
+    queries = e_p.filter(KNN_QUERY_PRED)
+    p1 = str(tmp_path / "one_shot")
+    write_ann_index(spark, corpus, n_c, p1)
+    append_ann_index(spark, p1, batch)
+    p2 = str(tmp_path / "two_step")
+    write_ann_index(spark, corpus, n_c, p2)
+    append_ann_index(spark, p2, batch.filter("vec_id % 2 = 0"))
+    append_ann_index(spark, p2, batch.filter("vec_id % 2 = 1"))
+    r1 = _rows(probe_ann_index(spark, p1, queries))
+    r2 = _rows(probe_ann_index(spark, p2, queries))
+    assert r1 == r2 and r1
+    # appended vectors participate: corpus-only probe differs, and at
+    # least one returned neighbor is a batch id
+    p0 = str(tmp_path / "corpus_only")
+    write_ann_index(spark, corpus, n_c, p0)
+    r0 = _rows(probe_ann_index(spark, p0, queries))
+    assert r1 != r0
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert any(row[1] in batch_ids for row in r1)
+
+
 def test_meta_is_required(tmp_path):
     """No pre-metadata generation exists for this index — a directory
     without _meta.json is not an index and must fail loudly."""
