@@ -458,6 +458,7 @@ def probe_ann_index(
     k: int = KNN_K,
     nprobe: int = IVF_NPROBE,
     n_queries_bound: int | None = None,
+    _stage=stage,
 ) -> DataFrame:
     """Probe a query batch (a (vec_id, qv, sq) frame on the SAME
     quantized/permuted lineage the index was built from) against a
@@ -485,7 +486,13 @@ def probe_ann_index(
     k_cent = meta["k_cent"]
     cents = spark.read.parquet(os.path.join(index_path, "centroids"))
     cent_m = spark.read.parquet(os.path.join(index_path, "codebook"))
-    probes = stage(
+    # ``_stage`` swaps the multiply-consumed-intermediate strategy:
+    # batch probes keep the process-memoized stage() slots; the
+    # STREAMING runner passes a per-epoch persist-based stager instead
+    # (a stage() slot per micro-batch lineage accumulates on the
+    # staging disk for the stream's whole life — the unbounded-growth
+    # class winnow_screen_stream documents; see ann_search_stream)
+    probes = _stage(
         _gemm_probe_topm(
             queries, cents, nprobe, metric="l2", n_queries=n_queries_bound
         ).select("query_id", "q_qv", "probe"),
@@ -529,7 +536,7 @@ def probe_ann_index(
         else n_queries_bound
     )
     dtab = broadcast_if_small(
-        stage(
+        _stage(
             rq.crossJoin(F.broadcast(cent_m)).select(
                 F.col("query_id").alias("d_query_id"),
                 F.col("probe").alias("d_probe"),

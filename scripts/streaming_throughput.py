@@ -252,6 +252,57 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
             "probe_docs": n_probe_docs,
         }
 
+        # streaming ANN top-k (r15): a query-vector stream searched
+        # per micro-batch against the persisted cell-partitioned ANN
+        # index — the production query-serving shape; the corpus side
+        # is pruned reads, only the query batch computes fresh
+        from mapreduceapp_spark.operators.ann_index import write_ann_index
+        from mapreduceapp_spark.operators.similarity import (
+            KNN_QUERY_PRED,
+            _aniso,
+            _opq_permute,
+        )
+        from mapreduceapp_spark.sources.parquet import table_row_count
+        from mapreduceapp_spark.streaming.probe import ann_search_stream
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_emb = table_row_count(spark, sf_dir, "embeddings")
+        aidx_path = f"{work}/ann_index"
+        t_build = time.perf_counter()
+        write_ann_index(
+            spark, _opq_permute(_aniso(spark, sf_dir)), n_emb, aidx_path
+        )
+        abuild_sec = round(time.perf_counter() - t_build, 2)
+        qdir = f"{work}/ann_queries"
+        queries = emb.filter(KNN_QUERY_PRED)
+        n_queries = queries.count()
+        queries.repartition(4).write.parquet(qdir)
+        aout = {"n": 0, "batches": 0}
+
+        def _acollect(topk, _epoch):
+            aout["n"] += topk.count()
+            aout["batches"] += 1
+
+        ann_src = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+        t0 = time.perf_counter()
+        q = ann_search_stream(
+            spark, ann_src, aidx_path, _acollect, f"{work}/ckpt_ann"
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        results["ann_search"] = {
+            "batches": aout["batches"],
+            "input_rows": n_queries,
+            "output_rows": aout["n"],
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n_queries / wall) if wall else None,
+            "index_build_sec": abuild_sec,
+        }
+
         # curated ingest into the TxLog table: map-only quality +
         # scrub per batch, exactly-once (app, batch_id) appends — one
         # txlog version per micro-batch

@@ -399,6 +399,46 @@ def test_append_segmentation_invariant(spark, sf_dir, tmp_path):
     assert any(row[1] in batch_ids for row in r1)
 
 
+def test_ann_search_stream_equals_batch_probe(spark, tmp_path):
+    """Streaming ANN search ≡ the batch probe over the same query set:
+    queries partition across micro-batches and per-query top-k depends
+    only on that query, so the union of epoch results is row-identical.
+    Run at sf0.01 (5 fixture queries over 3 files → multiple epochs)."""
+    from mapreduceapp_spark.streaming.probe import ann_search_stream
+    from tests.conftest import SF_DIR_MID
+
+    sf_dir = SF_DIR_MID
+    e_p = _lineage(spark, sf_dir)
+    n = table_row_count(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index_s")
+    write_ann_index(spark, e_p, n, path)
+
+    from mapreduceapp_spark.sources import tables
+
+    emb = tables(spark, sf_dir).embeddings
+    qdir = str(tmp_path / "qstream")
+    emb.filter(KNN_QUERY_PRED).repartition(3).write.parquet(qdir)
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    got: list[tuple] = []
+    epochs: list[int] = []
+
+    def _collect(topk, epoch_id):
+        got.extend(map(tuple, topk.collect()))
+        epochs.append(epoch_id)
+
+    q = ann_search_stream(
+        spark, src, path, _collect, str(tmp_path / "ckpt_ann")
+    )
+    q.awaitTermination()
+    assert len(epochs) >= 2  # genuinely incremental
+    want = _rows(probe_ann_index(spark, path, e_p.filter(KNN_QUERY_PRED)))
+    assert sorted(got) == want and want
+
+
 def test_meta_is_required(tmp_path):
     """No pre-metadata generation exists for this index — a directory
     without _meta.json is not an index and must fail loudly."""
