@@ -79,7 +79,7 @@ def next_round() -> int:
     return max(rounds, default=0) + 1
 
 
-def _dump_full_record(out: dict) -> None:
+def _dump_full_record(out: dict, subset: bool = False) -> None:
     """Persist the complete per-query map in-repo.
 
     ``bench_full_r{N}.json`` is the round's latest full record (the
@@ -87,11 +87,30 @@ def _dump_full_record(out: dict) -> None:
     tail, which truncated round 4's per-query map); every run also
     appends one line to ``bench_history.jsonl`` so overwrites never
     erase provenance.
+
+    Two squatter protections (VERDICT r15 ask #5 — the driver's
+    post-close sweep landed on the NEXT round's filename twice in a
+    row, because bench.py auto-numbers purely off BENCH/CORRECTNESS
+    artifacts): a round is only "open" once the builder has written
+    its ``NOTES_r{N}.md``, so a run that auto-numbers into a round
+    with no NOTES file routes to ``bench_full_r{N}_preopen.json``
+    instead of the canonical name (the record itself carries
+    ``preopen: true`` so history lines self-identify), and
+    named-subset runs (ADVICE r15) never claim the canonical filename
+    at all — they land in bench_history.jsonl only, with their
+    ``subset`` list, so their sentinel/retimed diagnostics survive
+    the compact stdout line without overwriting the full-sweep
+    record.
     """
-    path = os.path.join(_HERE, f"bench_full_r{next_round():02d}.json")
+    n = next_round()
+    if not os.path.exists(os.path.join(_HERE, f"NOTES_r{n:02d}.md")):
+        out["preopen"] = True
     try:
-        with open(path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
+        if not subset:
+            suffix = "_preopen" if out.get("preopen") else ""
+            path = os.path.join(_HERE, f"bench_full_r{n:02d}{suffix}.json")
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
         with open(os.path.join(_HERE, "bench_history.jsonl"), "a") as f:
             f.write(json.dumps(out, sort_keys=True) + "\n")
     except OSError as e:  # never let bookkeeping kill the bench line
@@ -479,40 +498,41 @@ def main() -> None:
             f"this record as round-over-round signal",
             file=sys.stderr,
         )
-    if names is None:
-        # Probe-normalized calm-time estimate per query (VERDICT r6 ask
-        # #7 — the sf1 rehearsal's formula, wall x min_probe/probe): the
-        # fastest probe in the record approximates the host's calm
-        # speed, each query's own probe the host speed at its moment,
-        # so cross-round tables can compare calm_est directly instead
-        # of hand-normalizing against shared-host drift.
-        calm_est: dict[str, float] = {}
-        if probes:
-            min_probe = min(probes.values())
-            calm_est = {
-                n: round(t * min_probe / probes[n], 4)
-                for n, t in timings.items()
-                if probes.get(n)
-            }
-        full = dict(out)
-        full.update(
-            sentinel=sentinel,
-            canaries=canaries,
-            retimed=retimed,
-            runs=runs,
-            gc_sec=gc_secs,
-            cpu_probes=probes,
-            calm_est=calm_est,
-            calm_est_total=round(sum(calm_est.values()), 4),
-            stage_writes_timed=stage_writes_timed,
-            prewarm_sec=prewarm_sec,
-            prewarm_stage_writes=prewarm_writes,
-            recorded_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            tag=os.environ.get("SPARK_GRAFT_BENCH_TAG", "builder-local"),
-            cpus=cpus,
-            cpu_probe_sec=_cpu_probe(),
-        )
-        _dump_full_record(full)
+    # Probe-normalized calm-time estimate per query (VERDICT r6 ask
+    # #7 — the sf1 rehearsal's formula, wall x min_probe/probe): the
+    # fastest probe in the record approximates the host's calm
+    # speed, each query's own probe the host speed at its moment,
+    # so cross-round tables can compare calm_est directly instead
+    # of hand-normalizing against shared-host drift.
+    calm_est: dict[str, float] = {}
+    if probes:
+        min_probe = min(probes.values())
+        calm_est = {
+            n: round(t * min_probe / probes[n], 4)
+            for n, t in timings.items()
+            if probes.get(n)
+        }
+    full = dict(out)
+    full.update(
+        sentinel=sentinel,
+        canaries=canaries,
+        retimed=retimed,
+        runs=runs,
+        gc_sec=gc_secs,
+        cpu_probes=probes,
+        calm_est=calm_est,
+        calm_est_total=round(sum(calm_est.values()), 4),
+        stage_writes_timed=stage_writes_timed,
+        prewarm_sec=prewarm_sec,
+        prewarm_stage_writes=prewarm_writes,
+        recorded_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        tag=os.environ.get("SPARK_GRAFT_BENCH_TAG", "builder-local"),
+        cpus=cpus,
+        cpu_probe_sec=_cpu_probe(),
+    )
+    if names is not None:
+        full["subset"] = sorted(names)
+    _dump_full_record(full, subset=names is not None)
     # The stdout line is what the driver archives (BENCH_r{N}.json
     # keeps only a ~2000-char stdout TAIL — it truncated the
     # per-query map every round since r4). Two levers (VERDICT r14

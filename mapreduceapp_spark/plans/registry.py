@@ -111,41 +111,17 @@ def _load_all() -> None:
 # registry); any newly registered name is by definition never-checked
 # and sorts to the very front automatically.
 _CHECK_ROTATION = [
-    # Stalest first: freshest driver evidence is CORRECTNESS_r12.json
-    # (50 names — this group contains the r14-rewritten
-    # q_dedup_index_probe and the r14-staged
-    # q_ivfpq_residual_recall_aniso, which VERDICT r14 ask #7 wants
-    # re-evidenced on the new code). They lead round 15's window,
-    # alphabetical. The round's ONE registration (q_ann_index_probe,
-    # brand-new, auto-sorts ahead — see _rotation_key) makes 51
-    # candidates for 50 slots, so the group's alphabetical tail
-    # (q_zipf_fit) spills to round 16 — a deliberate, self-healing
-    # one-name displacement: the r13 group below holds 49 names after
-    # the q_pq_recall retirement, so round 16's window is exactly
-    # q_zipf_fit + those 49 and the rotation is back to 50/50/50
-    # (tests/test_registry.py pins both facts).
-    "q_bm25", "q_broadcast_join", "q_charcount", "q_chunk_documents",
-    "q_cluster_purity", "q_cohort_retention", "q_containment",
-    "q_containment_prefix", "q_copurchase_triangles",
-    "q_dedup_index_probe", "q_heavy_hitters", "q_hll_rollup",
-    "q_incremental_dedup", "q_ivfpq_recall_aniso",
-    "q_ivfpq_residual_recall_aniso", "q_minhash_neardup",
-    "q_ngram_jaccard", "q_pagerank", "q_pq_recall_aniso",
-    "q_pq_recall_normalized_aniso", "q_resample_fill", "q_semantic_prune",
-    "q_sliding_window", "q_sort_limit", "q_source_gini",
-    "q_state_intervals", "q_stateful_dedup", "q_stratified_sample",
-    "q_stream_join", "q_text_stats", "q_token_count", "q_topk_pergroup",
-    "q_tpch_q10", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q19",
-    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q9", "q_training_order", "q_txlog_changes",
-    "q_txlog_time_travel", "q_vocab_stats", "q_window_leadlag",
-    "q_window_range_frame", "q_zipf_fit",
-    # Checked in round 13 (CORRECTNESS_r13.json) but not r14 — middle
-    # of the rotation, alphabetical; 49 names after r15 retired
-    # q_pq_recall from this group (folded into q_pq_recall_aniso —
-    # VERDICT r14 "Next round" #2).
-    "q_abtest", "q_ann_lsh", "q_approx_distinct", "q_contamination",
-    "q_corr_subquery", "q_count_distinct", "q_cube",
+    # Stalest first: q_zipf_fit's freshest driver evidence is
+    # CORRECTNESS_r12.json — the deliberate r15 one-name spillover
+    # (see NOTES_r15 §9) — so it leads round 16's window, followed by
+    # the 49 names whose freshest evidence is CORRECTNESS_r13.json
+    # (alphabetical; this group held 49 after the r15 q_pq_recall
+    # retirement, so 1 + 49 = the 50-slot window EXACTLY and the
+    # rotation is back to a clean 50/50/50 from round 16 on —
+    # tests/test_registry.py pins both the exact window and the
+    # healed spillover).
+    "q_zipf_fit", "q_abtest", "q_ann_lsh", "q_approx_distinct",
+    "q_contamination", "q_corr_subquery", "q_count_distinct", "q_cube",
     "q_curation_pipeline", "q_data_audit", "q_dedup_clusters",
     "q_dedup_survivors", "q_distinct", "q_domain_mix", "q_dup_degree",
     "q_embedding_neardup", "q_equijoin", "q_exact_dedup", "q_except",
@@ -159,9 +135,8 @@ _CHECK_ROTATION = [
     "q_txlog_incremental_agg", "q_udf_quality", "q_union_all",
     "q_unpivot", "q_user_totals", "q_window_rank", "q_window_running",
     "q_winnowing",
-    # Confirmed in round 14 (CORRECTNESS_r14.json) — freshest-checked,
-    # back of the rotation, alphabetical (q_opq_residual_recall_aniso
-    # joined the rotation here after its r14 debut window).
+    # Checked in round 14 (CORRECTNESS_r14.json) — middle of the
+    # rotation, alphabetical.
     "q_ann_ivf", "q_anti_join", "q_approx_percentile", "q_array_funcs",
     "q_asof_join", "q_dup_rate_by_source", "q_duplicate_passages",
     "q_embedding_neardup_lsh", "q_funnel", "q_fuzzy_match", "q_having",
@@ -177,6 +152,25 @@ _CHECK_ROTATION = [
     "q_tpch_q13", "q_tpch_q17", "q_tpch_q18", "q_tpch_q21", "q_tpch_q22",
     "q_unigram_logprob", "q_winnowing_contamination",
     "q_winnowing_indexed", "q_wordcount",
+    # Confirmed in round 15 (CORRECTNESS_r15.json) — freshest-checked,
+    # back of the rotation, alphabetical (q_ann_index_probe joined the
+    # rotation here after its r15 debut window).
+    "q_ann_index_probe", "q_bm25", "q_broadcast_join", "q_charcount",
+    "q_chunk_documents", "q_cluster_purity", "q_cohort_retention",
+    "q_containment", "q_containment_prefix", "q_copurchase_triangles",
+    "q_dedup_index_probe", "q_heavy_hitters", "q_hll_rollup",
+    "q_incremental_dedup", "q_ivfpq_recall_aniso",
+    "q_ivfpq_residual_recall_aniso", "q_minhash_neardup",
+    "q_ngram_jaccard", "q_pagerank", "q_pq_recall_aniso",
+    "q_pq_recall_normalized_aniso", "q_resample_fill", "q_semantic_prune",
+    "q_sliding_window", "q_sort_limit", "q_source_gini",
+    "q_state_intervals", "q_stateful_dedup", "q_stratified_sample",
+    "q_stream_join", "q_text_stats", "q_token_count", "q_topk_pergroup",
+    "q_tpch_q10", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q19",
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_training_order", "q_txlog_changes",
+    "q_txlog_time_travel", "q_vocab_stats", "q_window_leadlag",
+    "q_window_range_frame",
 ]
 
 

@@ -115,22 +115,14 @@ def test_bench_subset_is_registered():
 # Redefined queries (schema/semantics changed since their last driver
 # row) are deliberately REMOVED from the rotation so they re-check
 # like brand-new queries; list them here too.
-# (rotation regenerated at the start of round 15 from the r12/r13/r14
-# artifacts — every name registered through round 14 is in the
-# rotation; add round-15 registrations to this set. BUDGET: the r15
-# slot was freed by retiring q_pq_recall from the MIDDLE (r13) group,
-# so the leading r12-stale group still holds 50 names and the one new
-# registration displaces its alphabetical tail (q_zipf_fit) to round
-# 16 — a deliberate one-name spillover that self-heals because the
-# r13 group now has 49 names (q_zipf_fit + 49 = round 16's window
-# exactly). test_three_window_union_covers_registry pins the
-# spillover to exactly that one name.)
-_NEW_SINCE_ROTATION: set[str] = {
-    # r15: the persisted ANN index probe (VERDICT r14 "Next round"
-    # #1), registered in the slot freed by folding q_pq_recall into
-    # its aniso twin — exactly the 1-slot budget
-    "q_ann_index_probe",
-}
+# (rotation regenerated at the start of round 16 from the r13/r14/r15
+# artifacts — every name registered through round 15 is in the
+# rotation, including r15's q_ann_index_probe which got its first
+# driver row in CORRECTNESS_r15. The r15 one-name spillover healed as
+# designed: q_zipf_fit leads round 16's window, followed by the 49
+# r13-group names — 50 exactly, and the rotation is back to a clean
+# 50/50/50. Add round-16 registrations to this set.)
+_NEW_SINCE_ROTATION: set[str] = set()
 
 
 def test_check_rotation_covers_registry_exactly():
@@ -162,66 +154,52 @@ def _driver_window_names(round_no: int) -> set[str]:
     return set(json.loads(path.read_text()))
 
 
-# Round 15's deliberate one-name window spillover: the new
-# registration's slot came from the r13 group, not the leading
-# r12-stale group, so group A's alphabetical tail re-checks in round
-# 16 instead (leading that window — the rotation is back to exactly
-# 50/50/50 from round 16 on). Its r12 evidence is the oldest any name
-# carries this round; nothing else may spill.
+# Round 15's deliberate one-name window spillover (q_zipf_fit, r12
+# evidence) heals in round 16: it leads the window, followed by the
+# 49 r13-group names — 50 exactly, no new spillover allowed.
 _R15_SPILLOVER = "q_zipf_fit"
 
 
 def test_three_window_union_covers_registry():
     """Full-registry freshness within 3 rounds (VERDICT r9 ask #3):
-    the union of the last TWO driver windows (CORRECTNESS_r13/r14,
+    the union of the last TWO driver windows (CORRECTNESS_r14/r15,
     read from the recorded artifacts) and the UPCOMING window (first
-    50 of the current order) must cover the whole registry except the
-    declared one-name spillover — so CORRECTNESS_r15 ∪ r14 ∪ r13
-    covers all registered names but _R15_SPILLOVER, which re-checks
-    at the FRONT of round 16's window (also pinned here). Any other
-    uncovered name still fails: the spillover is an exact allowance,
-    not a loosened guard."""
+    50 of the current order) must cover the whole registry with NO
+    remainder — the r15 one-name spillover heals this round (VERDICT
+    r15 ask #7), so CORRECTNESS_r16 ∪ r15 ∪ r14 covers every
+    registered name and no evidence is ever older than 3 rounds."""
     registry = set(all_queries())
-    covered = _driver_window_names(13) | _driver_window_names(14)
+    covered = _driver_window_names(14) | _driver_window_names(15)
     order = list(all_queries())
     upcoming = set(order[:_DRIVER_WINDOW])
     uncovered = registry - covered - upcoming
-    assert uncovered == {_R15_SPILLOVER}, (
-        f"names whose r15 evidence would be 3+ rounds stale: "
-        f"{sorted(uncovered)} (expected exactly {{{_R15_SPILLOVER!r}}})"
+    assert not uncovered, (
+        f"names whose r16 evidence would be 3+ rounds stale: "
+        f"{sorted(uncovered)}"
     )
-    # the spillover self-heals: it is the very next name after the
-    # window, so it leads round 16's rotation
-    assert order[_DRIVER_WINDOW] == _R15_SPILLOVER
+    # the healed spillover leads the window (stalest evidence = r12)
+    assert order[0] == _R15_SPILLOVER
 
 
 def test_stalest_queries_lead_the_window():
-    """Priority order inside the upcoming (round-15) window:
+    """Priority order inside the upcoming (round-16) window:
     brand-new / redefined queries first (no trustworthy driver row),
-    then the round-12-evidenced group (which holds the r14-rewritten
-    q_dedup_index_probe and the r14-staged
-    q_ivfpq_residual_recall_aniso — VERDICT r14 ask #7). No
-    round-13/14-fresh name may occupy a slot while a staler candidate
-    overflows."""
+    then q_zipf_fit (r12 evidence — the healed r15 spillover), then
+    the round-13-evidenced group. The window must be EXACTLY the
+    spillover + every name whose freshest evidence is r13: no
+    r14/r15-fresh name may occupy a slot while a staler candidate
+    overflows, and no r13-stale name may miss the window (the
+    rotation is back to a clean 50/50/50)."""
     order = list(all_queries())
     window = set(order[:_DRIVER_WINDOW])
-    fresh = _driver_window_names(13) | _driver_window_names(14)
-    fresh_in_window = (window & fresh) - _NEW_SINCE_ROTATION
-    overflow = (set(order) - fresh) - window
-    if overflow:
-        # a fresher name in the window while stale names overflow
-        # would mean the rotation is mis-ordered
-        assert not fresh_in_window, sorted(fresh_in_window)
-    # every r12-stale name must re-check in round 15 — except the
-    # declared spillover (exactly one, pinned above)
-    r12_stale = {
-        n for n in set(order) - fresh if n in _driver_window_names(12)
-    }
-    assert r12_stale - window == {_R15_SPILLOVER}, sorted(
-        r12_stale - window
+    fresh = _driver_window_names(14) | _driver_window_names(15)
+    registry = set(order)
+    r13_stale = (_driver_window_names(13) & registry) - fresh
+    expected = r13_stale | {_R15_SPILLOVER} | (_NEW_SINCE_ROTATION & registry)
+    assert window == expected, (
+        f"window != spillover + r13-stale (+new): "
+        f"extra={sorted(window - expected)} "
+        f"missing={sorted(expected - window)}"
     )
-    # the two r14-changed paths the verdict wants re-evidenced are in
-    # the window
-    assert {"q_dedup_index_probe", "q_ivfpq_residual_recall_aniso"} <= window
-    for name in _NEW_SINCE_ROTATION & set(order):
+    for name in _NEW_SINCE_ROTATION & registry:
         assert name in window, f"redefined/new {name} missed the window"
