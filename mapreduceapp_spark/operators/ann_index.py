@@ -591,14 +591,22 @@ def _ann_index_slot(spark: SparkSession, sf_dir: str) -> str:
 
     safe = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(staging_root(), f"ann_index_{safe}")
-    complete = os.path.exists(_meta_path(path)) and ann_index_meta(path).get(
-        "complete"
-    )
+    n_rows = table_row_count(spark, sf_dir, "embeddings")
+    meta = ann_index_meta(path) if os.path.exists(_meta_path(path)) else {}
+    # Reuse demands BOTH the completeness flag and a fingerprint match
+    # (ADVICE r15 #3): with SPARK_GRAFT_STAGING_DIR on persistent
+    # shared storage, a regenerated fixture at the same sf_dir path
+    # would otherwise silently probe a stale index and return wrong
+    # recall. The corpus row count comes from parquet footers — a
+    # driver-side metadata read, zero jobs — and build-time
+    # appended_rows is excluded (an appended slot's n_rows is still
+    # its BUILD corpus, by contract).
+    complete = meta.get("complete") and meta.get("n_rows") == n_rows
     if not (path.startswith(("hdfs://", "s3a://")) or complete):
         write_ann_index(
             spark,
             _opq_permute(_aniso(spark, sf_dir)),
-            table_row_count(spark, sf_dir, "embeddings"),
+            n_rows,
             path,
         )
     return path

@@ -225,7 +225,8 @@ def write_band_index(
 
     # derive the layout from the corpus footprint (footer count — no
     # job) and persist it: probes must bucket by the SAME modulus
-    n_buckets = index_bucket_count(table_row_count(spark, sf_dir, "documents"))
+    n_docs = table_row_count(spark, sf_dir, "documents")
+    n_buckets = index_bucket_count(n_docs)
     sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
     if corpus_only:
         sh = sh.filter((F.col("doc_id") % INCR_BATCH_MOD) < INCR_BATCH_RESIDUE)
@@ -258,6 +259,9 @@ def write_band_index(
         json.dump(
             {
                 "n_buckets": n_buckets,
+                # source-table fingerprint for slot-reuse staleness
+                # checks (the ADVICE r15 #3 class, band side)
+                "n_docs": n_docs,
                 "sigs_partitioned": True,
                 "sig_files": True,
                 # plan-time bound for broadcasting the stats sidecar
@@ -274,6 +278,197 @@ def write_band_index(
             fh,
         )
     return path
+
+
+def _list_sig_files(spark: SparkSession, index_path: str) -> set[str]:
+    """Relative paths of every data file under ``sigs/`` — the
+    append's before/after diff source. Hadoop FileSystem listing via
+    the JVM gateway (works on any scheme the index can live on:
+    local, hdfs://, s3a://), driver-side metadata only — the same
+    cost class as the file listing every parquet read of the table
+    already performs."""
+    sigs_root = os.path.join(index_path, "sigs")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(sigs_root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return set()
+    out: set[str] = set()
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue
+        out.add(p.split("/sigs/")[-1])
+    return out
+
+
+def _append_sig_file_stats(
+    spark: SparkSession, index_path: str, new_files: set[str]
+) -> None:
+    """Derive (path, sig_bucket, lo, hi) rows for ONLY the files an
+    append just wrote and add them to the ``sig_files/`` sidecar with
+    parquet append — the incremental twin of
+    :func:`write_sig_file_stats`. A full sidecar regeneration scans
+    every sigs file's thin columns; per ingest micro-batch at corpus
+    scale that is a fixed cost proportional to the CORPUS (millions
+    of files), exactly the per-epoch fixed-cost regime the probe's
+    THIN_PREFILTER gate exists to avoid — the incremental form scans
+    batch files only, so append cost tracks the batch."""
+    sigs_root = os.path.join(index_path, "sigs")
+    scan = spark.read.option("basePath", sigs_root).parquet(
+        *(os.path.join(sigs_root, f) for f in sorted(new_files))
+    )
+    stats = (
+        scan.select(
+            "doc_id",
+            "sig_bucket",
+            F.element_at(
+                F.split(F.input_file_name(), "/sigs/"), -1
+            ).alias("path"),
+        )
+        .groupBy("path", "sig_bucket")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    )
+    stats.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_path, "sig_files")
+    )
+
+
+def _pending_path(index_path: str) -> str:
+    return os.path.join(index_path, "_pending.json")
+
+
+def heal_band_index(spark: SparkSession, index_path: str) -> bool:
+    """Crash-recovery for a torn append (ADVICE r15 #1, applied to
+    the band index): :func:`append_band_index` drops a ``_pending``
+    marker before its first data write and removes it after the meta
+    rewrite, so a marker left behind means data files may exist that
+    the sidecar/meta do not cover — the state where sidecar-pruned
+    probes and directory-pruned probes disagree. The heal regenerates
+    the FULL sidecar + meta from what is actually on disk (idempotent
+    — every committed row re-derives to the same stats) and clears
+    the marker. Returns True when a heal ran.
+
+    Probe-time cost when no crash happened: one ``os.path.exists``
+    stat — nothing at all in the steady state."""
+    if not os.path.exists(_pending_path(index_path)):
+        return False
+    meta = index_meta(index_path)
+    meta["n_sig_files"] = write_sig_file_stats(spark, index_path)
+    # the torn append's meta rewrite never ran, so its segment bump
+    # may be missing: force the appended regime on — uncapped rows
+    # may now be on disk, and the probe's cap window must see them
+    meta["appended_segments"] = meta.get("appended_segments", 0) + 1
+    with open(_meta_path(index_path), "w") as fh:
+        json.dump(meta, fh)
+    os.remove(_pending_path(index_path))
+    return True
+
+
+def append_band_index(
+    spark: SparkSession,
+    index_path: str,
+    new_sh: DataFrame,
+    sig_rows_per_file: int = SIG_ROWS_PER_FILE,
+) -> str:
+    """Append a signed document batch (doc_id, sig, sh — the shared
+    :func:`~mapreduceapp_spark.operators.dedup.minhash_signatures_for`
+    output, so the hash family / shingle drop-set / band keys are
+    frozen by construction) to an existing band index WITHOUT a
+    corpus recompaction — the band-index twin of
+    :func:`~mapreduceapp_spark.operators.ann_index.append_ann_index`
+    (VERDICT r15 ask #1). Returns ``index_path``.
+
+    Closes the streaming ingest blind window: the probe-only ingest
+    path (streaming/probe.py ``indexed_ingest_dedup``) never admitted
+    accepted docs, so two near-duplicate documents arriving in
+    different micro-batches were invisible to each other until the
+    next full compaction. With probe-then-append per micro-batch,
+    batch N's docs are live candidates for batch N+1.
+
+    Semantics and the bucket cap: appended band entries are
+    deliberately UNCAPPED — every appended (doc, band) row depends
+    only on the doc itself plus the frozen layout, which makes
+    appends segmentation-invariant BY CONSTRUCTION (one batch ≡ any
+    split of it — pinned by test). The build-time over-cap-band drop
+    is instead re-applied by the PROBE over its pruned band scan
+    whenever meta records appended segments (a band's rows all share
+    one bucket, so the pruned scan always holds whole bands and the
+    window count is the TRUE global band count): a band pushed over
+    the cap by appended mass stops producing candidates, exactly as
+    a rebuild would drop it. The one residual divergence from a full
+    rebuild is a band ALREADY over-cap at build time (absent from the
+    persisted corpus entries): its appended rows survive the probe
+    cap, so the appended index can emit verified pairs a rebuild
+    would skip — strictly MORE dedup coverage, every extra pair still
+    exact-Jaccard-verified, restored to the build contract at the
+    next compaction.
+
+    Layout: band rows append into the frozen ``bucket=pmod(band_key,
+    n_buckets)`` directories; sig rows append into the frozen
+    ``sig_bucket`` directories as doc_id-sorted bounded files. New
+    files' doc ranges may OVERLAP existing files' ranges (the build's
+    one-task-per-bucket disjointness holds per segment, not across
+    segments) — :func:`fetch_candidate_sigs` is overlap-safe: a
+    candidate matching two files reads one extra file and inflates
+    ``n_cand``, which only makes the broadcast/push gates more
+    conservative, never wrong. The sidecar grows INCREMENTALLY
+    (stats derived from the new files only — append cost tracks the
+    batch, not the corpus).
+
+    Crash window: data files land before the sidecar/meta rewrite.
+    A ``_pending`` marker brackets the whole append (exclusive
+    create, the TxLog commit primitive) and
+    :func:`heal_band_index` — one stat per probe — regenerates
+    sidecar+meta from disk if the marker is ever found, so the two
+    pruning regimes can never silently disagree after a crash."""
+    meta = index_meta(index_path)
+    if not (meta.get("complete") and meta.get("sig_files")):
+        raise ValueError(
+            "append_band_index requires a complete current-format "
+            f"index (sig_files sidecar) at {index_path}; legacy "
+            "indexes must be rebuilt by write_band_index"
+        )
+    n_buckets = meta["n_buckets"]
+    # exclusive create: a concurrent or crashed append is visible,
+    # never silently interleaved
+    with open(_pending_path(index_path), "x") as fh:
+        json.dump({"op": "append"}, fh)
+    # any raise below leaves the marker in place — the next probe's
+    # heal_band_index reconciles sidecar+meta with what hit disk
+    before = _list_sig_files(spark, index_path)
+    entries = _band_entries(new_sh, n_buckets)
+    (
+        entries.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("band_key")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_path, "bands"))
+    )
+    (
+        new_sh.select("doc_id", "sig", "sh")
+        .withColumn(
+            "sig_bucket",
+            F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, "sig_bucket")
+        .sortWithinPartitions("sig_bucket", "doc_id")
+        .write.mode("append")
+        .option("maxRecordsPerFile", sig_rows_per_file)
+        .partitionBy("sig_bucket")
+        .parquet(os.path.join(index_path, "sigs"))
+    )
+    new_files = _list_sig_files(spark, index_path) - before
+    if new_files:
+        _append_sig_file_stats(spark, index_path, new_files)
+    meta["n_sig_files"] = meta.get("n_sig_files", 0) + len(new_files)
+    meta["appended_segments"] = meta.get("appended_segments", 0) + 1
+    with open(_meta_path(index_path), "w") as fh:
+        json.dump(meta, fh)
+    os.remove(_pending_path(index_path))
+    return index_path
 
 
 def touched_buckets(probe_bands: DataFrame) -> list[int]:
@@ -534,17 +729,28 @@ def probe_band_index(
     fall back to directory pruning; pre-metadata indexes to a full
     scan.
     """
+    heal_band_index(spark, index_path)  # steady-state cost: one stat
     meta = index_meta(index_path)
     n_buckets = meta["n_buckets"]
     probe_bands = _band_entries(probe_sh, n_buckets).select(
         F.col("doc_id").alias("new_doc"), "band_key", "bucket"
     )
     buckets, n_batch_est = _probe_pruning_stats(probe_bands)
-    idx = (
-        spark.read.parquet(os.path.join(index_path, "bands"))
-        .filter(F.col("bucket").isin(buckets))
-        .select(F.col("doc_id").alias("corpus_doc"), "band_key")
+    idx = spark.read.parquet(os.path.join(index_path, "bands")).filter(
+        F.col("bucket").isin(buckets)
     )
+    if meta.get("appended_segments"):
+        # appended band entries are written UNCAPPED (segmentation
+        # invariance by construction — see append_band_index); the
+        # build-time over-cap-band drop is restored here, over the
+        # pruned scan. Sound because a band's rows all share one
+        # bucket directory: the pruned scan holds WHOLE bands, so the
+        # window count is the true global band count. The window
+        # rides the exchange the band join needs anyway; gated on
+        # appended_segments so never-appended indexes keep their
+        # recorded plan byte-for-byte.
+        idx = _capped_band_entries(idx, ["band_key"], LSH_BUCKET_CAP)
+    idx = idx.select(F.col("doc_id").alias("corpus_doc"), "band_key")
     # the candidate set is staged (bounded: ≤ batch_bands × bucket
     # cap thin rows), so its lineage — probe minhash expansion +
     # pruned band-index join — executes ONCE per probe: the
@@ -689,10 +895,22 @@ def _index_slot(spark: SparkSession, sf_dir: str) -> str:
     # serve it forever (probes silently missing every pair whose sig
     # rows are absent).
     meta_exists = os.path.exists(_meta_path(path))
+    meta = index_meta(path) if meta_exists else {}
     complete = meta_exists and (
-        index_meta(path).get("complete")
+        meta.get("complete")
         or os.path.exists(os.path.join(path, "sigs", "_SUCCESS"))
     )
+    # Staleness fingerprint (ADVICE r15 #3, band side): a persistent
+    # staging root can outlive a regenerated fixture at the same
+    # sf_dir; the corpus footer count is a zero-job check. Metas
+    # from before the fingerprint (no n_docs key) keep the
+    # completeness-only rule — their layout constants still hold.
+    if complete and "n_docs" in meta:
+        from mapreduceapp_spark.sources.parquet import table_row_count
+
+        complete = meta["n_docs"] == table_row_count(
+            spark, sf_dir, "documents"
+        )
     if not (path.startswith(("hdfs://", "s3a://")) or complete):
         write_band_index(spark, sf_dir, path)
     return path

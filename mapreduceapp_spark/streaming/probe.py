@@ -160,6 +160,7 @@ def indexed_ingest_dedup(
     index_path: str,
     collector,
     checkpoint: str,
+    admit: bool = False,
 ):
     """The corpus-scale ingest-dedup runner (the rung above
     :func:`incremental_dedup_stream`, NOTES_r08): each micro-batch is
@@ -185,15 +186,52 @@ def indexed_ingest_dedup(
     in-batch dropDuplicates in the probe already collapsed
     multi-band collisions).
 
+    ``admit=True`` closes the new-vs-new blind window (VERDICT r15
+    ask #1): after the epoch's pairs are collected, the batch's
+    signature rows are APPENDED into the persisted index
+    (:func:`~mapreduceapp_spark.operators.dedup_index.
+    append_band_index` — frozen hash family, thin rows, incremental
+    sidecar), so near-duplicates arriving in different micro-batches
+    find each other at probe time instead of waiting for the next
+    corpus compaction. Probe THEN append, and the probe's pruned
+    scans pin their file lists at plan-build time (driver-side
+    sidecar/directory listings), so an epoch never pairs a document
+    against its own batch. ``collector`` must materialize the pairs
+    within the call under ``admit`` (the batch signature cache is
+    epoch-scoped, and the append must not race the probe's reads).
+    Epoch REPLAY after a crash re-appends the batch (at-least-once
+    admission): duplicate index rows only duplicate candidate rows —
+    the probe's pair-dedup collapses them — but the replayed probe
+    now sees its own batch in the index, so under ``admit`` the
+    probe drops identity pairs (corpus_doc == new_doc); exactly-once
+    admission is the TxLog rung, as for the curated-ingest sink.
+
     Returns the started ``StreamingQuery`` (availableNow trigger).
     """
     drop_bc = _shingle_dropset_broadcast(spark, sf_dir)
 
     def _probe(bdf: DataFrame, epoch_id: int) -> None:
-        from mapreduceapp_spark.operators.dedup_index import probe_band_index
+        from mapreduceapp_spark.operators.dedup_index import (
+            append_band_index,
+            probe_band_index,
+        )
 
         sh = minhash_signatures_for(bdf, drop_bc)
-        collector(probe_band_index(spark, index_path, sh), epoch_id)
+        if not admit:
+            collector(probe_band_index(spark, index_path, sh), epoch_id)
+            return
+        # probe + append both consume the batch signatures: persist
+        # for the epoch, release in finally (the winnow_screen /
+        # ann_search_stream per-epoch staging convention)
+        sh = sh.persist()
+        try:
+            pairs = probe_band_index(spark, index_path, sh).filter(
+                F.col("corpus_doc") != F.col("new_doc")
+            )
+            collector(pairs, epoch_id)
+            append_band_index(spark, index_path, sh)
+        finally:
+            sh.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(_probe)
@@ -346,7 +384,17 @@ def ann_search_stream(
         try:
             collector(
                 probe_ann_index(
-                    spark, index_path, lineage(bdf), _stage=epoch_stage
+                    spark,
+                    index_path,
+                    lineage(bdf),
+                    # foreachBatch already materialized the batch, so
+                    # its count is one cheap job here — without it the
+                    # probe pays a distinct-count over the persisted
+                    # probe table EVERY epoch just to size broadcast
+                    # gates (ADVICE r15 #5: the per-epoch fixed-cost
+                    # regime this module warns about)
+                    n_queries_bound=bdf.count() or None,
+                    _stage=epoch_stage,
                 ),
                 epoch_id,
             )

@@ -393,11 +393,57 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Contamination sentinel (VERDICT r15 ask #4: the r14/r15 streaming
+    # records were merged-min adjudications under roaming steal because
+    # this harness, unlike bench.py, could not certify its own window).
+    # Reuse bench.py's two instruments — the single-core probe catches
+    # per-core steal, the 32-wide canary catches the full-width-theft
+    # class the probe misses — bracketing the run: one reading before,
+    # one after, worst-of both decides. Thresholds are bench.py's.
+    from bench import (
+        CANARY_CALM_REF,
+        CANARY_HOT_FACTOR,
+        PROBE_CALM_REF,
+        PROBE_HOT_FACTOR,
+        _cpu_probe,
+        _spark_canary,
+        next_round,  # shared round-derivation (ADVICE r5)
+    )
+
+    probe_before = _cpu_probe()
+    # warm the canary's code path untimed first: the very first Spark
+    # job in a fresh session measures JVM/codegen warm-in (~3.7 s
+    # observed), not host steal — bench.py's canary never sees this
+    # because its session is warmed by the prewarm pass
+    _spark_canary(spark)
+    canary_before = _spark_canary(spark)
     results = measure(spark, sf_dir)
+    probe_after = _cpu_probe()
+    canary_after = _spark_canary(spark)
+    worst_probe = max(probe_before, probe_after)
+    worst_canary = max(canary_before, canary_after)
+    results["sentinel"] = {
+        "probes": [probe_before, probe_after],
+        "canaries": [canary_before, canary_after],
+        "probe_calm_ref": PROBE_CALM_REF,
+        "canary_calm_ref": CANARY_CALM_REF,
+        "loadavg": list(os.getloadavg()),
+        "host_throttled": (
+            worst_probe > PROBE_HOT_FACTOR * PROBE_CALM_REF
+            or worst_canary > CANARY_HOT_FACTOR * CANARY_CALM_REF
+        ),
+    }
+    if results["sentinel"]["host_throttled"]:
+        print(
+            "[streaming-bench] RECORD CONTAMINATED: bracket probes "
+            f"{probe_before}/{probe_after} canaries "
+            f"{canary_before}/{canary_after} — do not use as "
+            "round-over-round signal",
+            file=sys.stderr,
+        )
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    from bench import next_round  # shared round-derivation (ADVICE r5)
-
     n = next_round()
     with open(os.path.join(here, f"streaming_bench_r{n:02d}.json"), "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)

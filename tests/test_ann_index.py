@@ -444,3 +444,33 @@ def test_meta_is_required(tmp_path):
     without _meta.json is not an index and must fail loudly."""
     with pytest.raises(FileNotFoundError):
         ann_index_meta(str(tmp_path / "nowhere"))
+
+
+def test_ann_slot_staleness_fingerprint(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r15 #3: slot reuse keyed on path + complete alone would
+    silently probe a stale index when a persistent staging root
+    outlives a regenerated fixture — reuse must also match meta's
+    n_rows against the CURRENT footer-derived corpus count (zero
+    jobs) and rebuild on mismatch; a matching fingerprint must not
+    rebuild."""
+    import json
+
+    from mapreduceapp_spark.operators import ann_index as ai
+    from mapreduceapp_spark.plans import staging
+
+    monkeypatch.setattr(staging, "_STAGING_ROOT", str(tmp_path / "stage"))
+    monkeypatch.setattr(staging, "_STAGED_PLANS", {})
+
+    path = ai._ann_index_slot(spark, sf_dir)
+    meta_file = os.path.join(path, "_meta.json")
+    built_at = os.path.getmtime(meta_file)
+    assert ai._ann_index_slot(spark, sf_dir) == path
+    assert os.path.getmtime(meta_file) == built_at, "fresh slot rebuilt"
+
+    meta = ann_index_meta(path)
+    true_rows = meta["n_rows"]
+    meta["n_rows"] = true_rows + 7  # simulate a regenerated fixture
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    ai._ann_index_slot(spark, sf_dir)
+    assert ann_index_meta(path)["n_rows"] == true_rows, "stale slot kept"

@@ -501,3 +501,341 @@ def test_doc_push_raises_parquet_in_filter_threshold(spark, sf_dir, tmp_path):
         assert got == sorted(docs)  # push is semantics-preserving
     finally:
         spark.conf.set(key, before)
+
+
+# --------------------------------------------------------------- append
+# (VERDICT r15 ask #1: the band index gets the incremental-append
+# half of the compaction lifecycle the ANN index grew in r15 —
+# frozen hash family, thin appended rows, incremental sidecar,
+# segmentation-invariance and both cap-regime sides pinned.)
+
+
+def _signed(spark, sf_dir, docs):
+    from mapreduceapp_spark.operators.dedup import (
+        _shingle_dropset_broadcast,
+        minhash_signatures_for,
+    )
+
+    return minhash_signatures_for(
+        docs, _shingle_dropset_broadcast(spark, sf_dir)
+    )
+
+
+def _split_sigs(spark, sf_dir):
+    """(corpus_sh, sh8, sh9): the staged signature table split into
+    the standard corpus (%10 < 8) and the two batch residues."""
+    from mapreduceapp_spark.operators.dedup import (
+        _doc_shingles_with_minhash,
+    )
+    from mapreduceapp_spark.plans.staging import stage
+
+    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    return (
+        sh.filter((F.col("doc_id") % 10) < 8),
+        sh.filter((F.col("doc_id") % 10) == 8),
+        sh.filter((F.col("doc_id") % 10) == 9),
+    )
+
+
+def test_band_append_placement_and_sidecar_consistency(spark, sf_dir, tmp_path):
+    """Appended rows land in the frozen bucket layout; the sidecar
+    covers exactly the on-disk sigs files and meta's count agrees."""
+    from urllib.parse import urlparse
+
+    from mapreduceapp_spark.operators.dedup_index import append_band_index
+
+    path = str(tmp_path / "band_idx_app")
+    write_band_index(spark, sf_dir, path)
+    meta0 = index_meta(path)
+    _, sh8, _ = _split_sigs(spark, sf_dir)
+    n8 = sh8.count()
+    append_band_index(spark, path, sh8)
+    meta = index_meta(path)
+    assert meta["appended_segments"] == 1
+    assert not os.path.exists(os.path.join(path, "_pending.json"))
+    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    # every appended doc present exactly once, in its pmod bucket
+    app = sigs.filter((F.col("doc_id") % 10) == 8)
+    assert app.count() == n8 and n8 > 0
+    bad = app.filter(
+        F.col("sig_bucket")
+        != F.pmod(F.col("doc_id"), F.lit(meta["n_buckets"])).cast("int")
+    )
+    assert bad.count() == 0
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    bad_b = bands.filter(
+        F.col("bucket")
+        != F.pmod(F.col("band_key"), F.lit(meta["n_buckets"])).cast("int")
+    )
+    assert bad_b.count() == 0
+    # sidecar: exactly the on-disk files, meta count agrees and grew
+    sidecar = spark.read.parquet(os.path.join(path, "sig_files"))
+    assert sidecar.count() == meta["n_sig_files"] > meta0["n_sig_files"]
+    on_disk = {urlparse(f).path for f in sigs.inputFiles()}
+    listed = {
+        os.path.join(path, "sigs", r["path"])
+        for r in sidecar.select("path").collect()
+    }
+    assert listed == on_disk
+    # every appended doc is covered by its file's recorded range
+    cov = app.select("doc_id", "sig_bucket").join(
+        sidecar,
+        (app["sig_bucket"] == sidecar["sig_bucket"])
+        & app["doc_id"].between(sidecar["lo"], sidecar["hi"]),
+        "left_anti",
+    )
+    assert cov.count() == 0
+
+
+def test_band_append_segmentation_invariant(spark, sf_dir, tmp_path):
+    """append(batch) ≡ append(half1); append(half2) — every appended
+    row depends only on the doc plus the frozen layout (appends are
+    uncapped by design), so probes over either index are
+    row-identical; appended docs are LIVE candidates (the corpus-only
+    probe differs and batch ids appear as corpus_doc)."""
+    from mapreduceapp_spark.operators.dedup_index import append_band_index
+    from mapreduceapp_spark.sources import load_table
+
+    _, sh8, _ = _split_sigs(spark, sf_dir)
+    # probe with verbatim clones of the appended docs — every
+    # appended doc is guaranteed a jac=1 hit, so the probe rows
+    # actually exercise the appended rows (the fixture has no
+    # organic 8↔9 duplicate pairs to lean on)
+    docs = load_table(spark, sf_dir, "documents")
+    probe_sh = _signed(
+        spark,
+        sf_dir,
+        docs.filter((F.col("doc_id") % 10) == 8).select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+        ),
+    )
+    p1 = str(tmp_path / "one_shot")
+    write_band_index(spark, sf_dir, p1)
+    append_band_index(spark, p1, sh8)
+    p2 = str(tmp_path / "two_step")
+    write_band_index(spark, sf_dir, p2)
+    append_band_index(spark, p2, sh8.filter(F.col("doc_id") % 20 == 8))
+    append_band_index(spark, p2, sh8.filter(F.col("doc_id") % 20 == 18))
+    r1 = _pairs(probe_band_index(spark, p1, probe_sh).collect())
+    r2 = _pairs(probe_band_index(spark, p2, probe_sh).collect())
+    assert r1 == r2 and r1
+    p0 = str(tmp_path / "corpus_only")
+    write_band_index(spark, sf_dir, p0)
+    r0 = _pairs(probe_band_index(spark, p0, probe_sh).collect())
+    assert r1 != r0
+    eights = {r["doc_id"] for r in sh8.select("doc_id").collect()}
+    # every appended doc surfaces as a corpus-side candidate
+    assert eights <= {c for c, *_ in r1}
+
+
+def test_band_append_equals_full_rebuild(spark, sf_dir, tmp_path, monkeypatch):
+    """With every band under the cap (the fixture's regime), probing
+    an appended index ≡ probing a full rebuild whose corpus includes
+    the appended docs — the rebuild-equivalence contract."""
+    import mapreduceapp_spark.operators.dedup_index as dmod
+    from mapreduceapp_spark.operators.dedup_index import append_band_index
+
+    _, sh8, sh9 = _split_sigs(spark, sf_dir)
+    appended = str(tmp_path / "appended")
+    write_band_index(spark, sf_dir, appended)
+    append_band_index(spark, appended, sh8)
+    rebuilt = str(tmp_path / "rebuilt")
+    # corpus_only's filter is %10 < INCR_BATCH_RESIDUE: widening the
+    # residue to 9 makes the rebuild's corpus = standard corpus ∪ the
+    # appended %10==8 docs
+    monkeypatch.setattr(dmod, "INCR_BATCH_RESIDUE", 9)
+    write_band_index(spark, sf_dir, rebuilt)
+    monkeypatch.undo()
+    r_app = _pairs(probe_band_index(spark, appended, sh9).collect())
+    r_reb = _pairs(probe_band_index(spark, rebuilt, sh9).collect())
+    assert r_app == r_reb and r_app
+
+
+def test_band_append_probe_cap_regime_both_sides(spark, sf_dir, tmp_path, monkeypatch):
+    """The build-time over-cap-band drop is restored at PROBE time
+    for appended indexes (appends are uncapped for segmentation
+    invariance). Both sides forced: identical-text clones appended
+    past a lowered cap stop producing candidates (the band is
+    globally over cap); under the cap the same clones verify at
+    jac=1."""
+    import mapreduceapp_spark.operators.dedup_index as dmod
+    from mapreduceapp_spark.operators.dedup_index import append_band_index
+
+    text = "the quick brown fox jumps over the lazy dog " * 8
+
+    def clones(n, base):
+        docs = spark.createDataFrame(
+            [(base + i, text) for i in range(n)], "doc_id long, text string"
+        )
+        return _signed(spark, sf_dir, docs)
+
+    probe_one = clones(1, 90_000_000)  # same text, probe-side id
+    monkeypatch.setattr(dmod, "LSH_BUCKET_CAP", 8)
+    over = str(tmp_path / "over_cap")
+    write_band_index(spark, sf_dir, over)
+    append_band_index(spark, over, clones(12, 10_000_000))  # 12 > 8
+    got_over = probe_band_index(spark, over, probe_one).collect()
+    assert got_over == []  # every clone band dropped at probe time
+    under = str(tmp_path / "under_cap")
+    write_band_index(spark, sf_dir, under)
+    append_band_index(spark, under, clones(4, 20_000_000))  # 4 ≤ 8
+    got_under = probe_band_index(spark, under, probe_one).collect()
+    assert {r["corpus_doc"] for r in got_under} == {
+        20_000_000 + i for i in range(4)
+    }
+    assert all(r["jac"] == 1.0 for r in got_under)
+
+
+def test_band_append_crash_heal(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash between the data writes and the sidecar/meta rewrite
+    leaves the _pending marker; the NEXT probe heals (regenerates
+    sidecar + meta from disk, clears the marker) and returns exactly
+    the clean-append rows — the two pruning regimes can never
+    disagree after a crash (ADVICE r15 #1, band side)."""
+    import mapreduceapp_spark.operators.dedup_index as dmod
+    from mapreduceapp_spark.operators.dedup_index import append_band_index
+
+    _, sh8, sh9 = _split_sigs(spark, sf_dir)
+    clean = str(tmp_path / "clean")
+    write_band_index(spark, sf_dir, clean)
+    append_band_index(spark, clean, sh8)
+    want = _pairs(probe_band_index(spark, clean, sh9).collect())
+
+    torn = str(tmp_path / "torn")
+    write_band_index(spark, sf_dir, torn)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before sidecar rewrite")
+
+    monkeypatch.setattr(dmod, "_append_sig_file_stats", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_band_index(spark, torn, sh8)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(torn, "_pending.json"))
+    # stale sidecar/meta on disk next to landed data files — the
+    # probe's heal reconciles before planning
+    got = _pairs(probe_band_index(spark, torn, sh9).collect())
+    assert got == want and got
+    assert not os.path.exists(os.path.join(torn, "_pending.json"))
+    meta = index_meta(torn)
+    sidecar = spark.read.parquet(os.path.join(torn, "sig_files"))
+    assert sidecar.count() == meta["n_sig_files"]
+    n_disk = len(
+        spark.read.parquet(os.path.join(torn, "sigs")).inputFiles()
+    )
+    assert meta["n_sig_files"] == n_disk
+
+
+def test_band_append_requires_current_format(spark, sf_dir, tmp_path):
+    """No silent appends into a legacy (pre-sidecar) index — its
+    pruning contract cannot cover appended files."""
+    import json as _json
+
+    from mapreduceapp_spark.operators.dedup_index import append_band_index
+
+    path = str(tmp_path / "legacy")
+    write_band_index(spark, sf_dir, path)
+    meta = index_meta(path)
+    meta.pop("sig_files")
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    _, sh8, _ = _split_sigs(spark, sf_dir)
+    with pytest.raises(ValueError, match="current-format"):
+        append_band_index(spark, path, sh8)
+
+
+def test_indexed_stream_admit_finds_cross_batch_dups(spark, sf_dir, tmp_path):
+    """The VERDICT r15 ask #1 scenario: a two-batch stream where
+    batch 2 duplicates batch 1. With admit=True the epoch-2 probe
+    finds the batch1×batch2 pairs (batch 1 was appended after its own
+    probe); without admission they are invisible until recompaction."""
+    import time as _time
+
+    from mapreduceapp_spark.sources import load_table
+    from mapreduceapp_spark.streaming.probe import indexed_ingest_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic small slice (limit() would re-sample per action)
+    b1 = docs.filter(((F.col("doc_id") % 10) == 8) & (F.col("doc_id") < 500))
+    # batch 2 = batch 1's texts under fresh ids — guaranteed near-dups
+    b2 = b1.select((F.col("doc_id") + 50_000_000).alias("doc_id"), "text")
+    b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    assert b1_ids
+
+    def run(admit: bool):
+        root = str(tmp_path / f"admit_{admit}")
+        idx = os.path.join(root, "idx")
+        write_band_index(spark, sf_dir, idx)
+        src = os.path.join(root, "src")
+        b1.coalesce(1).write.parquet(src)
+        _time.sleep(1.1)  # distinct mtimes => deterministic file order
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        got: list = []
+
+        def collect(pairs, epoch_id):
+            got.extend(
+                (r["corpus_doc"], r["new_doc"]) for r in pairs.collect()
+            )
+
+        q = indexed_ingest_dedup(
+            spark,
+            sf_dir,
+            stream,
+            idx,
+            collect,
+            os.path.join(root, "ckpt"),
+            admit=admit,
+        )
+        q.awaitTermination()
+        return got
+
+    with_admit = run(True)
+    cross = [
+        (c, n)
+        for c, n in with_admit
+        if c in b1_ids and n >= 50_000_000
+    ]
+    # every batch-2 doc is a verbatim clone of a batch-1 doc
+    assert {n - 50_000_000 for _, n in cross} == b1_ids
+    assert {c for c, _ in cross} <= b1_ids
+    without = run(False)
+    assert not [
+        (c, n) for c, n in without if c in b1_ids and n >= 50_000_000
+    ]
+
+
+def test_slot_staleness_fingerprint_forces_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r15 #3 (band side): a persistent staging root can
+    outlive a regenerated fixture at the same sf_dir path — the slot
+    must compare its recorded corpus fingerprint (n_docs, a zero-job
+    footer read) and rebuild on mismatch instead of silently probing
+    a stale index. A matching fingerprint must NOT rebuild."""
+    import json
+
+    from mapreduceapp_spark.operators import dedup_index as di
+    from mapreduceapp_spark.plans import staging
+
+    monkeypatch.setattr(staging, "_STAGING_ROOT", str(tmp_path / "stage"))
+    monkeypatch.setattr(staging, "_STAGED_PLANS", {})
+
+    path = di._index_slot(spark, sf_dir)
+    meta_file = os.path.join(path, "_meta.json")
+    built_at = os.path.getmtime(meta_file)
+    assert di._index_slot(spark, sf_dir) == path
+    assert os.path.getmtime(meta_file) == built_at, "fresh slot rebuilt"
+
+    meta = index_meta(path)
+    true_docs = meta["n_docs"]
+    meta["n_docs"] = true_docs + 1  # simulate a regenerated fixture
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    di._index_slot(spark, sf_dir)
+    assert index_meta(path)["n_docs"] == true_docs, "stale slot kept"
