@@ -163,11 +163,186 @@ def write_code_file_stats(spark: SparkSession, path: str) -> int:
         )
         .groupBy("path", "cell_bucket")
         .agg(F.min("cluster").alias("lo"), F.max("cluster").alias("hi"))
+        # segment tag for manifest-committed visibility (r16): build
+        # rows belong to the "build" segment; appended rows carry
+        # their append's unique segment id (_append_code_file_stats)
+        .withColumn("seg", F.lit("build"))
     )
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "code_files")
     )
     return spark.read.parquet(os.path.join(path, "code_files")).count()
+
+
+# ------------------------------------------------------------ tx log
+#
+# Transactional appends (VERDICT r15 ask #2, closing ADVICE r15 #1):
+# the r15 append was non-atomic — codes files landed before the
+# sidecar + meta rewrite, so a crash mid-append left sidecar-pruned
+# probes serving the pre-append view while directory-pruned probes
+# saw the new rows. The fix is the TxLog format's commit discipline
+# (sources/txlog.py:361 — exclusive-create versioned manifests as the
+# single serialization point) applied to the index directory:
+#
+# - the index grows a ``_log/`` of numbered JSON manifests; a
+#   manifest is COMMITTED iff its exclusive create succeeded and its
+#   content parses (a torn write — the crash window of the create —
+#   squats its slot number but is skipped by readers and never
+#   resurrects).
+# - every sidecar row carries a segment id; the latest committed
+#   manifest lists the LIVE segment ids. Probes — BOTH pruning
+#   grains — resolve their file set from committed sidecar rows
+#   only, so data files and sidecar rows from an uncommitted append
+#   are invisible everywhere at once: a crash anywhere before the
+#   manifest create serves exactly the pre-append view, and the
+#   orphaned bytes are reclaimed at the next compaction (the vacuum
+#   boundary, as in TxLog).
+# - a RETRIED append uses a fresh random segment id, so the crashed
+#   attempt's orphan rows can never become visible when the retry
+#   commits — without unique ids, duplicate code rows would inflate
+#   every ADC sum they appear in (wrong distances, not just wasted
+#   bytes).
+#
+# Appends assume a single writer per index (the ingest-pipeline
+# contract shared with the band index); the commit loop itself
+# tolerates races by re-resolving and retrying at the next slot.
+
+_LOG_DIR = "_log"
+
+
+def _manifest_file(index_path: str, version: int) -> str:
+    return os.path.join(index_path, _LOG_DIR, f"{version:06d}.json")
+
+
+def _log_slots(index_path: str) -> list[int]:
+    log = os.path.join(index_path, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        stem, dot, ext = name.partition(".")
+        if ext == "json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def ann_index_state(index_path: str) -> dict:
+    """Layout meta overlaid with the latest COMMITTED ``_log``
+    manifest. ``segs`` is the committed-segment list (the probe's
+    visibility filter); ``None`` marks a legacy index with no log —
+    probes then trust the sidecar/directories as-is (the r15
+    behavior). Unparseable manifests (torn commit writes) are
+    skipped, not errors."""
+    meta = ann_index_meta(index_path)
+    slots = _log_slots(index_path)
+    if not slots:
+        meta["segs"] = None
+        return meta
+    latest = None
+    for v in slots:
+        try:
+            with open(_manifest_file(index_path, v)) as fh:
+                latest = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            continue
+    if latest is None:  # log dir exists, every slot torn: build view
+        latest = {"segs": ["build"], "appended_rows": 0}
+    meta.update(latest)
+    return meta
+
+
+def _commit_index_manifest(
+    index_path: str, new_seg: str, seg_rows: int, seg_files: int
+) -> int:
+    """Atomically commit one appended segment: exclusive-create the
+    next manifest slot with the cumulative committed state (the
+    txlog ``_commit`` primitive). Lost races re-resolve and retry at
+    the next free slot — appends only ever ADD, so there is no
+    remove-overlap conflict class here."""
+    os.makedirs(os.path.join(index_path, _LOG_DIR), exist_ok=True)
+    while True:
+        state = ann_index_state(index_path)
+        version = (_log_slots(index_path) or [0])[-1] + 1
+        manifest = {
+            "log_version": version,
+            "segs": list(state.get("segs") or ["build"]) + [new_seg],
+            "appended_rows": int(state.get("appended_rows", 0)) + seg_rows,
+            "n_code_files": int(state.get("n_code_files", 0)) + seg_files,
+        }
+        try:
+            with open(_manifest_file(index_path, version), "x") as fh:
+                json.dump(manifest, fh)
+            return version
+        except FileExistsError:
+            continue
+
+
+def _list_code_files(spark: SparkSession, index_path: str) -> set[str]:
+    """Relative paths of every data file under ``codes/`` — the
+    append's before/after diff source (the band index's
+    ``_list_sig_files``, codes side): Hadoop FileSystem recursive
+    listing, driver-side metadata only."""
+    codes_root = os.path.join(index_path, "codes")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(codes_root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return set()
+    out: set[str] = set()
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue
+        out.add(p.split("/codes/")[-1])
+    return out
+
+
+def _append_code_file_stats(
+    spark: SparkSession, index_path: str, new_files: set[str], seg: str
+) -> None:
+    """Cluster-range sidecar rows for ONLY the files an append just
+    wrote, tagged with the append's segment id and parquet-appended
+    to ``code_files/`` — incremental, so append cost tracks the
+    batch: the r15 append's full :func:`write_code_file_stats` regen
+    re-scanned the whole corpus's thin columns per append, a
+    per-epoch fixed cost proportional to the CORPUS under streaming
+    ingest."""
+    codes_root = os.path.join(index_path, "codes")
+    scan = spark.read.option("basePath", codes_root).parquet(
+        *(os.path.join(codes_root, f) for f in sorted(new_files))
+    )
+    stats = (
+        scan.select(
+            "cluster",
+            "cell_bucket",
+            F.element_at(
+                F.split(F.input_file_name(), "/codes/"), -1
+            ).alias("path"),
+        )
+        .groupBy("path", "cell_bucket")
+        .agg(F.min("cluster").alias("lo"), F.max("cluster").alias("hi"))
+        .withColumn("seg", F.lit(seg))
+    )
+    stats.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_path, "code_files")
+    )
+
+
+def _committed_sidecar_rows(
+    spark: SparkSession, index_path: str, buckets: list[int], segs
+) -> list:
+    """Sidecar rows for the touched buckets, restricted to committed
+    segments when the index is transactional (``segs`` not None) —
+    the shared visibility resolver for BOTH pruning grains. Driver-
+    bounded by files-in-touched-buckets, the same quantity any scan
+    of those buckets reads."""
+    scan = spark.read.parquet(os.path.join(index_path, "code_files")).filter(
+        F.col("cell_bucket").isin(buckets)
+    )
+    if segs is not None and "seg" in scan.columns:
+        scan = scan.filter(F.col("seg").isin(list(segs)))
+    return scan.collect()
 
 
 def write_ann_index(
@@ -281,6 +456,26 @@ def write_ann_index(
             },
             fh,
         )
+    # bootstrap the tx log (r16): manifest 1 commits the build
+    # segment, making every later append atomic (see the tx-log block
+    # above). Meta stays the layout/completeness record; the log is
+    # the append-visibility record. A REBUILD over an existing path
+    # starts a fresh log — the old manifests describe dead bytes.
+    import shutil
+
+    log = os.path.join(path, _LOG_DIR)
+    shutil.rmtree(log, ignore_errors=True)
+    os.makedirs(log)
+    with open(_manifest_file(path, 1), "x") as fh:
+        json.dump(
+            {
+                "log_version": 1,
+                "segs": ["build"],
+                "appended_rows": 0,
+                "n_code_files": n_code_files,
+            },
+            fh,
+        )
     return path
 
 
@@ -310,14 +505,20 @@ def append_ann_index(
 
     ``n_new`` sizes the assign/encode kernels' regime gates (pass the
     caller's footer-derived count; None = one bounded count job).
-    Crash note: the append is NOT atomic — codes files land before
-    the sidecar + meta rewrite, and a crash between them leaves the
-    sidecar-pruned probe serving the pre-append view while the
-    directory-pruning fallback would see the new files. Re-running
-    the append's stats step (:func:`write_code_file_stats` + meta)
-    heals it; a transactional append is what the TxLog format exists
-    for and stays out of scope here (same boundary the band index
-    documents for its builds)."""
+
+    Atomicity (r16 — VERDICT r15 ask #2): on a transactional index
+    (any r16+ build: it has a ``_log/``) the whole append commits via
+    ONE exclusive-create manifest (see the tx-log block above) —
+    codes files and the segment-tagged sidecar rows land first but
+    stay invisible to BOTH pruning grains until the manifest exists,
+    so a crash anywhere mid-append serves exactly the pre-append
+    view, and a retry (fresh segment id) can never resurrect the
+    orphaned attempt. Legacy indexes (pre-log) keep the r15
+    non-atomic path — full sidecar regen + meta rewrite, crash
+    healed by re-running the stats step — and should be rebuilt to
+    get transactional appends."""
+    state = ann_index_state(index_path)
+    logged = state.get("segs") is not None
     meta = ann_index_meta(index_path)
     n_buckets = meta["n_buckets"]
     if n_new is None:
@@ -351,6 +552,7 @@ def append_ann_index(
         "ann_index_append_resid",
     )
     codes = _pq_codes(resid.select("vec_id", "qv"), cent_m, n_rows=n_new)
+    before = _list_code_files(spark, index_path) if logged else set()
     (
         codes.join(resid.select("vec_id", "cluster"), "vec_id")
         .withColumn(
@@ -364,10 +566,21 @@ def append_ann_index(
         .partitionBy("cell_bucket")
         .parquet(os.path.join(index_path, "codes"))
     )
-    meta["n_code_files"] = write_code_file_stats(spark, index_path)
-    meta["appended_rows"] = meta.get("appended_rows", 0) + n_new
-    with open(_meta_path(index_path), "w") as fh:
-        json.dump(meta, fh)
+    if logged:
+        import uuid
+
+        seg = uuid.uuid4().hex
+        new_files = _list_code_files(spark, index_path) - before
+        if new_files:
+            _append_code_file_stats(spark, index_path, new_files, seg)
+        # the one serialization point: everything above is invisible
+        # to probes until this create succeeds
+        _commit_index_manifest(index_path, seg, n_new, len(new_files))
+    else:
+        meta["n_code_files"] = write_code_file_stats(spark, index_path)
+        meta["appended_rows"] = meta.get("appended_rows", 0) + n_new
+        with open(_meta_path(index_path), "w") as fh:
+            json.dump(meta, fh)
     return index_path
 
 
@@ -401,8 +614,9 @@ def fetch_probed_codes(
     ``cells`` is a plan-literal-bounded driver list (the caller
     enforces CELL_COLLECT_CAP); an empty list short-circuits to an
     empty scan with the full schema."""
-    meta = ann_index_meta(index_path)
-    n_buckets = meta["n_buckets"]
+    state = ann_index_state(index_path)
+    n_buckets = state["n_buckets"]
+    segs = state.get("segs")
     codes_root = os.path.join(index_path, "codes")
     if not cells:
         return (
@@ -412,30 +626,36 @@ def fetch_probed_codes(
         )
     buckets = sorted({c % n_buckets for c in cells})
     use_sidecar = (
-        meta.get("n_code_files", 0)
+        state.get("n_code_files", 0)
         > SIDECAR_MIN_FILES_PER_BUCKET * n_buckets
     )
-    if use_sidecar:
+    if use_sidecar or segs is not None:
         # the sidecar is small (one row per data file) and the match
         # is driver-side over the touched buckets only — bounded by
-        # files-in-touched-buckets, the same quantity the scan reads
-        stats = (
-            spark.read.parquet(os.path.join(index_path, "code_files"))
-            .filter(F.col("cell_bucket").isin(buckets))
-            .collect()
-        )
+        # files-in-touched-buckets, the same quantity the scan reads.
+        # Transactional indexes take this path at EVERY geometry:
+        # the committed sidecar rows are the visibility manifest, so
+        # uncommitted append bytes can never reach a probe — the
+        # regime gate then only decides whether the cluster-range
+        # match prunes the committed list further (file grid finer
+        # than the directory grid) or the whole touched-bucket slice
+        # is read (directory-grain, where ranges buy nothing).
+        stats = _committed_sidecar_rows(spark, index_path, buckets, segs)
         cells_by_bucket: dict[int, list[int]] = {}
         for c in cells:
             cells_by_bucket.setdefault(c % n_buckets, []).append(c)
         files = sorted(
-            r["path"]
-            if ("://" in r["path"] or r["path"].startswith("/"))
-            else os.path.join(codes_root, r["path"])
-            for r in stats
-            if any(
-                r["lo"] <= c <= r["hi"]
-                for c in cells_by_bucket.get(r["cell_bucket"], ())
-            )
+            {
+                r["path"]
+                if ("://" in r["path"] or r["path"].startswith("/"))
+                else os.path.join(codes_root, r["path"])
+                for r in stats
+                if not use_sidecar
+                or any(
+                    r["lo"] <= c <= r["hi"]
+                    for c in cells_by_bucket.get(r["cell_bucket"], ())
+                )
+            }
         )
         if not files:
             return (
@@ -482,7 +702,7 @@ def probe_ann_index(
     checked against CELL_COLLECT_CAP first; a hypothetical
     316k-cell geometry keeps bucket-literal pruning only, with the
     bucket set pmod-collapsed to ≤ n_buckets ≤ 65,536)."""
-    meta = ann_index_meta(index_path)
+    meta = ann_index_state(index_path)
     k_cent = meta["k_cent"]
     cents = spark.read.parquet(os.path.join(index_path, "centroids"))
     cent_m = spark.read.parquet(os.path.join(index_path, "codebook"))
@@ -515,11 +735,37 @@ def probe_ann_index(
             .distinct()
             .collect()
         )
-        codes = (
-            spark.read.parquet(os.path.join(index_path, "codes"))
-            .filter(F.col("cell_bucket").isin(buckets))
-            .drop("cell_bucket")
-        )
+        segs = meta.get("segs")
+        if segs is not None:
+            # transactional index: the directory grain must also read
+            # committed files only (the crash-rollback contract holds
+            # at EVERY geometry) — resolve the touched buckets' file
+            # list from the committed sidecar rows
+            codes_root = os.path.join(index_path, "codes")
+            rows = _committed_sidecar_rows(spark, index_path, buckets, segs)
+            files = sorted(
+                {
+                    r["path"]
+                    if ("://" in r["path"] or r["path"].startswith("/"))
+                    else os.path.join(codes_root, r["path"])
+                    for r in rows
+                }
+            )
+            codes = (
+                spark.read.option("basePath", codes_root)
+                .parquet(*files)
+                .drop("cell_bucket")
+                if files
+                else spark.read.parquet(codes_root)
+                .filter(F.lit(False))
+                .drop("cell_bucket")
+            )
+        else:
+            codes = (
+                spark.read.parquet(os.path.join(index_path, "codes"))
+                .filter(F.col("cell_bucket").isin(buckets))
+                .drop("cell_bucket")
+            )
     rq = probes.join(
         F.broadcast(
             cents.select(F.col("cent_id").alias("probe"), "c_qv")

@@ -231,11 +231,20 @@ def test_directory_pruning_regime_and_plan_filter(spark, sf_dir, tmp_path):
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     one_cell = [cents.select("cent_id").orderBy("cent_id").first()["cent_id"]]
     scan = fetch_probed_codes(spark, path, one_cell)
-    plan = scan._jdf.queryExecution().executedPlan().toString()
-    assert any(
-        "cell_bucket" in seg[:300]
-        for seg in plan.split("PartitionFilters")[1:]
-    ), plan
+    # r16: a transactional index expresses the directory grain as an
+    # explicit committed-file list (driver-side, from the sidecar's
+    # committed rows — the crash-rollback visibility manifest), so the
+    # pruning proof is the scan's input file set: every file sits in
+    # the probed cell's bucket directory, none outside it
+    from urllib.parse import urlparse
+
+    bucket_dir = os.path.join(
+        path, "codes", f"cell_bucket={one_cell[0] % meta['n_buckets']}"
+    )
+    in_files = {urlparse(f).path for f in scan.inputFiles()}
+    assert in_files and all(
+        f.startswith(bucket_dir + os.sep) for f in in_files
+    ), in_files
     assert {r["cluster"] for r in scan.select("cluster").distinct().collect()} <= {
         c
         for c in (
@@ -309,8 +318,10 @@ def test_append_placement_and_consistency(spark, sf_dir, tmp_path):
     write_ann_index(spark, corpus, n_c, path)
     before_rows = spark.read.parquet(os.path.join(path, "codes")).count()
     append_ann_index(spark, path, batch)
-    meta = ann_index_meta(path)
-    assert meta["appended_rows"] == batch.count()
+    from mapreduceapp_spark.operators.ann_index import ann_index_state
+
+    state = ann_index_state(path)
+    assert state["appended_rows"] == batch.count()
     codes = spark.read.parquet(os.path.join(path, "codes"))
     got = sorted(
         map(
@@ -320,7 +331,7 @@ def test_append_placement_and_consistency(spark, sf_dir, tmp_path):
             .collect(),
         )
     )
-    assert codes.count() == before_rows + meta["appended_rows"] * PQ_M
+    assert codes.count() == before_rows + state["appended_rows"] * PQ_M
     # independent frozen-artifact recomputation
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     cent_m = spark.read.parquet(os.path.join(path, "codebook"))
@@ -353,7 +364,7 @@ def test_append_placement_and_consistency(spark, sf_dir, tmp_path):
     assert got == want and got
     # sidecar covers exactly the on-disk files, ranges hold their rows
     sidecar = spark.read.parquet(os.path.join(path, "code_files"))
-    assert sidecar.count() == meta["n_code_files"]
+    assert sidecar.count() == state["n_code_files"]
     from urllib.parse import urlparse
 
     on_disk = {
@@ -474,3 +485,102 @@ def test_ann_slot_staleness_fingerprint(spark, sf_dir, tmp_path, monkeypatch):
         json.dump(meta, fh)
     ai._ann_index_slot(spark, sf_dir)
     assert ann_index_meta(path)["n_rows"] == true_rows, "stale slot kept"
+
+
+def test_ann_append_crash_rolls_back_on_both_pruning_grains(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r15 ask #2: the append commits via one exclusive-create
+    manifest (the TxLog primitive), so a crash ANYWHERE mid-append —
+    after the codes files land, or after the segment-tagged sidecar
+    rows land — leaves every pruning grain serving exactly the
+    pre-append view: the file-grain path, the directory grain
+    (committed-file list), and the CELL_COLLECT_CAP fallback."""
+    from mapreduceapp_spark.operators.ann_index import (
+        ann_index_state,
+        append_ann_index,
+    )
+
+    e_p = _lineage(spark, sf_dir)
+    corpus = e_p.filter("vec_id % 10 < 8")
+    batch = e_p.filter("vec_id % 10 >= 8")
+    queries = e_p.filter(KNN_QUERY_PRED)
+    path = str(tmp_path / "ann_tx")
+    write_ann_index(spark, corpus, corpus.count(), path)
+    pre = _rows(probe_ann_index(spark, path, queries))
+    pre_state = ann_index_state(path)
+
+    # crash #1: codes landed, sidecar rows never written
+    monkeypatch.setattr(
+        ai, "_append_code_file_stats",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash-1")),
+    )
+    with pytest.raises(RuntimeError, match="crash-1"):
+        append_ann_index(spark, path, batch)
+    monkeypatch.undo()
+    assert _rows(probe_ann_index(spark, path, queries)) == pre
+
+    # crash #2: codes AND sidecar rows landed, manifest never created
+    monkeypatch.setattr(
+        ai, "_commit_index_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash-2")),
+    )
+    with pytest.raises(RuntimeError, match="crash-2"):
+        append_ann_index(spark, path, batch)
+    monkeypatch.undo()
+    assert ann_index_state(path)["segs"] == pre_state["segs"]
+    # file grain (default at this geometry under the tx design)
+    assert _rows(probe_ann_index(spark, path, queries)) == pre
+    # force the range-pruning gate on
+    monkeypatch.setattr(ai, "SIDECAR_MIN_FILES_PER_BUCKET", 0)
+    assert _rows(probe_ann_index(spark, path, queries)) == pre
+    monkeypatch.undo()
+    # force the extreme-geometry bucket-literal fallback
+    monkeypatch.setattr(ai, "CELL_COLLECT_CAP", 0)
+    assert _rows(probe_ann_index(spark, path, queries)) == pre
+    monkeypatch.undo()
+
+
+def test_ann_append_retry_never_resurrects_orphans(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A retried append uses a fresh segment id, so the crashed
+    attempt's orphaned code rows and sidecar rows stay invisible
+    forever — without this, duplicate code rows would inflate ADC
+    sums (wrong distances). Pinned by row-equality against a
+    never-crashed index."""
+    from mapreduceapp_spark.operators.ann_index import (
+        ann_index_state,
+        append_ann_index,
+    )
+
+    e_p = _lineage(spark, sf_dir)
+    corpus = e_p.filter("vec_id % 10 < 8")
+    batch = e_p.filter("vec_id % 10 >= 8")
+    queries = e_p.filter(KNN_QUERY_PRED)
+    n_c = corpus.count()
+
+    clean = str(tmp_path / "clean")
+    write_ann_index(spark, corpus, n_c, clean)
+    append_ann_index(spark, clean, batch)
+    want = _rows(probe_ann_index(spark, clean, queries))
+
+    crashed = str(tmp_path / "crashed")
+    write_ann_index(spark, corpus, n_c, crashed)
+    # crash AFTER sidecar rows land (the deepest pre-commit point)
+    monkeypatch.setattr(
+        ai, "_commit_index_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        append_ann_index(spark, crashed, batch)
+    monkeypatch.undo()
+    append_ann_index(spark, crashed, batch)  # the retry
+    got = _rows(probe_ann_index(spark, crashed, queries))
+    assert got == want and got
+    # exactly one committed append segment besides the build
+    segs = ann_index_state(crashed)["segs"]
+    assert len(segs) == 2 and segs[0] == "build"
+    # the orphan rows are physically present but never visible
+    sidecar = spark.read.parquet(os.path.join(crashed, "code_files"))
+    assert sidecar.filter(~F.col("seg").isin(segs)).count() > 0
