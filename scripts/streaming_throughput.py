@@ -55,7 +55,9 @@ def _drain(query) -> dict:
     }
 
 
-def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
+def measure(
+    spark, sf_dir: str, include_late: bool = True, only=None
+) -> dict:
     """Drive every streaming runner over the events table at
     ``sf_dir`` through the real file-source multi-batch path and
     return the per-runner stats dict (the artifact body). Shared by
@@ -76,6 +78,14 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
 
     work = tempfile.mkdtemp(prefix="stream_bench_")
     results: dict[str, dict] = {}
+
+    # ``only``: restrict to named sections — the standalone-bracket
+    # protocol (VERDICT r15 ask #4: rows a full-harness run records
+    # above ~1.2x their baseline under ambient steal are re-measured
+    # in ISOLATION and promoted into the record schema). None = all.
+    def _want(name: str) -> bool:
+        return only is None or name in only
+
     try:
         ev = load_table(spark, sf_dir, "events")
         n_events = ev.count()
@@ -131,18 +141,21 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
             }
 
         dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("hist_events"))
-        run("enrich_static_join", enrich_stream(stream_of(dirs["all"], 4), dim, "user_id"))
-        run(
-            "user_totals",
-            user_totals_stream(stream_of(dirs["all"], 4)),
-            {"distinct_users": n_users},
-        )
-        run(
-            "stream_stream_join",
-            click_purchase_stream(
-                stream_of(dirs["clicks"], 2), stream_of(dirs["purchases"], 2)
-            ),
-        )
+        if _want("enrich_static_join"):
+            run("enrich_static_join", enrich_stream(stream_of(dirs["all"], 4), dim, "user_id"))
+        if _want("user_totals"):
+            run(
+                "user_totals",
+                user_totals_stream(stream_of(dirs["all"], 4)),
+                {"distinct_users": n_users},
+            )
+        if _want("stream_stream_join"):
+            run(
+                "stream_stream_join",
+                click_purchase_stream(
+                    stream_of(dirs["clicks"], 2), stream_of(dirs["purchases"], 2)
+                ),
+            )
 
         # streaming ingest dedup: the batch split's documents probed
         # against the corpus signature index, multi-batch
@@ -166,11 +179,12 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
             .option("maxFilesPerTrigger", 1)
             .parquet(docs_dir)
         )
-        run(
-            "ingest_dedup_probe",
-            incremental_dedup_stream(spark, sf_dir, probe_src),
-            {"probe_docs": n_probe_docs},
-        )
+        if _want("ingest_dedup_probe"):
+            run(
+                "ingest_dedup_probe",
+                incremental_dedup_stream(spark, sf_dir, probe_src),
+                {"probe_docs": n_probe_docs},
+            )
 
         # corpus-scale variant: same stream probed via foreachBatch
         # against the PERSISTED bucket-partitioned band index
@@ -179,37 +193,38 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
         from mapreduceapp_spark.operators.dedup_index import write_band_index
         from mapreduceapp_spark.streaming.probe import indexed_ingest_dedup
 
-        idx_path = f"{work}/band_index"
-        t_build = time.perf_counter()
-        write_band_index(spark, sf_dir, idx_path)
-        build_sec = round(time.perf_counter() - t_build, 2)
-        out = {"n": 0, "batches": 0}
+        if _want("ingest_dedup_indexed"):
+            idx_path = f"{work}/band_index"
+            t_build = time.perf_counter()
+            write_band_index(spark, sf_dir, idx_path)
+            build_sec = round(time.perf_counter() - t_build, 2)
+            out = {"n": 0, "batches": 0}
 
-        def _collect(pairs, _epoch):
-            out["n"] += pairs.count()
-            out["batches"] += 1
+            def _collect(pairs, _epoch):
+                out["n"] += pairs.count()
+                out["batches"] += 1
 
-        probe_src2 = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(docs_dir)
-        )
-        t0 = time.perf_counter()
-        q = indexed_ingest_dedup(
-            spark, sf_dir, probe_src2, idx_path, _collect,
-            f"{work}/ckpt_indexed",
-        )
-        q.awaitTermination()
-        wall = time.perf_counter() - t0
-        results["ingest_dedup_indexed"] = {
-            "batches": out["batches"],
-            "input_rows": n_probe_docs,
-            "output_rows": out["n"],
-            "wall_sec": round(wall, 2),
-            "rows_per_sec": round(n_probe_docs / wall),
-            "index_build_sec": build_sec,
-            "probe_docs": n_probe_docs,
-        }
+            probe_src2 = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(docs_dir)
+            )
+            t0 = time.perf_counter()
+            q = indexed_ingest_dedup(
+                spark, sf_dir, probe_src2, idx_path, _collect,
+                f"{work}/ckpt_indexed",
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            results["ingest_dedup_indexed"] = {
+                "batches": out["batches"],
+                "input_rows": n_probe_docs,
+                "output_rows": out["n"],
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(n_probe_docs / wall),
+                "index_build_sec": build_sec,
+                "probe_docs": n_probe_docs,
+            }
 
         # substring-level ingest screen (r11): winnowing fingerprints
         # per micro-batch probed against the persisted corpus
@@ -220,37 +235,38 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
         )
         from mapreduceapp_spark.streaming.probe import winnow_screen_stream
 
-        widx_path = f"{work}/winnow_index"
-        t_build = time.perf_counter()
-        write_winnow_index(spark, sf_dir, widx_path)
-        wbuild_sec = round(time.perf_counter() - t_build, 2)
-        wout = {"n": 0, "batches": 0}
+        if _want("ingest_winnow_screen"):
+            widx_path = f"{work}/winnow_index"
+            t_build = time.perf_counter()
+            write_winnow_index(spark, sf_dir, widx_path)
+            wbuild_sec = round(time.perf_counter() - t_build, 2)
+            wout = {"n": 0, "batches": 0}
 
-        def _wcollect(pairs, _epoch):
-            wout["n"] += pairs.count()
-            wout["batches"] += 1
+            def _wcollect(pairs, _epoch):
+                wout["n"] += pairs.count()
+                wout["batches"] += 1
 
-        probe_src3 = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(docs_dir)
-        )
-        t0 = time.perf_counter()
-        q = winnow_screen_stream(
-            spark, sf_dir, probe_src3, widx_path, _wcollect,
-            f"{work}/ckpt_winnow",
-        )
-        q.awaitTermination()
-        wall = time.perf_counter() - t0
-        results["ingest_winnow_screen"] = {
-            "batches": wout["batches"],
-            "input_rows": n_probe_docs,
-            "output_rows": wout["n"],
-            "wall_sec": round(wall, 2),
-            "rows_per_sec": round(n_probe_docs / wall),
-            "index_build_sec": wbuild_sec,
-            "probe_docs": n_probe_docs,
-        }
+            probe_src3 = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(docs_dir)
+            )
+            t0 = time.perf_counter()
+            q = winnow_screen_stream(
+                spark, sf_dir, probe_src3, widx_path, _wcollect,
+                f"{work}/ckpt_winnow",
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            results["ingest_winnow_screen"] = {
+                "batches": wout["batches"],
+                "input_rows": n_probe_docs,
+                "output_rows": wout["n"],
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(n_probe_docs / wall),
+                "index_build_sec": wbuild_sec,
+                "probe_docs": n_probe_docs,
+            }
 
         # streaming ANN top-k (r15): a query-vector stream searched
         # per micro-batch against the persisted cell-partitioned ANN
@@ -265,43 +281,44 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
         from mapreduceapp_spark.sources.parquet import table_row_count
         from mapreduceapp_spark.streaming.probe import ann_search_stream
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        n_emb = table_row_count(spark, sf_dir, "embeddings")
-        aidx_path = f"{work}/ann_index"
-        t_build = time.perf_counter()
-        write_ann_index(
-            spark, _opq_permute(_aniso(spark, sf_dir)), n_emb, aidx_path
-        )
-        abuild_sec = round(time.perf_counter() - t_build, 2)
-        qdir = f"{work}/ann_queries"
-        queries = emb.filter(KNN_QUERY_PRED)
-        n_queries = queries.count()
-        queries.repartition(4).write.parquet(qdir)
-        aout = {"n": 0, "batches": 0}
+        if _want("ann_search"):
+            emb = load_table(spark, sf_dir, "embeddings")
+            n_emb = table_row_count(spark, sf_dir, "embeddings")
+            aidx_path = f"{work}/ann_index"
+            t_build = time.perf_counter()
+            write_ann_index(
+                spark, _opq_permute(_aniso(spark, sf_dir)), n_emb, aidx_path
+            )
+            abuild_sec = round(time.perf_counter() - t_build, 2)
+            qdir = f"{work}/ann_queries"
+            queries = emb.filter(KNN_QUERY_PRED)
+            n_queries = queries.count()
+            queries.repartition(4).write.parquet(qdir)
+            aout = {"n": 0, "batches": 0}
 
-        def _acollect(topk, _epoch):
-            aout["n"] += topk.count()
-            aout["batches"] += 1
+            def _acollect(topk, _epoch):
+                aout["n"] += topk.count()
+                aout["batches"] += 1
 
-        ann_src = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(qdir)
-        )
-        t0 = time.perf_counter()
-        q = ann_search_stream(
-            spark, ann_src, aidx_path, _acollect, f"{work}/ckpt_ann"
-        )
-        q.awaitTermination()
-        wall = time.perf_counter() - t0
-        results["ann_search"] = {
-            "batches": aout["batches"],
-            "input_rows": n_queries,
-            "output_rows": aout["n"],
-            "wall_sec": round(wall, 2),
-            "rows_per_sec": round(n_queries / wall) if wall else None,
-            "index_build_sec": abuild_sec,
-        }
+            ann_src = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(qdir)
+            )
+            t0 = time.perf_counter()
+            q = ann_search_stream(
+                spark, ann_src, aidx_path, _acollect, f"{work}/ckpt_ann"
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            results["ann_search"] = {
+                "batches": aout["batches"],
+                "input_rows": n_queries,
+                "output_rows": aout["n"],
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(n_queries / wall) if wall else None,
+                "index_build_sec": abuild_sec,
+            }
 
         # curated ingest into the TxLog table: map-only quality +
         # scrub per batch, exactly-once (app, batch_id) appends — one
@@ -326,47 +343,48 @@ def measure(spark, sf_dir: str, include_late: bool = True) -> dict:
         # maintenance folds them, readers pay the folded cost.
         from mapreduceapp_spark.sources.txlog import txlog_compact
 
-        for files_per_trigger in (1, 4):
-            tx_root = f"{work}/curated_tx_{files_per_trigger}"
-            txlog_create(
-                spark, tx_root, curate_documents(docs).limit(0),
-                stats_cols=["doc_id"],
-            )
-            ingest_src = (
-                spark.readStream.schema(docs.schema)
-                .option("maxFilesPerTrigger", files_per_trigger)
-                .parquet(docs_dir)
-            )
-            t0 = time.perf_counter()
-            q = curated_ingest_stream(
-                spark, ingest_src, tx_root,
-                f"{work}/ckpt_curated_{files_per_trigger}",
-            )
-            q.awaitTermination()
-            wall = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            txlog_compact(spark, tx_root)
-            compact_sec = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            out_rows = txlog_read(spark, tx_root).count()
-            read_sec = round(time.perf_counter() - t0, 2)
-            key = (
-                "curated_ingest_txlog"
-                if files_per_trigger == 1
-                else f"curated_ingest_txlog_x{files_per_trigger}"
-            )
-            results[key] = {
-                "input_rows": n_probe_docs,
-                "output_rows": out_rows,
-                "txlog_versions": len(txlog_versions(tx_root)),
-                "files_per_trigger": files_per_trigger,
-                "wall_sec": round(wall, 2),
-                "rows_per_sec": round(n_probe_docs / wall),
-                "compact_sec": compact_sec,
-                "post_compact_read_sec": read_sec,
-            }
+        if _want("curated_ingest_txlog"):
+            for files_per_trigger in (1, 4):
+                tx_root = f"{work}/curated_tx_{files_per_trigger}"
+                txlog_create(
+                    spark, tx_root, curate_documents(docs).limit(0),
+                    stats_cols=["doc_id"],
+                )
+                ingest_src = (
+                    spark.readStream.schema(docs.schema)
+                    .option("maxFilesPerTrigger", files_per_trigger)
+                    .parquet(docs_dir)
+                )
+                t0 = time.perf_counter()
+                q = curated_ingest_stream(
+                    spark, ingest_src, tx_root,
+                    f"{work}/ckpt_curated_{files_per_trigger}",
+                )
+                q.awaitTermination()
+                wall = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                txlog_compact(spark, tx_root)
+                compact_sec = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                out_rows = txlog_read(spark, tx_root).count()
+                read_sec = round(time.perf_counter() - t0, 2)
+                key = (
+                    "curated_ingest_txlog"
+                    if files_per_trigger == 1
+                    else f"curated_ingest_txlog_x{files_per_trigger}"
+                )
+                results[key] = {
+                    "input_rows": n_probe_docs,
+                    "output_rows": out_rows,
+                    "txlog_versions": len(txlog_versions(tx_root)),
+                    "files_per_trigger": files_per_trigger,
+                    "wall_sec": round(wall, 2),
+                    "rows_per_sec": round(n_probe_docs / wall),
+                    "compact_sec": compact_sec,
+                    "post_compact_read_sec": read_sec,
+                }
 
-        if include_late:
+        if include_late and _want("late_data_demo"):
             t0 = time.perf_counter()
             late = run_late_data_demo(spark, sf_dir)
             results["late_data_demo"] = {
@@ -383,6 +401,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    # extra argv = section names: a standalone-bracket run (isolated
+    # re-measure of specific rows) — prints the result but NEVER
+    # claims the round's streaming_bench artifact
+    only = set(sys.argv[2:]) or None
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     from mapreduceapp_spark.session import get_spark
@@ -418,7 +440,7 @@ def main() -> None:
     # because its session is warmed by the prewarm pass
     _spark_canary(spark)
     canary_before = _spark_canary(spark)
-    results = measure(spark, sf_dir)
+    results = measure(spark, sf_dir, only=only)
     probe_after = _cpu_probe()
     canary_after = _spark_canary(spark)
     worst_probe = max(probe_before, probe_after)
@@ -443,10 +465,13 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n = next_round()
-    with open(os.path.join(here, f"streaming_bench_r{n:02d}.json"), "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+    if only is None:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        n = next_round()
+        with open(
+            os.path.join(here, f"streaming_bench_r{n:02d}.json"), "w"
+        ) as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     print(json.dumps(results, sort_keys=True))
     spark.stop()
 
