@@ -44,12 +44,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 RATIOS = (0.1, 0.25, 0.5, 1.0)
-ID_OFFSET = 1_000_000_000  # % 100 == 0, so KNN_QUERY_PRED survives
 
 
-def _batch(spark, sf_dir, ratio: float, drift: bool):
+def _fresh_id_offset(spark, sf_dir) -> int:
+    """Smallest multiple of 100 strictly above the table's max
+    vec_id: appended ids can never collide with corpus ids
+    (the sf1 rehearsal table spans TEN id blocks at offsets
+    0, 1e9, ..., 9e9 — a fixed 1e9 offset collided with real rows
+    and silently corrupted the first run of this experiment), and
+    offset % 100 == 0 preserves KNN_QUERY_PRED (vec_id % 100 = 0)
+    under translation."""
+    from mapreduceapp_spark.sources import load_table
+
+    max_id = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.max("vec_id").alias("m"))
+        .collect()[0]["m"]
+    )
+    return ((max_id // 100) + 1) * 100
+
+
+def _batch(spark, sf_dir, ratio: float, drift: bool, id_offset: int):
     """A ratio-sized appended batch on the fixture lineage under
-    fresh ids; drifted = translated by DELTA per dimension."""
+    fresh ids; drifted = translated by DELTA per dimension. The
+    ratio slice is hash-uniform over the (arbitrary) id space, not
+    a prefix — prefix slicing assumes contiguous ids, which the
+    rehearsal table does not have."""
     from mapreduceapp_spark.operators.similarity import (
         ANISO_HALF,
         ANISO_SCALE,
@@ -58,14 +78,11 @@ def _batch(spark, sf_dir, ratio: float, drift: bool):
         sq_norm,
     )
     from mapreduceapp_spark.sources import load_table
-    from mapreduceapp_spark.sources.parquet import table_row_count
 
-    n = table_row_count(spark, sf_dir, "embeddings")
-    take = max(1, int(n * ratio))
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < take)
-        .select((F.col("vec_id") + ID_OFFSET).alias("vec_id"), "embedding")
+        .filter(F.pmod(F.xxhash64("vec_id"), F.lit(1000)) < int(ratio * 1000))
+        .select((F.col("vec_id") + id_offset).alias("vec_id"), "embedding")
     )
     a = _aniso_from(e)
     if drift:
@@ -74,15 +91,16 @@ def _batch(spark, sf_dir, ratio: float, drift: bool):
             "vec_id",
             F.transform("qv", lambda x: x + F.lit(delta)).alias("qv"),
         ).withColumn("sq", sq_norm(F.col("qv")))
-    return _opq_permute(a), take
+    b = _opq_permute(a)
+    return b, b.count()
 
 
-def _mean_appended_recall(exact, approx) -> float:
+def _mean_appended_recall(exact, approx, id_offset: int):
     from mapreduceapp_spark.operators.similarity import _recall_vs
 
     row = (
         _recall_vs(
-            exact.filter(F.col("query_id") >= ID_OFFSET), approx
+            exact.filter(F.col("query_id") >= id_offset), approx
         )
         .agg(
             F.round(F.avg("recall_at_k"), 4).alias("r"),
@@ -126,13 +144,15 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="ann_drift_")
     out: dict = {"sf_dir": sf_dir, "n_corpus": n, "ratios": {}}
     try:
+        id_offset = _fresh_id_offset(spark, sf_dir)
+        out["id_offset"] = id_offset
         base = os.path.join(work, "base")
         t0 = time.perf_counter()
         write_ann_index(spark, corpus, n, base)
         out["build_wall_sec"] = round(time.perf_counter() - t0, 2)
         for ratio in RATIOS:
             for drift in (False, True):
-                batch, n_b = _batch(spark, sf_dir, ratio, drift)
+                batch, n_b = _batch(spark, sf_dir, ratio, drift, id_offset)
                 key = f"{ratio}:{'drift' if drift else 'control'}"
                 union = corpus.unionByName(batch)
                 exact = _knn_l2_topk(
@@ -146,7 +166,7 @@ def main() -> None:
                 append_ann_index(spark, appended, batch, n_new=n_b)
                 t_append = round(time.perf_counter() - t0, 2)
                 r_app, n_q = _mean_appended_recall(
-                    exact, probe_ann_index(spark, appended, queries)
+                    exact, probe_ann_index(spark, appended, queries), id_offset
                 )
                 # rebuild path: full retrain over the union
                 rebuilt = os.path.join(work, f"reb_{ratio}_{drift}")
@@ -154,7 +174,7 @@ def main() -> None:
                 write_ann_index(spark, union, n + n_b, rebuilt)
                 t_rebuild = round(time.perf_counter() - t0, 2)
                 r_reb, _ = _mean_appended_recall(
-                    exact, probe_ann_index(spark, rebuilt, queries)
+                    exact, probe_ann_index(spark, rebuilt, queries), id_offset
                 )
                 out["ratios"][key] = {
                     "n_batch": n_b,

@@ -61,3 +61,36 @@ def test_scripts_import_shared_round_helper():
             m == "bench" and "next_round" in names for m, names in imports
         ), script
         assert "fullmatch" not in src, f"{script} re-implements the rule"
+
+
+def test_dump_full_record_preopen_and_subset_routing(tmp_path, monkeypatch):
+    """VERDICT r15 ask #5's mechanical fix: a run that auto-numbers
+    into a round with no NOTES_r{N}.md (the driver's post-close sweep)
+    must route to bench_full_r{N}_preopen.json and stamp preopen=true;
+    once the builder opens the round (NOTES exists) the canonical
+    filename is used; named-subset runs never claim the canonical
+    filename at all (ADVICE r15) but always land in history."""
+    import bench
+
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r03.json").write_text("{}")  # round in progress = 4
+
+    bench._dump_full_record({"value": 1})
+    assert (tmp_path / "bench_full_r04_preopen.json").exists()
+    assert not (tmp_path / "bench_full_r04.json").exists()
+    rec = json.loads((tmp_path / "bench_full_r04_preopen.json").read_text())
+    assert rec["preopen"] is True
+
+    (tmp_path / "NOTES_r04.md").write_text("# open")
+    bench._dump_full_record({"value": 2})
+    rec = json.loads((tmp_path / "bench_full_r04.json").read_text())
+    assert rec["value"] == 2 and "preopen" not in rec
+
+    bench._dump_full_record({"value": 3, "subset": ["q_x"]}, subset=True)
+    rec = json.loads((tmp_path / "bench_full_r04.json").read_text())
+    assert rec["value"] == 2  # subset run did not overwrite
+    lines = [
+        json.loads(ln) for ln in (tmp_path / "bench_history.jsonl").open()
+    ]
+    assert [ln["value"] for ln in lines] == [1, 2, 3]
+    assert lines[2]["subset"] == ["q_x"]
