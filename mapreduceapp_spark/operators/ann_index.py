@@ -141,6 +141,37 @@ def ann_index_meta(index_path: str) -> dict:
         return json.load(fh)
 
 
+def _mean_resid_sq(resid) -> float:
+    """Mean squared residual norm of a (vec_id, cluster, qv) residual
+    frame — the quantization-error scalar behind the compaction
+    trigger. One small agg over the already-staged residual bytes
+    (the assign GEMM never re-runs)."""
+    from mapreduceapp_spark.functions.vectors import sq_norm
+
+    row = resid.agg(F.avg(sq_norm(F.col("qv"))).alias("m")).collect()[0]
+    return round(float(row["m"] or 0.0), 4)
+
+
+def ann_index_drift_ratio(index_path: str) -> float | None:
+    """The compaction-trigger signal (r16, VERDICT r15 ask #3): the
+    latest appended segment's mean squared residual norm over the
+    BUILD's — how much worse the frozen corpus centroids quantize the
+    newest arrivals than they quantized the corpus. Measured bands
+    (ann_append_drift_sf1_r16.json + SCALE.md): same-distribution
+    appends sit at ~1.0 and cost ≤0.02 recall even at 100% of corpus
+    size; the drifted batches that cost 0.33-0.66 recall sit far
+    above. Returns None when the index has no appends yet or predates
+    the signal."""
+    state = ann_index_state(index_path)
+    build = ann_index_meta(index_path).get("mean_resid_sq")
+    seg = state.get("mean_resid_sq")
+    # state overlays meta, so a never-appended index echoes the build
+    # value back — only an actual appended segment carries the signal
+    if not build or seg is None or len(state.get("segs") or []) < 2:
+        return None
+    return round(seg / build, 4)
+
+
 def write_code_file_stats(spark: SparkSession, path: str) -> int:
     """Derive and persist the ``code_files/`` stats sidecar — one
     (path, cell_bucket, lo, hi) cluster-range row per codes/ data
@@ -252,7 +283,11 @@ def ann_index_state(index_path: str) -> dict:
 
 
 def _commit_index_manifest(
-    index_path: str, new_seg: str, seg_rows: int, seg_files: int
+    index_path: str,
+    new_seg: str,
+    seg_rows: int,
+    seg_files: int,
+    mean_resid_sq: float | None = None,
 ) -> int:
     """Atomically commit one appended segment: exclusive-create the
     next manifest slot with the cumulative committed state (the
@@ -269,6 +304,8 @@ def _commit_index_manifest(
             "appended_rows": int(state.get("appended_rows", 0)) + seg_rows,
             "n_code_files": int(state.get("n_code_files", 0)) + seg_files,
         }
+        if mean_resid_sq is not None:
+            manifest["mean_resid_sq"] = mean_resid_sq
         try:
             with open(_manifest_file(index_path, version), "x") as fh:
                 json.dump(manifest, fh)
@@ -409,6 +446,13 @@ def write_ann_index(
     # per build instead of once per consumer (values identical, so
     # persisted tables still match the unstaged in-plan derivation)
     resid = stage(resid, "ann_index_resid")
+    # the corpus's mean squared residual norm — the quantization-error
+    # baseline the compaction trigger compares appends against (the
+    # r16 drift experiment, SCALE.md: appended-RATIO is not the
+    # rebuild signal — control appends lose ≤0.02 recall even at 100%
+    # of corpus size — appended DRIFT is, and residual norm measures
+    # it for free off the already-staged residuals)
+    mean_resid_sq = _mean_resid_sq(resid)
     cent_m = _pq_centroid_slices(
         resid.select("vec_id", "qv"), k_cent, pq_stride
     )
@@ -452,6 +496,7 @@ def write_ann_index(
                 "n_buckets": n_buckets,
                 "n_cells": n_cells,
                 "n_code_files": n_code_files,
+                "mean_resid_sq": mean_resid_sq,
                 "complete": True,
             },
             fh,
@@ -575,7 +620,15 @@ def append_ann_index(
             _append_code_file_stats(spark, index_path, new_files, seg)
         # the one serialization point: everything above is invisible
         # to probes until this create succeeds
-        _commit_index_manifest(index_path, seg, n_new, len(new_files))
+        _commit_index_manifest(
+            index_path,
+            seg,
+            n_new,
+            len(new_files),
+            # per-segment quantization error off the staged residuals
+            # — the compaction-trigger signal (ann_index_drift_ratio)
+            mean_resid_sq=_mean_resid_sq(resid),
+        )
     else:
         meta["n_code_files"] = write_code_file_stats(spark, index_path)
         meta["appended_rows"] = meta.get("appended_rows", 0) + n_new

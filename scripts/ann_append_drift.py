@@ -168,6 +168,11 @@ def main() -> None:
                 r_app, n_q = _mean_appended_recall(
                     exact, probe_ann_index(spark, appended, queries), id_offset
                 )
+                from mapreduceapp_spark.operators.ann_index import (
+                    ann_index_drift_ratio,
+                )
+
+                trig = ann_index_drift_ratio(appended)
                 # rebuild path: full retrain over the union
                 rebuilt = os.path.join(work, f"reb_{ratio}_{drift}")
                 t0 = time.perf_counter()
@@ -177,6 +182,7 @@ def main() -> None:
                     exact, probe_ann_index(spark, rebuilt, queries), id_offset
                 )
                 out["ratios"][key] = {
+                    "drift_ratio": trig,
                     "n_batch": n_b,
                     "n_queries": n_q,
                     "appended_recall": r_app,

@@ -584,3 +584,48 @@ def test_ann_append_retry_never_resurrects_orphans(
     # the orphan rows are physically present but never visible
     sidecar = spark.read.parquet(os.path.join(crashed, "code_files"))
     assert sidecar.filter(~F.col("seg").isin(segs)).count() > 0
+
+
+def test_drift_ratio_separates_drifted_appends(spark, sf_dir, tmp_path):
+    """The compaction-trigger signal (VERDICT r15 ask #3): per-append
+    quantization error (mean squared residual norm, measured off the
+    already-staged residuals) relative to the build's. The r16 drift
+    experiment showed appended RATIO is not the rebuild signal —
+    same-distribution appends cost ≤0.02 recall even at 100% of
+    corpus size — appended DRIFT is; this pins that the recorded
+    signal actually separates the two regimes on the fixture."""
+    from mapreduceapp_spark.functions.vectors import sq_norm
+    from mapreduceapp_spark.operators.ann_index import (
+        ann_index_drift_ratio,
+        append_ann_index,
+    )
+    from mapreduceapp_spark.operators.similarity import (
+        ANISO_HALF,
+        ANISO_SCALE,
+    )
+
+    e_p = _lineage(spark, sf_dir)
+    corpus = e_p.filter("vec_id % 10 < 8")
+    batch = e_p.filter("vec_id % 10 >= 8")
+    n_c = corpus.count()
+
+    control = str(tmp_path / "control")
+    write_ann_index(spark, corpus, n_c, control)
+    assert ann_index_drift_ratio(control) is None  # no appends yet
+    append_ann_index(spark, control, batch)
+    r_control = ann_index_drift_ratio(control)
+
+    drifted = str(tmp_path / "drifted")
+    write_ann_index(spark, corpus, n_c, drifted)
+    delta = (ANISO_HALF * ANISO_SCALE) // 2
+    shifted = batch.select(
+        "vec_id",
+        F.transform("qv", lambda x: x + F.lit(delta)).alias("qv"),
+    ).withColumn("sq", sq_norm(F.col("qv")))
+    append_ann_index(spark, drifted, shifted)
+    r_drift = ann_index_drift_ratio(drifted)
+
+    assert r_control is not None and r_drift is not None
+    # same-distribution appends quantize like the corpus; drifted
+    # batches measurably worse — the trigger orders them correctly
+    assert r_control < 1.5 < r_drift, (r_control, r_drift)
