@@ -879,6 +879,40 @@ def probe_ann_index(
     )
 
 
+# The measured trigger threshold (SCALE.md r16 drift experiment +
+# ann_append_drift_sf1_r16.json): same-distribution appends sit at
+# drift_ratio 0.999-1.007 and cost <=0.02 recall@10 even at 100% of
+# corpus size; the drifted batches that cost 0.33-0.66 recall sit at
+# 163.5. 2.0 is orders of magnitude inside the gap on BOTH sides -
+# a milder real drift scales the ratio and the recall loss down
+# together (both are the same residual mass).
+ANN_REBUILD_DRIFT_RATIO = 2.0
+
+
+def maybe_recompact_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    e: DataFrame,
+    n_rows: int,
+    threshold: float = ANN_REBUILD_DRIFT_RATIO,
+) -> bool:
+    """Consume the compaction trigger (closing the r15 'nothing
+    consumes appended_rows' gap with the signal the r16 experiment
+    showed actually matters): rebuild the index over ``e`` (the
+    CURRENT full corpus — corpus ∪ every appended batch; the index
+    itself stores only lossy codes, so recompaction needs the source
+    table, exactly as a deployment's compaction job reads the lake)
+    when the latest appended segment quantized ≥ ``threshold``× worse
+    than the build corpus did. Returns True when a rebuild ran —
+    the fresh build starts a new ``_log`` and a unit drift baseline.
+    Never-appended (or legacy) indexes never trigger."""
+    ratio = ann_index_drift_ratio(index_path)
+    if ratio is None or ratio <= threshold:
+        return False
+    write_ann_index(spark, e, n_rows, index_path)
+    return True
+
+
 def _ann_index_slot(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic per-(process, sf_dir) index path under the
     staging root; built on first use from the OPQ-permuted aniso

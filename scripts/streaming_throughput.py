@@ -226,6 +226,50 @@ def measure(
                 "probe_docs": n_probe_docs,
             }
 
+        # admission variant (r16): probe THEN append per micro-batch —
+        # the new-vs-new-blind-window closer. Its own index copy (the
+        # admission MUTATES the index); measured in the same process
+        # as ingest_dedup_indexed so the pair isolates the per-epoch
+        # admission overhead (append + incremental sidecar + heal
+        # bookkeeping) from shared session warmth.
+        if _want("ingest_dedup_admit"):
+            idx_path_a = f"{work}/band_index_admit"
+            t_build = time.perf_counter()
+            write_band_index(spark, sf_dir, idx_path_a)
+            abuild_sec2 = round(time.perf_counter() - t_build, 2)
+            aout2 = {"n": 0, "batches": 0}
+
+            def _acollect2(pairs, _epoch):
+                aout2["n"] += pairs.count()
+                aout2["batches"] += 1
+
+            probe_src2a = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(docs_dir)
+            )
+            t0 = time.perf_counter()
+            q = indexed_ingest_dedup(
+                spark, sf_dir, probe_src2a, idx_path_a, _acollect2,
+                f"{work}/ckpt_admit", admit=True,
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            from mapreduceapp_spark.operators.dedup_index import index_meta
+
+            results["ingest_dedup_admit"] = {
+                "batches": aout2["batches"],
+                "input_rows": n_probe_docs,
+                "output_rows": aout2["n"],
+                "wall_sec": round(wall, 2),
+                "rows_per_sec": round(n_probe_docs / wall),
+                "index_build_sec": abuild_sec2,
+                "probe_docs": n_probe_docs,
+                "admitted_segments": index_meta(idx_path_a).get(
+                    "appended_segments", 0
+                ),
+            }
+
         # substring-level ingest screen (r11): winnowing fingerprints
         # per micro-batch probed against the persisted corpus
         # fingerprint index, partition-pruned — the verbatim-run

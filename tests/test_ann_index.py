@@ -629,3 +629,55 @@ def test_drift_ratio_separates_drifted_appends(spark, sf_dir, tmp_path):
     # same-distribution appends quantize like the corpus; drifted
     # batches measurably worse — the trigger orders them correctly
     assert r_control < 1.5 < r_drift, (r_control, r_drift)
+
+
+def test_maybe_recompact_consumes_drift_trigger(spark, sf_dir, tmp_path):
+    """The trigger's consumer: a control append (drift_ratio ~1) must
+    NOT trigger recompaction; a drifted append (ratio >> 2) must —
+    and the rebuild over the current full corpus restores a fresh
+    log, a unit drift baseline, and serves the union."""
+    from mapreduceapp_spark.functions.vectors import sq_norm
+    from mapreduceapp_spark.operators.ann_index import (
+        ann_index_drift_ratio,
+        ann_index_state,
+        append_ann_index,
+        maybe_recompact_ann_index,
+    )
+    from mapreduceapp_spark.operators.similarity import (
+        ANISO_HALF,
+        ANISO_SCALE,
+    )
+
+    e_p = _lineage(spark, sf_dir)
+    corpus = e_p.filter("vec_id % 10 < 8")
+    batch = e_p.filter("vec_id % 10 >= 8")
+    n_c, n_b = corpus.count(), batch.count()
+
+    path = str(tmp_path / "auto")
+    write_ann_index(spark, corpus, n_c, path)
+    append_ann_index(spark, path, batch)
+    union = corpus.unionByName(batch)
+    assert not maybe_recompact_ann_index(spark, path, union, n_c + n_b)
+    assert len(ann_index_state(path)["segs"]) == 2  # append intact
+
+    delta = (ANISO_HALF * ANISO_SCALE) // 2
+    shifted = batch.select(
+        (F.col("vec_id") + 200_000).alias("vec_id"),
+        F.transform("qv", lambda x: x + F.lit(delta)).alias("qv"),
+    ).withColumn("sq", sq_norm(F.col("qv")))
+    append_ann_index(spark, path, shifted)
+    assert ann_index_drift_ratio(path) > 2.0
+    full = union.unionByName(shifted)
+    n_full = n_c + 2 * n_b
+    assert maybe_recompact_ann_index(spark, path, full, n_full)
+    state = ann_index_state(path)
+    assert state["segs"] == ["build"] and state["appended_rows"] == 0
+    assert ann_index_drift_ratio(path) is None
+    assert ann_index_meta(path)["n_rows"] == n_full
+    # the recompacted index serves the whole corpus including the
+    # formerly-drifted vectors (their ids are ≡ 8,9 mod 10, so pick
+    # a small deterministic slice of them as queries)
+    queries = shifted.filter("vec_id % 100 = 8")
+    assert queries.count() > 0
+    got = probe_ann_index(spark, path, queries)
+    assert got.count() > 0

@@ -64,3 +64,15 @@ def test_streaming_throughput_floors(spark):
     assert cur["rows_per_sec"] >= 40, res
     assert 0 < cur["output_rows"] < cur["input_rows"]
     assert cur["txlog_versions"] >= 3  # create + ≥2 micro-batches
+
+    # r16 admission variant: probe-then-append per micro-batch. The
+    # pair runs in ONE process so the delta vs the probe-only indexed
+    # runner is the admission overhead alone; its correctness face:
+    # admission can only ADD pairs (the cross-batch new-vs-new dups
+    # the probe-only path is blind to until recompaction), and every
+    # epoch committed exactly one appended segment.
+    admit = res["ingest_dedup_admit"]
+    idx = res["ingest_dedup_indexed"]
+    assert admit["batches"] >= 2
+    assert admit["admitted_segments"] == admit["batches"]
+    assert admit["output_rows"] >= idx["output_rows"]
