@@ -148,8 +148,13 @@ def _mean_resid_sq(resid) -> float:
     (the assign GEMM never re-runs)."""
     from mapreduceapp_spark.functions.vectors import sq_norm
 
+    # UNROUNDED (ADVICE r16 #4): a well-quantized build baseline below
+    # 5e-5 would flush to 0.0 under round(·, 4) and permanently disable
+    # the drift trigger for that index (ann_index_drift_ratio's `not
+    # build` division guard would read it as 'signal absent'). Stored
+    # full-precision; display rounding happens in the ratio.
     row = resid.agg(F.avg(sq_norm(F.col("qv"))).alias("m")).collect()[0]
-    return round(float(row["m"] or 0.0), 4)
+    return float(row["m"] or 0.0)
 
 
 def ann_index_drift_ratio(index_path: str) -> float | None:
@@ -269,11 +274,17 @@ def ann_index_state(index_path: str) -> dict:
     if not slots:
         meta["segs"] = None
         return meta
+    # newest slot first, stop at the first parseable manifest: each
+    # manifest carries the full cumulative state, so older slots are
+    # redundant — the ascending full scan was O(appends) driver-side
+    # reads PER probe/commit, growing linearly under streaming
+    # admission (ADVICE r16 #3)
     latest = None
-    for v in slots:
+    for v in reversed(slots):
         try:
             with open(_manifest_file(index_path, v)) as fh:
                 latest = json.load(fh)
+            break
         except (json.JSONDecodeError, OSError):
             continue
     if latest is None:  # log dir exists, every slot torn: build view
@@ -909,6 +920,24 @@ def maybe_recompact_ann_index(
     ratio = ann_index_drift_ratio(index_path)
     if ratio is None or ratio <= threshold:
         return False
+    # Invalidate BEFORE the destructive rebuild (ADVICE r16 #1):
+    # write_ann_index overwrites codes/, the sidecar, and _log in
+    # place while the old _meta.json (complete:true, n_rows equal to
+    # the corpus footer count) would otherwise stay on disk until the
+    # final meta rewrite — a crash mid-rebuild would leave a
+    # half-overwritten index that _ann_index_slot's fingerprint
+    # accepts as complete. With meta and _log removed first, a crash
+    # anywhere mid-rebuild leaves an index that readers refuse loudly
+    # (no meta) and the slot/compaction path rebuilds from source —
+    # write_ann_index itself still writes meta LAST, restoring the
+    # commit-last discipline for the fresh build.
+    try:
+        os.remove(_meta_path(index_path))
+    except FileNotFoundError:
+        pass
+    import shutil
+
+    shutil.rmtree(os.path.join(index_path, _LOG_DIR), ignore_errors=True)
     write_ann_index(spark, e, n_rows, index_path)
     return True
 

@@ -37,7 +37,7 @@ from mapreduceapp_spark.functions.vectors import (
     sq_norm,
 )
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.plans.staging import stage
+from mapreduceapp_spark.plans.staging import slot, stage
 from mapreduceapp_spark.sources import tables
 
 EMB_DIM = 64
@@ -199,7 +199,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same stage slot+plan as q_semantic_prune: the two Lloyd rounds
     # run once per process, whichever consumer executes first
     return (
-        stage(kmeans_assign(spark, sf_dir), "kmeans_assign")
+        slot(spark, "kmeans_assign", sf_dir, lambda: kmeans_assign(spark, sf_dir))
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -282,7 +282,16 @@ def _gemm_assign(
         F.lit(None).cast("array<long>").alias("cv"),
         F.lit(None).cast("long").alias("cs"),
     )
-    c = centroids.crossJoin(spark.range(p).select(F.col("id").alias("pid")))
+    # replicate via explode(sequence(0..p-1)) — a pure projection with
+    # the same |centroids|·P output rows as the old crossJoin(range(p))
+    # form, minus its BroadcastNestedLoopJoin node and per-call
+    # broadcast-build job (see similarity._fragment_replicate)
+    c = centroids.withColumn(
+        "pid",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(p - 1).cast("long"))
+        ),
+    )
     if mode in ("int", "cosine"):
         c = c.select(
             F.lit(1).alias("side"), "pid",
@@ -582,7 +591,9 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full two-round k-means. Staged-not-persisted so the shared
     # kmeans_assign subtree can never be cache-substituted into
     # q_kmeans's plan and nothing outlives the builder's slot.
-    assigned = stage(kmeans_assign(spark, sf_dir), "kmeans_assign")
+    assigned = slot(
+        spark, "kmeans_assign", sf_dir, lambda: kmeans_assign(spark, sf_dir)
+    )
     pruned = _within_cluster_pruned(assigned).withColumn("pruned", F.lit(1))
     return (
         assigned.select("vec_id", "cluster_id")
@@ -632,7 +643,9 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated-small. Majority ties break on the smaller label, so
     both engines agree deterministically.
     """
-    assigned = stage(kmeans_assign(spark, sf_dir), "kmeans_assign").select(
+    assigned = slot(
+        spark, "kmeans_assign", sf_dir, lambda: kmeans_assign(spark, sf_dir)
+    ).select(
         "vec_id", "cluster_id"
     )
     lab = tables(spark, sf_dir).embeddings.select("vec_id", "label")

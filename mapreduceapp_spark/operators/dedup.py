@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.plans.staging import stage
+from mapreduceapp_spark.plans.staging import slot, stage
 from mapreduceapp_spark.sources import tables
 
 SHINGLE_K = 5
@@ -794,7 +794,12 @@ def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; no LSH-style cap (and therefore no cap headroom
     condition) is needed for correctness.
     """
-    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    sh = slot(
+        spark,
+        "minhash_signatures",
+        sf_dir,
+        lambda: _doc_shingles_with_minhash(spark, sf_dir),
+    )
     posting = sh.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
@@ -913,7 +918,12 @@ def minhash_band_stats(
 ) -> DataFrame:
     """Bucket-layout diagnostics for the MinHash bands over a corpus
     (kept/skipped candidate pairs, over-cap bucket count)."""
-    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    sh = slot(
+        spark,
+        "minhash_signatures",
+        sf_dir,
+        lambda: _doc_shingles_with_minhash(spark, sf_dir),
+    )
     return _band_stats(_minhash_band_entries(sh), ["band_key"], cap)
 
 
@@ -962,7 +972,12 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir points at shared storage, so the table also survives
     executor loss without lineage recompute.
     """
-    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    sh = slot(
+        spark,
+        "minhash_signatures",
+        sf_dir,
+        lambda: _doc_shingles_with_minhash(spark, sf_dir),
+    )
     cand = minhash_candidates(sh)
     # Stage 3.5 — signature prefilter. A single 4-row band collides
     # for ~0.4% of background (j≈0.25) pairs, which at N² pair scale
@@ -1076,7 +1091,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus_doc, new_doc) — the consumer drops or links new docs,
     never corpus ones.
     """
-    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
+    sh = slot(
+        spark,
+        "minhash_signatures",
+        sf_dir,
+        lambda: _doc_shingles_with_minhash(spark, sf_dir),
+    )
     is_new = (F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
     corpus_bands = _capped_band_entries(
         _minhash_band_entries(sh.filter(~is_new)), ["band_key"], LSH_BUCKET_CAP
@@ -1157,6 +1177,47 @@ _ORACLE_DEDUP_CLUSTERS = f"""
 """
 
 
+# Driver union-find budget for q_dedup_clusters' small-graph regime:
+# 2M edges × 2 int64 ≈ 32 MB through Arrow — the engine's bounded-
+# collect band (plans/hints.py's BROADCAST_KEY_ROWS uses the same
+# 10s-of-MB argument). Above it the distributed min-label fixpoint
+# runs unchanged.
+CLUSTERS_LOCAL_MAX_PAIRS = 2_000_000
+
+
+def _union_find_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Connected components of a bounded (doc_a, doc_b) edge list via
+    driver-side union-find, labeling every endpoint with its
+    component's MINIMUM doc_id — bit-identical to the distributed
+    min-label fixpoint (which converges to exactly that label) and to
+    the DuckDB recursive-CTE oracle. Caller enforces the size gate."""
+    pdf = pairs.toPandas()  # bounded by CLUSTERS_LOCAL_MAX_PAIRS
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root invariant: the root IS the component minimum
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(d, find(d)) for d in sorted(parent)]
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
+
 @register(
     "q_dedup_clusters",
     oracle=_ORACLE_DEDUP_CLUSTERS,
@@ -1192,10 +1253,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers (q_dedup_survivors) marginal-cost: detect → cluster
     runs once, survivor selection adds only its linear tail
     (VERDICT r5 ask #6).
+
+    r17 regime gate: when the staged pair slot is driver-bounded
+    (footer row count ≤ CLUSTERS_LOCAL_MAX_PAIRS), components come
+    from driver union-find over one Arrow collect instead of the
+    fixpoint — same labels by construction, ~15 orchestration jobs
+    fewer. The fixpoint below is the above-gate (100 TB) path.
     """
     memo = _CLUSTERS_MEMO.get(sf_dir)
     if memo is not None and memo.sparkSession is spark:
         return memo
+    # Small-graph regime (r17, guide §1.2 "the distributed algorithm"):
+    # when the staged pair slot is driver-bounded, run union-find on
+    # the driver instead of the distributed fixpoint. The gate decides
+    # off parquet-footer metadata the stage write just produced (zero
+    # jobs); ≤ CLUSTERS_LOCAL_MAX_PAIRS edges of two int64s is ≤ 32 MB
+    # through Arrow — the same bounded-collect class as the engine's
+    # other gated driver reads. The fixpoint costs O(diameter) rounds
+    # of join+groupBy+checkpoint+count (~15 jobs; measured 0.8-1.5 s
+    # of pure orchestration at sf0.1 for a few-hundred-edge graph);
+    # union-find is one Arrow collect + one local relation. Labels are
+    # identical by construction — min-label propagation converges to
+    # the component minimum, which is exactly what union-find's
+    # min-root invariant maintains (pinned both ways by
+    # test_dedup_clusters_local_equals_fixpoint). Above the gate the
+    # distributed fixpoint below remains the 100 TB path.
+    from mapreduceapp_spark.plans.staging import staged_row_count
+
+    pairs_early = slot(
+        spark,
+        "minhash_pairs",
+        sf_dir,
+        lambda: q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+    n_pairs = staged_row_count(pairs_early)
+    if n_pairs is not None and n_pairs <= CLUSTERS_LOCAL_MAX_PAIRS:
+        result = _union_find_labels(spark, pairs_early)
+        _CLUSTERS_MEMO[sf_dir] = result
+        return result
     # edges come from the LSH path (scales; output proven equal to
     # the exact pairs — see q_minhash_neardup), so clustering at
     # 100 TB never touches the quadratic posting-list join the
@@ -1221,9 +1316,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the fixpoint's fan-out reads parquet instead of re-deriving
     # the detection per branch (same lineage-cut effect as the old
     # checkpoint, plus cross-query reuse).
-    pairs = stage(
-        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+    pairs = slot(
+        spark,
         "minhash_pairs",
+        sf_dir,
+        lambda: q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
     )
     edges = pairs.unionByName(
         pairs.select(
@@ -1466,7 +1563,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differ per side, so the exchanges aren't equal subtrees). The
     # staged table is N rows of (doc_id, int64) — trivial to write,
     # and the corpus-scan-sized vote aggregation runs exactly once.
-    fp = stage(_simhash(doc_tokens), "simhash_fp")
+    fp = slot(spark, "simhash_fp", sf_dir, lambda: _simhash(doc_tokens))
     cand = simhash_candidates(fp)
     return (
         cand.withColumn(
@@ -1550,7 +1647,7 @@ def simhash_band_stats(
     doc_tokens = d.select(
         "doc_id", F.explode(tokens("text")).alias("tok"), F.lit(1).alias("cnt")
     )
-    fp = stage(_simhash(doc_tokens), "simhash_fp")
+    fp = slot(spark, "simhash_fp", sf_dir, lambda: _simhash(doc_tokens))
     return _band_stats(
         _simhash_band_entries(fp), ["band_id", "band_bits"], cap
     )
@@ -1588,9 +1685,11 @@ def q_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — LSH-vs-exact equality is inherited from the
     verified pair detection.
     """
-    pairs = stage(
-        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+    pairs = slot(
+        spark,
         "minhash_pairs",
+        sf_dir,
+        lambda: q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
     )
     both = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
@@ -1631,9 +1730,11 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalized with least/greatest so (a,b) and (b,a) land in one
     bucket on any engine.
     """
-    pairs = stage(
-        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+    pairs = slot(
+        spark,
         "minhash_pairs",
+        sf_dir,
+        lambda: q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
     )
     d = tables(spark, sf_dir).documents
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))

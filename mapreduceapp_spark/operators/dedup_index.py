@@ -432,6 +432,17 @@ def append_band_index(
             "indexes must be rebuilt by write_band_index"
         )
     n_buckets = meta["n_buckets"]
+    # heal-at-entry (ADVICE r16 #2): a prior CRASHED append leaves the
+    # _pending marker behind, and only probe_band_index healed it — a
+    # direct append after a crash (no intervening probe) died on a raw
+    # FileExistsError. Healing here is idempotent and re-reads meta
+    # after; a marker owned by a LIVE concurrent writer is
+    # indistinguishable from a crashed one, which is exactly the
+    # single-writer-per-index contract both appendable indexes
+    # document — the heal then rolls that writer's partial data
+    # forward, the same visibility the crash semantics already give.
+    if heal_band_index(spark, index_path):
+        meta = index_meta(index_path)
     # exclusive create: a concurrent or crashed append is visible,
     # never silently interleaved
     with open(_pending_path(index_path), "x") as fh:

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE, tokens
 from mapreduceapp_spark.operators.curation import hash_bucket, oracle_hash_bucket
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.plans.staging import stage
+from mapreduceapp_spark.plans.staging import slot, stage
 from mapreduceapp_spark.sources import tables
 
 # ---------------------------------------------------------------- helpers
@@ -165,9 +165,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = lambda docs: docs.select(  # noqa: E731 — tiny local plan fragment
         "doc_id", F.explode(F.array_distinct(word_grams(w, CONTAM_NGRAM))).alias("gram")
     )
-    probe = stage(
-        grams(d.filter(F.col("doc_id") % PROBE_MOD == 0)).select("gram").distinct(),
+    probe = slot(
+        spark,
         "contam_probe_grams",
+        sf_dir,
+        lambda: grams(d.filter(F.col("doc_id") % PROBE_MOD == 0))
+        .select("gram")
+        .distinct(),
     )
     corpus = grams(d.filter(F.col("doc_id") % PROBE_MOD != 0))
     return (
@@ -284,8 +288,11 @@ def duplicate_passage_pairs(
     4.4 s warm vs 1.1 s staged at sf0.1."""
     d = tables(spark, sf_dir).documents
     w = tokens("text")
-    g = stage(
-        d.select(
+    g = slot(
+        spark,
+        "passage_windows",
+        f"{sf_dir}|{cap}",  # cap changes the staged plan (tests pin tiny caps)
+        lambda: d.select(
             "doc_id",
             F.explode(word_grams(w, PASSAGE_NGRAM)).alias("gram"),
         )
@@ -296,7 +303,6 @@ def duplicate_passage_pairs(
         )
         .filter(F.col("df") <= cap)
         .drop("df"),
-        "passage_windows",
     )
     return (
         g.alias("a")
@@ -433,8 +439,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tables(spark, sf_dir).documents
     w = tokens("text")
-    per_doc = stage(
-        d.select(
+    per_doc = slot(
+        spark,
+        "bm25_doc_stats",
+        sf_dir,
+        lambda: d.select(
             "doc_id",
             F.size(w).alias("dl"),
             F.array(
@@ -447,7 +456,6 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ).alias("tfs"),
         ),
-        "bm25_doc_stats",
     )
     tf = (
         per_doc.select("doc_id", "dl", F.explode("tfs").alias("t"))

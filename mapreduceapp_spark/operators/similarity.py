@@ -49,7 +49,7 @@ from mapreduceapp_spark.functions.vectors import (
 )
 from mapreduceapp_spark.plans.hints import broadcast_if_small
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.plans.staging import stage
+from mapreduceapp_spark.plans.staging import slot, stage
 from mapreduceapp_spark.sources import tables
 from mapreduceapp_spark.sources.parquet import table_row_count
 
@@ -157,11 +157,16 @@ def _fragment_replicate(
         *[F.col(n) for n, _ in big_cols],
         *[F.lit(None).cast(t).alias(n) for n, t in small_cols],
     )
-    c = small.crossJoin(
-        spark.range(p).select(F.col("id").alias("pid"))
-    ).select(
+    # replicate via explode(sequence(0..p-1)): a pure projection —
+    # same |small|·P output rows as the old crossJoin(range(p)) form,
+    # but no BroadcastNestedLoopJoin node and no broadcast-build job
+    # per GEMM call (r17 job-count measurement: every broadcast is its
+    # own AQE job at 40-450 ms of fixed latency)
+    c = small.select(
         F.lit(1).alias("side"),
-        "pid",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(p - 1).cast("long"))
+        ).alias("pid"),
         *[F.lit(None).cast(t).alias(n) for n, t in big_cols],
         *[F.col(n) for n, _ in small_cols],
     )
@@ -1344,7 +1349,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged: the exact kNN feeds three consumers (classify + both
     # recall evaluations) — one search per process, shared slot (the
     # minhash_pairs convention); q_knn_cosine itself stays a pure plan
-    knn = stage(q_knn_cosine(spark, sf_dir), "knn_topk")
+    knn = slot(spark, "knn_topk", sf_dir, lambda: q_knn_cosine(spark, sf_dir))
     e = tables(spark, sf_dir).embeddings
     nbr_lab = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("label")
@@ -1413,7 +1418,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy.
     """
     return _recall_vs(
-        stage(q_knn_cosine(spark, sf_dir), "knn_topk"),
+        slot(spark, "knn_topk", sf_dir, lambda: q_knn_cosine(spark, sf_dir)),
         q_ann_ivf(spark, sf_dir),
     )
 
@@ -1450,7 +1455,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison is a k·Q-row left join + count.
     """
     return _recall_vs(
-        stage(q_knn_cosine(spark, sf_dir), "knn_topk"),
+        slot(spark, "knn_topk", sf_dir, lambda: q_knn_cosine(spark, sf_dir)),
         q_ann_lsh(spark, sf_dir),
     )
 
@@ -1849,7 +1854,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans, the join is k·Q rows; the exact side rides its own staged
     slot so repeat consumers run one L2 search per process."""
     return _recall_vs(
-        stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"),
+        slot(spark, "knn_l2_topk", sf_dir, lambda: q_knn_l2(spark, sf_dir)),
         q_pq_ann(spark, sf_dir),
     )
 
@@ -2167,7 +2172,7 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _recall_vs(
-        stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), rer10
+        slot(spark, "knn_l2_topk", sf_dir, lambda: q_knn_l2(spark, sf_dir)), rer10
     )
 
 
@@ -2483,7 +2488,10 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries_bound=n // 100 + 1,
         n_rows=n,
     )
-    return _recall_vs(stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), approx)
+    return _recall_vs(
+        slot(spark, "knn_l2_topk", sf_dir, lambda: q_knn_l2(spark, sf_dir)),
+        approx,
+    )
 
 
 # ------------------------------------------------- residual IVF+PQ
@@ -2780,7 +2788,10 @@ def q_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries_bound=n // 100 + 1,
         n_rows=n,
     )
-    return _recall_vs(stage(q_knn_l2(spark, sf_dir), "knn_l2_topk"), approx)
+    return _recall_vs(
+        slot(spark, "knn_l2_topk", sf_dir, lambda: q_knn_l2(spark, sf_dir)),
+        approx,
+    )
 
 
 # ------------------------------------------- anisotropic ANN fixture
@@ -2990,13 +3001,15 @@ def _aniso_exact_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact L2 kNN over the aniso table, staged once per process —
     the shared ground-truth side of the aniso ladder (one guard
     label so all consumers hash to the same slot)."""
-    return stage(
-        _knn_l2_topk(
+    return slot(
+        spark,
+        "knn_l2_aniso_topk",
+        sf_dir,
+        lambda: _knn_l2_topk(
             _aniso(spark, sf_dir),
             "knn_l2_aniso",
             n_rows=table_row_count(spark, sf_dir, "embeddings"),
         ),
-        "knn_l2_aniso_topk",
     )
 
 
@@ -3206,9 +3219,11 @@ def q_pq_recall_normalized_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
     full measured table)."""
     e_na = _l2_normalize(_aniso(spark, sf_dir))
     n = table_row_count(spark, sf_dir, "embeddings")
-    exact = stage(
-        _knn_l2_topk(e_na, "knn_l2_aniso_norm", n_rows=n),
+    exact = slot(
+        spark,
         "knn_l2_aniso_norm_topk",
+        sf_dir,
+        lambda: _knn_l2_topk(e_na, "knn_l2_aniso_norm", n_rows=n),
     )
     approx = pq_ann(
         e_na, _pq_k(n), max(1, n // _pq_k(n)), n_queries_bound=n // 100 + 1

@@ -646,19 +646,21 @@ def winnow_fingerprint_pairs(
     int64 math in both engines); window min of int64 is tie-free by
     value.
     """
-    from mapreduceapp_spark.plans.staging import stage
+    from mapreduceapp_spark.plans.staging import slot, stage
     from mapreduceapp_spark.sources.parquet import table_row_count
     from pyspark.sql import Window
 
-    fps = stage(
-        winnow_fingerprints(
+    fps = slot(
+        spark,
+        "winnow_fps",
+        f"{sf_dir}|{cap}",  # cap changes the staged plan (tests pin tiny caps)
+        lambda: winnow_fingerprints(
             tables(spark, sf_dir).documents,
             n_docs=table_row_count(spark, sf_dir, "documents"),
         )
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("df") <= cap)
         .drop("df"),
-        "winnow_fps",
     )
     return (
         fps.alias("a")
@@ -1010,14 +1012,17 @@ def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_winnow_index,
     )
     from mapreduceapp_spark.plans.hints import broadcast_if_small
-    from mapreduceapp_spark.plans.staging import stage, staged_row_count
+    from mapreduceapp_spark.plans.staging import slot, stage, staged_row_count
 
     idx_path = _index_slot(spark, sf_dir)
     idx = read_winnow_index(spark, idx_path)
-    probe = stage(
-        idx.filter(F.col("doc_id") % _WINNOW_PROBE_MOD == 0)
-        .select("fp").distinct(),
+    probe = slot(
+        spark,
         "winnow_probe_fps",
+        sf_dir,
+        lambda: idx.filter(F.col("doc_id") % _WINNOW_PROBE_MOD == 0)
+        .select("fp")
+        .distinct(),
     )
     corpus = probe_winnow_index(spark, idx_path, probe).filter(
         F.col("doc_id") % _WINNOW_PROBE_MOD != 0

@@ -631,6 +631,60 @@ def test_drift_ratio_separates_drifted_appends(spark, sf_dir, tmp_path):
     assert r_control < 1.5 < r_drift, (r_control, r_drift)
 
 
+def test_recompact_invalidates_meta_before_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r16 #1: maybe_recompact_ann_index must invalidate the
+    old _meta.json (and _log) BEFORE its destructive rebuild, so a
+    crash mid-rebuild leaves an index readers refuse loudly instead
+    of a half-overwritten index whose stale complete:true meta (and
+    stale manifests over deleted files) still validates."""
+    import mapreduceapp_spark.operators.ann_index as amod
+    from mapreduceapp_spark.functions.vectors import sq_norm
+    from mapreduceapp_spark.operators.ann_index import (
+        _meta_path,
+        append_ann_index,
+        maybe_recompact_ann_index,
+    )
+    from mapreduceapp_spark.operators.similarity import (
+        ANISO_HALF,
+        ANISO_SCALE,
+    )
+
+    e_p = _lineage(spark, sf_dir)
+    corpus = e_p.filter("vec_id % 10 < 8")
+    batch = e_p.filter("vec_id % 10 >= 8")
+    n_c, n_b = corpus.count(), batch.count()
+    path = str(tmp_path / "crashy")
+    write_ann_index(spark, corpus, n_c, path)
+    delta = (ANISO_HALF * ANISO_SCALE) // 2
+    shifted = batch.select(
+        "vec_id", F.transform("qv", lambda x: x + F.lit(delta)).alias("qv")
+    ).withColumn("sq", sq_norm(F.col("qv")))
+    append_ann_index(spark, path, shifted)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash mid-rebuild")
+
+    monkeypatch.setattr(amod, "write_ann_index", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        maybe_recompact_ann_index(spark, path, corpus, n_c + n_b)
+    monkeypatch.undo()
+    # the stale meta/log are gone: readers fail loudly, the slot's
+    # completeness gate rebuilds from source
+    assert not os.path.exists(_meta_path(path))
+    assert not os.path.isdir(os.path.join(path, "_log"))
+    # and a retried recompaction... has no drift signal (no meta), so
+    # the caller rebuilds via write_ann_index — the fresh build below
+    # restores a complete, probe-able index
+    write_ann_index(
+        spark, corpus.unionByName(shifted), n_c + n_b, path
+    )
+    assert ann_index_meta(path)["complete"]
+    got = probe_ann_index(spark, path, shifted.filter("vec_id % 100 = 8"))
+    assert got.count() > 0
+
+
 def test_maybe_recompact_consumes_drift_trigger(spark, sf_dir, tmp_path):
     """The trigger's consumer: a control append (drift_ratio ~1) must
     NOT trigger recompaction; a drifted append (ratio >> 2) must —

@@ -159,6 +159,29 @@ def test_dedup_clusters_are_closed(spark, sf_dir):
         assert c == min(docs)
 
 
+def test_dedup_clusters_local_equals_fixpoint(spark, sf_dir, monkeypatch):
+    """r17 regime gate, pinned both ways: the driver union-find
+    (small-graph regime, default at fixture scale) and the distributed
+    min-label fixpoint (forced by pinning the gate to -1) must produce
+    identical (doc_id, cluster_id) sets."""
+    from mapreduceapp_spark.operators import dedup
+    from mapreduceapp_spark.plans.registry import get_query
+
+    dedup._CLUSTERS_MEMO.clear()
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in get_query("q_dedup_clusters").builder(spark, sf_dir).collect()
+    }
+    dedup._CLUSTERS_MEMO.clear()
+    monkeypatch.setattr(dedup, "CLUSTERS_LOCAL_MAX_PAIRS", -1)
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in get_query("q_dedup_clusters").builder(spark, sf_dir).collect()
+    }
+    dedup._CLUSTERS_MEMO.clear()
+    assert local and local == dist
+
+
 def test_dup_degree_oracle(spark, sf_dir):
     assert_matches_oracle(spark, "q_dup_degree", sf_dir)
 

@@ -726,6 +726,43 @@ def test_band_append_crash_heal(spark, sf_dir, tmp_path, monkeypatch):
     assert meta["n_sig_files"] == n_disk
 
 
+def test_band_append_after_crash_heals_at_entry(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r16 #2: a direct append after a crashed append (no
+    intervening probe) must heal and proceed, not die on the raw
+    FileExistsError of the leftover _pending marker."""
+    import mapreduceapp_spark.operators.dedup_index as dmod
+    from mapreduceapp_spark.operators.dedup_index import append_band_index
+
+    _, sh8, sh9 = _split_sigs(spark, sf_dir)
+    clean = str(tmp_path / "clean")
+    write_band_index(spark, sf_dir, clean)
+    append_band_index(spark, clean, sh8)
+    want = _pairs(probe_band_index(spark, clean, sh9).collect())
+
+    torn = str(tmp_path / "torn")
+    write_band_index(spark, sf_dir, torn)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before sidecar rewrite")
+
+    monkeypatch.setattr(dmod, "_append_sig_file_stats", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_band_index(spark, torn, sh8)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(torn, "_pending.json"))
+    # direct re-append, no probe in between: heals, then appends.
+    # The retry re-appends the same batch the crashed attempt already
+    # landed (duplicate rows on disk) — candidates stay correct
+    # because every emitted pair is exact-Jaccard verified and the
+    # probe deduplicates pairs; coverage is the clean append's.
+    append_band_index(spark, torn, sh8)
+    assert not os.path.exists(os.path.join(torn, "_pending.json"))
+    got = _pairs(probe_band_index(spark, torn, sh9).collect())
+    assert got == want and got
+
+
 def test_band_append_requires_current_format(spark, sf_dir, tmp_path):
     """No silent appends into a legacy (pre-sidecar) index — its
     pruning contract cannot cover appended files."""
