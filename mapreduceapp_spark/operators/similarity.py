@@ -1195,15 +1195,21 @@ def ann_ivf(
     from mapreduceapp_spark.operators.clustering import _gemm_assign
 
     cents = _centroids(e, stride)
-    assigned = _gemm_assign(
-        e.select("vec_id", F.col("qv").alias("x"), "sq"),
-        cents.select(
-            F.col("cent_id").alias("cid"),
-            F.col("c_qv").alias("cx"),
-            F.col("c_sq").alias("csq"),
+    # staged (r17): q_ann_ivf and q_ivf_recall (which consumes the
+    # q_ann_ivf plan whole) both execute this assign — one cosine
+    # assign GEMM per (lineage, process) instead of one per execution
+    assigned = stage(
+        _gemm_assign(
+            e.select("vec_id", F.col("qv").alias("x"), "sq"),
+            cents.select(
+                F.col("cent_id").alias("cid"),
+                F.col("c_qv").alias("cx"),
+                F.col("c_sq").alias("csq"),
+            ),
+            "cosine",
+            n_rows=n_rows,
         ),
-        "cosine",
-        n_rows=n_rows,
+        "ivf_assign_cos",
     ).select(
         "vec_id", F.col("x").alias("qv"), "sq", F.col("cid").alias("cluster")
     )
@@ -2323,23 +2329,37 @@ def ivfpq_ann(
     from mapreduceapp_spark.operators.clustering import _gemm_assign
 
     cents = _centroids(e, ivf_stride)
-    assigned = _gemm_assign(
-        e.select("vec_id", F.col("qv").alias("x"), "sq"),
-        cents.select(
-            F.col("cent_id").alias("cid"),
-            F.col("c_qv").alias("cx"),
-            F.col("c_sq").alias("csq"),
+    # staged (r17): the SAME _gemm_assign call — identical plan, so
+    # identical slot — backs q_ivfpq_recall AND q_ivfpq_residual_recall
+    # (and their aniso twins, each lineage hashing to its own slot);
+    # one assign GEMM per (lineage, process) instead of one per query
+    # execution. The ivfpq_residual_ann staging note (r14) explains the
+    # multi-consumer rationale; this extends it across the query pair.
+    assigned = stage(
+        _gemm_assign(
+            e.select("vec_id", F.col("qv").alias("x"), "sq"),
+            cents.select(
+                F.col("cent_id").alias("cid"),
+                F.col("c_qv").alias("cx"),
+                F.col("c_sq").alias("csq"),
+            ),
+            "int",
+            n_rows=n_rows,
         ),
-        "int",
-        n_rows=n_rows,
+        "ivf_assign_int",
     ).select("vec_id", F.col("cid").alias("cluster"))
     qs = e.filter(KNN_QUERY_PRED).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
     n_queries = qs.count() if n_queries_bound is None else n_queries_bound
-    probes = _gemm_probe_topm(
-        e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2",
-        n_queries=n_queries,
+    # staged with the residual variant's exact projection so both
+    # ivfpq rungs hash-share one probe-GEMM slot per lineage
+    probes = stage(
+        _gemm_probe_topm(
+            e.filter(KNN_QUERY_PRED), cents, nprobe, metric="l2",
+            n_queries=n_queries,
+        ).select("query_id", "q_qv", "probe"),
+        "resid_probes",
     ).select("query_id", "probe")
     # Q × nprobe rows — gated like every runtime-sized broadcast
     # (ADVICE r11: an external caller with a corpus-scale query set
@@ -2545,15 +2565,21 @@ def ivfpq_residual_ann(
     from mapreduceapp_spark.operators.clustering import _gemm_assign
 
     cents = _centroids(e, ivf_stride)
-    assigned = _gemm_assign(
-        e.select("vec_id", F.col("qv").alias("x"), "sq"),
-        cents.select(
-            F.col("cent_id").alias("cid"),
-            F.col("c_qv").alias("cx"),
-            F.col("c_sq").alias("csq"),
+    # staged under the SAME slot as ivfpq_ann's assign (identical
+    # _gemm_assign plan → identical hash): one assign GEMM per
+    # (lineage, process) serves both ivfpq rungs — see ivfpq_ann
+    assigned = stage(
+        _gemm_assign(
+            e.select("vec_id", F.col("qv").alias("x"), "sq"),
+            cents.select(
+                F.col("cent_id").alias("cid"),
+                F.col("c_qv").alias("cx"),
+                F.col("c_sq").alias("csq"),
+            ),
+            "int",
+            n_rows=n_rows,
         ),
-        "int",
-        n_rows=n_rows,
+        "ivf_assign_int",
     ).select("vec_id", "x", F.col("cid").alias("cluster"))
     cents_b = F.broadcast(
         cents.select(F.col("cent_id").alias("cluster"), "c_qv")
