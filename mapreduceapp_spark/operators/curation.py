@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from mapreduceapp_spark.operators.text import BPE_TOKEN_RE
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.plans.staging import stage
-from mapreduceapp_spark.sources import tables
+from mapreduceapp_spark.sources import spread_table, tables
 
 # Split fractions in bucket points (out of 100): train 80 / val 10 / test 10.
 TRAIN_CUT, VAL_CUT = 80, 90
@@ -487,7 +487,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mapreduceapp_spark.functions.text import tokens
 
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens("text").alias("w")).filter(F.size("w") > 0)
     starts = F.sequence(
         F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE)
@@ -568,7 +568,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity path); the positive path is pinned by a planted-PII
     fixture in tests/test_curation.py.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     t1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, PII_EMAIL_TOKEN)
     scrub = d.select(
         "doc_id",

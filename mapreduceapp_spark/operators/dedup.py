@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.plans.staging import slot, stage
-from mapreduceapp_spark.sources import tables
+from mapreduceapp_spark.sources import spread_table, tables
 
 SHINGLE_K = 5
 JACCARD_THRESHOLD = 0.8  # the data's pair distribution is bimodal: ≤0.31 / ≥0.93
@@ -285,7 +285,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     k = SHINGLE_K
 
     def batches(it):
@@ -486,7 +486,7 @@ def _doc_shingles_with_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries are untouched.
     """
     drop_bc = _shingle_dropset_broadcast(spark, sf_dir)
-    return minhash_signatures_for(tables(spark, sf_dir).documents, drop_bc)
+    return minhash_signatures_for(spread_table(spark, sf_dir, "documents"), drop_bc)
 
 
 def minhash_signatures_for(docs: DataFrame, drop_bc) -> DataFrame:
@@ -1014,6 +1014,15 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not double-verify or double-emit a pair.
         .select("doc_a", "doc_b")
         .distinct()
+        # spread the survivors (r17): the distinct's output is a few
+        # KB, so AQE coalesces it to ONE partition — and the exact-
+        # Jaccard verification downstream (array_intersect over
+        # ~|shingles|-string arrays per pair) then ran as a single
+        # 1.5 s task on an idle 32-core host. An explicit round-robin
+        # repartition is exempt from AQE coalescing, so verification
+        # fans out; the exchange itself moves only thin (doc_a, doc_b)
+        # pairs — harmless at any scale.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # verification reads the shingle sets from the SAME staged table
     # (pre-staging this was a separate plain-shingle derivation so the
@@ -1548,7 +1557,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mapreduceapp_spark.functions.text import tokens
 
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     # one row per token OCCURRENCE with weight 1: summing ±1 votes
     # over occurrences equals summing cnt-weighted votes over
     # distinct tokens, so the (doc, tok) pre-aggregation shuffle a

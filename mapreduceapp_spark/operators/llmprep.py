@@ -28,7 +28,7 @@ from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE, tokens
 from mapreduceapp_spark.operators.curation import hash_bucket, oracle_hash_bucket
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.plans.staging import slot, stage
-from mapreduceapp_spark.sources import tables
+from mapreduceapp_spark.sources import spread_table, tables
 
 # ---------------------------------------------------------------- helpers
 
@@ -173,7 +173,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
         .distinct(),
     )
-    corpus = grams(d.filter(F.col("doc_id") % PROBE_MOD != 0))
+    # spread the corpus branch (r17): the fixture corpus is one sub-
+    # split parquet file, so the tokenize→8-gram→join pipeline ran as
+    # ONE task (measured 1.9 s single-task stage); spread_table
+    # round-robins the raw rows across the cluster first — a no-op at
+    # production input sizes (see sources/parquet.py)
+    from mapreduceapp_spark.sources.parquet import spread_table
+
+    corpus = grams(
+        spread_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % PROBE_MOD != 0
+        )
+    )
     return (
         corpus.join(F.broadcast(probe), "gram")
         .groupBy("doc_id")
@@ -222,7 +233,7 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partial agg absorbs the head, and no single reducer key
     exceeds the most frequent gram's distinct-partition count.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     w = tokens("text")
     parts = []
     for n in (2, 3):
@@ -286,7 +297,7 @@ def duplicate_passage_pairs(
     tokenize → 16-gram explode → distinct → df-window lineage (the
     expensive part — the corpus scan and the text explode), measured
     4.4 s warm vs 1.1 s staged at sf0.1."""
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     w = tokens("text")
     g = slot(
         spark,
@@ -437,7 +448,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row corpus stats, and df per term. idf/stats broadcast; the
     final top-k windows over |terms| small partitions.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     w = tokens("text")
     per_doc = slot(
         spark,
@@ -556,7 +567,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact sums the curation pipeline uses. At 100 TB: two
     scans of a two-column projection + a |sources|-row broadcast.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     doc_tok = d.select(
         "doc_id",
         "source",
@@ -624,7 +635,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection); at 100 TB this runs at scan speed alongside the
     other per-doc quality signals.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     grams = word_grams(tokens("text"), REP_NGRAM)
     n = F.size(grams)
     nd = F.size(F.array_distinct(grams))
@@ -825,7 +836,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly on a grid boundary (~1e-10 per distinct token, the BM25
     risk class, verified clean at every test scale).
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("w"))
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     tot = counts.agg(F.sum("cnt").alias("total"))
@@ -944,7 +955,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-ulp-ln-on-a-grid-boundary class, per ranked token (~500
     evaluations, not per row).
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens("text")).alias("w"))
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     topk = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(ZIPF_TOP_K)

@@ -38,7 +38,7 @@ from pyspark.sql.functions import pandas_udf
 
 from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.sources import tables
+from mapreduceapp_spark.sources import spread_table, tables
 
 
 def run_mapreduce(
@@ -93,7 +93,7 @@ def q_mr_charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce: sum partial counts per char. Oracle-identical to the
     codegen q_charcount, so the UDF and built-in paths cross-check.
     """
-    d = tables(spark, sf_dir).documents.select("text")
+    d = spread_table(spark, sf_dir, "documents").select("text")
 
     def map_chars(pdf: pd.DataFrame) -> pd.DataFrame:
         counts: dict[str, int] = {}
@@ -151,7 +151,7 @@ def q_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine UDF checks is designed out. The tokenizer regex is
     byte-identical to the oracle's regexp_split_to_array.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
 
     @pandas_udf("array<string>")
     def tokenize(texts: pd.Series) -> pd.Series:

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.vectors import oracle_quantize, quantize, sq_norm
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.sources import tables
+from mapreduceapp_spark.sources import spread_table, tables
 
 
 @register(
@@ -807,7 +807,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real branch is exercised by tests on generated PNG/WAV bytes
     through the same :func:`media_feature_batches` pipeline.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return payloads.mapInPandas(media_feature_batches, schema=_FEATURE_SCHEMA)
 
@@ -902,7 +902,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     would flip this query to rows-only (like q_media_features)
     without touching the distributed shape.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

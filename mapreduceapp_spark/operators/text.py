@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE, chars, tokens
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.sources import tables
+from mapreduceapp_spark.sources import spread_table, tables
 
 
 @register(
@@ -40,7 +40,9 @@ from mapreduceapp_spark.sources import tables
 def q_charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     return (
-        t.documents.select(F.explode(chars("text")).alias("c"))
+        spread_table(spark, sf_dir, "documents").select(
+            F.explode(chars("text")).alias("c")
+        )
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -62,7 +64,9 @@ def q_charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     return (
-        t.documents.select(F.explode(tokens("text")).alias("w"))
+        spread_table(spark, sf_dir, "documents").select(
+            F.explode(tokens("text")).alias("w")
+        )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -99,7 +103,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     postings = F.sort_array(F.collect_set("doc_id"))
     return (
-        t.documents.select(
+        spread_table(spark, sf_dir, "documents").select(
             F.col("doc_id"), F.explode(tokens("text")).alias("w")
         )
         .groupBy("w")
@@ -158,7 +162,7 @@ def q_inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduceapp_spark.functions.skew import salted_agg
 
     t = tables(spark, sf_dir)
-    toks = t.documents.select(
+    toks = spread_table(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.explode(tokens("text")).alias("w")
     )
     merged = salted_agg(
@@ -260,7 +264,7 @@ def q_inverted_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     toks = (
-        t.documents.select(
+        spread_table(spark, sf_dir, "documents").select(
             F.col("doc_id"), F.explode(tokens("text")).alias("w")
         )
         .distinct()
@@ -318,7 +322,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     return (
-        t.documents.select(
+        spread_table(spark, sf_dir, "documents").select(
             "lang",
             F.size(tokens("text")).alias("ntok"),
             F.length("text").alias("nchar"),
@@ -372,7 +376,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    return tables(spark, sf_dir).documents.select(
+    return spread_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.length(clean).alias("clean_len"),
         F.when(clean == "", F.lit(0))
@@ -413,7 +417,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     low = F.lower(F.col("text"))
-    return t.documents.select(
+    return spread_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_count(low, F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
         F.size(
@@ -455,7 +459,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
     )
-    return t.documents.select("doc_id", fp.alias("fp"))
+    return spread_table(spark, sf_dir, "documents").select("doc_id", fp.alias("fp"))
 
 
 # Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003 "Winnowing:
@@ -655,7 +659,7 @@ def winnow_fingerprint_pairs(
         "winnow_fps",
         f"{sf_dir}|{cap}",  # cap changes the staged plan (tests pin tiny caps)
         lambda: winnow_fingerprints(
-            tables(spark, sf_dir).documents,
+            spread_table(spark, sf_dir, "documents"),
             n_docs=table_row_count(spark, sf_dir, "documents"),
         )
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
@@ -797,7 +801,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang: F.size(F.filter(tk, marker_hits(LANG_MARKERS[lang]))).alias(f"s_{lang}")
         for lang in langs
     }
-    scored = t.documents.select(
+    scored = spread_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("actual_lang"), *scores.values()
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
@@ -853,7 +857,7 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     single bigint/bigint IEEE division — deterministic across
     engines, no rounding step to disagree on.
     """
-    d = tables(spark, sf_dir).documents
+    d = spread_table(spark, sf_dir, "documents")
     tc = (
         d.select("lang", F.explode(tokens("text")).alias("tok"))
         .groupBy("lang", "tok")

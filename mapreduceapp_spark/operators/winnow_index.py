@@ -54,7 +54,7 @@ from mapreduceapp_spark.operators.text import (
 )
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.plans.staging import staging_root
-from mapreduceapp_spark.sources import tables
+from mapreduceapp_spark.sources import spread_table, tables
 
 # Directory sizing, footer-derived at build time (the dedup_index
 # convention). Winnowing emits ~2/(W+1) of the gram count — dozens to
@@ -108,7 +108,7 @@ def write_winnow_index(spark: SparkSession, sf_dir: str, path: str) -> str:
     n_docs = table_row_count(spark, sf_dir, "documents")
     n_buckets = winnow_bucket_count(n_docs)
     fps = winnow_fingerprints(
-        tables(spark, sf_dir).documents, n_docs=n_docs
+        spread_table(spark, sf_dir, "documents"), n_docs=n_docs
     )
     entries = (
         fps.withColumn(

@@ -32,6 +32,7 @@ class PlanFacts:
     text: str
     n_exchanges: int
     n_broadcast_exchanges: int
+    n_roundrobin_exchanges: int
     join_strategies: tuple[str, ...]
     has_pushed_filters: bool
     has_partial_aggregate: bool
@@ -39,6 +40,14 @@ class PlanFacts:
 
     def shuffle_exchanges(self) -> int:
         return self.n_exchanges - self.n_broadcast_exchanges
+
+    def data_shuffle_exchanges(self) -> int:
+        """Shuffles minus round-robin spreads: the r17 ``spread_table``
+        helper inserts a RoundRobinPartitioning exchange ONLY when the
+        input file undercuts the cluster's parallelism (absent at
+        production scale), so plan gates pin the KEY-PARTITIONED
+        shuffle count — the scale-bearing property — separately."""
+        return self.shuffle_exchanges() - self.n_roundrobin_exchanges
 
 
 _JOIN_RE = re.compile(
@@ -53,6 +62,9 @@ def inspect_plan(df: DataFrame) -> PlanFacts:
         text=text,
         n_exchanges=len(re.findall(r"\bExchange\b|\bBroadcastExchange\b", text)),
         n_broadcast_exchanges=len(re.findall(r"\bBroadcastExchange\b", text)),
+        n_roundrobin_exchanges=len(
+            re.findall(r"Exchange RoundRobinPartitioning", text)
+        ),
         join_strategies=tuple(_JOIN_RE.findall(text)),
         has_pushed_filters=bool(
             re.search(r"PushedFilters: \[(?!\])", text)

@@ -23,5 +23,6 @@ from mapreduceapp_spark.sources.parquet import (  # noqa: F401
     Tables,
     load_table,
     register_views,
+    spread_table,
     tables,
 )

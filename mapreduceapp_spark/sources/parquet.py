@@ -220,6 +220,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     return out
 
 
+# A single parquet file below one scan split serializes every
+# downstream map-side stage onto ONE task — measured r17: the whole
+# tokenize→8-gram→join pipeline of q_contamination ran as one 1.9 s
+# single-task stage on an otherwise idle 32-core host (the fixture
+# corpus is one ~0.6 MB file). Spread when the file cannot give the
+# scan at least the cluster's parallelism; at production sizes
+# (bytes ≫ this) the helper is a no-op, so the knob is
+# scale-adaptive, not local-tuned. 128 MB = the default
+# spark.sql.files.maxPartitionBytes (one split's worth).
+SPREAD_MAX_BYTES = 128 * 1024 * 1024
+
+
+def spread_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` plus a round-robin repartition to the cluster's
+    default parallelism when the table's file bytes give the scan
+    fewer splits than cores (guide §2.5 "input skew: one huge
+    unsplittable file — repartition immediately after the read", the
+    tiny-file mirror image). For COMPUTE-HEAVY consumers only
+    (tokenize/explode/GEMM pipelines): the exchange it inserts moves
+    the raw rows once, which costs ~nothing at fixture scale and is
+    never inserted at production scale. Cheap map+agg consumers keep
+    plain ``tables()`` — an exchange there buys nothing."""
+    df = load_table(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if "://" in path or not os.path.isfile(path):
+        return df
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if nbytes >= SPREAD_MAX_BYTES or par <= 2:
+        return df
+    return df.repartition(par)
+
+
 @lru_cache(maxsize=256)
 def _footer_row_count(path: str) -> int | None:
     """Sum of footer ``num_rows`` over a parquet file or directory —

@@ -63,11 +63,15 @@ def test_knn_broadcasts_queries_not_table(spark, sf_dir):
 
 
 def test_charcount_is_two_stage_mapreduce(spark, sf_dir):
-    """The flagship's plan IS the reference's 4-phase pipeline
-    collapsed to Spark's canonical 2 stages: one shuffle between
-    partial and final aggregation, nothing else."""
+    """The flagship's DATA pipeline IS the reference's 4-phase
+    pipeline collapsed to Spark's canonical 2 stages: exactly one
+    KEY-PARTITIONED shuffle between partial and final aggregation.
+    A round-robin spread of the undersized fixture scan
+    (sources/parquet.spread_table — absent at production input
+    sizes) is permitted in front of it (r17)."""
     f = _facts(spark, sf_dir, "q_charcount")
-    assert f.shuffle_exchanges() == 1
+    assert f.data_shuffle_exchanges() == 1, f.text
+    assert f.n_roundrobin_exchanges <= 1
     assert f.has_partial_aggregate
 
 
@@ -82,9 +86,13 @@ def test_exact_dedup_shuffles_hashes_not_bodies(spark, sf_dir):
 
 def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     """The repetition scan claims scan-speed: the n-gram array must
-    live and die inside one projection — zero exchanges."""
+    live and die inside one projection — zero KEY-PARTITIONED
+    exchanges (the r17 spread_table round-robin, inserted only when
+    the fixture file undercuts the cluster's parallelism, carries raw
+    rows once and is absent at production input sizes)."""
     f = _facts(spark, sf_dir, "q_repetition_filter")
-    assert f.shuffle_exchanges() == 0, f.text
+    assert f.data_shuffle_exchanges() == 0, f.text
+    assert f.n_roundrobin_exchanges <= 1
     assert f.n_broadcast_exchanges == 0
 
 
