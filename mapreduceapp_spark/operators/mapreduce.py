@@ -38,7 +38,7 @@ from pyspark.sql.functions import pandas_udf
 
 from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.sources import spread_table, tables
+from mapreduceapp_spark.sources import spread_table
 
 
 def run_mapreduce(

@@ -38,7 +38,6 @@ from mapreduceapp_spark.sources import spread_table, tables
     doc="Flagship: per-character frequency count (reference SampleClient.cpp:32-66).",
 )
 def q_charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tables(spark, sf_dir)
     return (
         spread_table(spark, sf_dir, "documents").select(
             F.explode(chars("text")).alias("c")
@@ -62,7 +61,6 @@ def q_charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Canonical MapReduce word count at word granularity (B2).",
 )
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tables(spark, sf_dir)
     return (
         spread_table(spark, sf_dir, "documents").select(
             F.explode(tokens("text")).alias("w")
@@ -100,7 +98,6 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token, bucket) and store segmented lists. Documented tradeoff;
     here tokens are synthetic and bounded.
     """
-    t = tables(spark, sf_dir)
     postings = F.sort_array(F.collect_set("doc_id"))
     return (
         spread_table(spark, sf_dir, "documents").select(
@@ -161,7 +158,6 @@ def q_inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mapreduceapp_spark.functions.skew import salted_agg
 
-    t = tables(spark, sf_dir)
     toks = spread_table(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.explode(tokens("text")).alias("w")
     )
@@ -262,7 +258,6 @@ def q_inverted_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes bit-identical placement (no engine hash
     involved); ids are non-negative by the data contract.
     """
-    t = tables(spark, sf_dir)
     toks = (
         spread_table(spark, sf_dir, "documents").select(
             F.col("doc_id"), F.explode(tokens("text")).alias("w")
@@ -320,7 +315,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation so the shuffle carries one row per
     (partition, lang).
     """
-    t = tables(spark, sf_dir)
     return (
         spread_table(spark, sf_dir, "documents").select(
             "lang",
@@ -415,7 +409,6 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex is deliberately lookaround-free so Java regex and RE2
     tokenize byte-identically.
     """
-    t = tables(spark, sf_dir)
     low = F.lower(F.col("text"))
     return spread_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -453,7 +446,6 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed. The modulus keeps every intermediate < 2^35, so identical
     int64 math in any engine (overflow semantics never triggered).
     """
-    t = tables(spark, sf_dir)
     fp = F.aggregate(
         chars("text"),
         F.lit(0).cast("long"),
@@ -650,7 +642,7 @@ def winnow_fingerprint_pairs(
     int64 math in both engines); window min of int64 is tie-free by
     value.
     """
-    from mapreduceapp_spark.plans.staging import slot, stage
+    from mapreduceapp_spark.plans.staging import slot
     from mapreduceapp_spark.sources.parquet import table_row_count
     from pyspark.sql import Window
 
@@ -789,7 +781,6 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL CASE chain and the Spark ``when`` chain agree exactly).
     Map-only — no shuffle; at 100 TB this runs at scan speed.
     """
-    t = tables(spark, sf_dir)
     tk = tokens("text")
     langs = sorted(LANG_MARKERS)
     def marker_hits(markers: tuple[str, ...]):
@@ -1016,7 +1007,7 @@ def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_winnow_index,
     )
     from mapreduceapp_spark.plans.hints import broadcast_if_small
-    from mapreduceapp_spark.plans.staging import slot, stage, staged_row_count
+    from mapreduceapp_spark.plans.staging import slot, staged_row_count
 
     idx_path = _index_slot(spark, sf_dir)
     idx = read_winnow_index(spark, idx_path)

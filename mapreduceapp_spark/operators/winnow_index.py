@@ -54,7 +54,7 @@ from mapreduceapp_spark.operators.text import (
 )
 from mapreduceapp_spark.plans.registry import register
 from mapreduceapp_spark.plans.staging import staging_root
-from mapreduceapp_spark.sources import spread_table, tables
+from mapreduceapp_spark.sources import spread_table
 
 # Directory sizing, footer-derived at build time (the dedup_index
 # convention). Winnowing emits ~2/(W+1) of the gram count — dozens to

@@ -253,6 +253,12 @@ def test_stage_slots_match_pinned_manifest(spark, sf_dir, monkeypatch):
     from mapreduceapp_spark.operators import dedup
 
     dedup._CLUSTERS_MEMO.clear()
+    # likewise the r17 explicit-key slot memo: a hit there returns the
+    # staged scan WITHOUT routing through stage(), so a warm session
+    # would leave slots unrecorded (the producers are also deferred
+    # behind thunks — clearing forces each slot through the real
+    # stage() path once)
+    staging._SLOT_MEMO.clear()
     for q in _STAGE_CONSUMERS:
         get_query(q).builder(spark, sf_dir).collect()
 
