@@ -279,6 +279,19 @@ def main() -> None:
     prewarm_sec = round(time.perf_counter() - t_pre, 4)
     prewarm_writes = staging.WRITE_COUNT
 
+    # Per-query calm history (min over the last 8 records): shared by
+    # the in-loop post-run re-probe below and the retime pass — one
+    # load, driver-side file read.
+    hist: dict[str, list[float]] = {}
+    try:
+        with open(os.path.join(_HERE, "bench_history.jsonl")) as f:
+            _records = [json.loads(ln) for ln in f if ln.strip()]
+        for rec in _records[-8:]:
+            for n, t in (rec.get("queries") or {}).items():
+                hist.setdefault(n, []).append(t)
+    except OSError:
+        pass
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     gc_secs: dict[str, list[float]] = {}
@@ -371,6 +384,39 @@ def main() -> None:
                 gc_secs[name] = gc_run
             if writes_in_timed:
                 stage_writes_timed[name] = writes_in_timed
+            # Post-run steal detection (VERDICT r17 ask #2b): the
+            # pre-query sentinel cannot see a steal window that opens
+            # BETWEEN its probe and the timed runs — r17's official
+            # 32-core record carried 4-8x inflation on untouched
+            # queries with contaminated:false. When a query lands far
+            # above its own calm history, re-probe the host RIGHT
+            # AFTER it: a hot re-probe marks the slot contended, and
+            # enough such slots flip the record's top-level
+            # `contaminated` through the existing fraction rule. The
+            # timed number itself is untouched (the retime pass still
+            # owns second chances).
+            h = hist.get(name)
+            if (
+                h
+                and len(h) >= 3
+                and timings[name] > max(3.0 * min(h), min(h) + 0.3)
+                and name not in contended_slots
+            ):
+                post_probe = _cpu_probe()
+                post_canary = _spark_canary(spark)
+                if (
+                    post_probe > PROBE_HOT_FACTOR * PROBE_CALM_REF
+                    or post_canary > CANARY_HOT_FACTOR * CANARY_CALM_REF
+                ):
+                    contended_slots.append(name)
+                    print(
+                        f"[bench] {name}: {timings[name]:.3f}s is "
+                        f">3x its calm history min {min(h):.3f}s and "
+                        f"the POST-run probe is hot (probe "
+                        f"{post_probe:.3f}, canary {post_canary:.3f})"
+                        " — slot marked contended",
+                        file=sys.stderr,
+                    )
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:300]
         finally:
@@ -392,16 +438,6 @@ def main() -> None:
     # steal artifact dies here instead of entering the round record.
     retimed: dict[str, list[float]] = {}
     if names is None:
-        hist: dict[str, list[float]] = {}
-        try:
-            with open(os.path.join(_HERE, "bench_history.jsonl")) as f:
-                records = [json.loads(ln) for ln in f if ln.strip()]
-            for rec in records[-8:]:
-                for n, t in (rec.get("queries") or {}).items():
-                    hist.setdefault(n, []).append(t)
-        except OSError:
-            pass
-
         # threshold vs the history MIN, not median: contaminated
         # records appended to history drag a median up (tonight's own
         # throttled sweeps did), while one calm record anchors the min
@@ -557,7 +593,19 @@ def main() -> None:
     if errors:
         compact["errors"] = errors
     compact["value"] = out["value"]
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    # Loss-proof copy of the official line (VERDICT r17 ask #2a): the
+    # driver's BENCH artifact keeps only a bounded stdout TAIL, and in
+    # r16 that truncation made the record unparseable and nulled the
+    # whole round-over-round PERF table. The identical line lands in a
+    # small in-repo file too, so a tail truncation can never lose the
+    # record again. Stdout stays byte-identical.
+    try:
+        with open(os.path.join(_HERE, "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"BENCH_LAST dump failed: {e}", file=sys.stderr)
+    print(line)
     spark.stop()
     # Exit 0 when at least one query succeeded: the JSON line above is
     # the round's perf evidence even if some query broke.

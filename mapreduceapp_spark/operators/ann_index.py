@@ -61,7 +61,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.operators.dedup_index import (
@@ -83,13 +83,17 @@ from mapreduceapp_spark.operators.similarity import (
     _opq_permute,
     _pq_centroid_slices,
     _pq_codes,
-    _pq_sub_dist,
+    _pq_sub_dist_sql,
     _pq_k,
     _recall_vs,
 )
 from mapreduceapp_spark.plans.hints import broadcast_if_small
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.plans.staging import stage, staging_root
+from mapreduceapp_spark.plans.staging import (
+    stage,
+    staged_local_column,
+    staging_root,
+)
 
 # Rows per codes/ data file. codes are thin (vec_id, m, code ≈ 20
 # bytes/row, PQ_M rows per vector) so the healthy 32-64 MB scan unit
@@ -377,6 +381,55 @@ def _append_code_file_stats(
     )
 
 
+# Driver-read bound for the sidecar (r18, VERDICT r17 ask #5): below
+# this many total sidecar rows (= data files; footer metadata, zero
+# jobs) the filter runs in-process over a pyarrow read instead of a
+# full Spark job — the probe's sidecar resolution was a scheduled job
+# with AQE overhead to collect a handful of rows this process often
+# just wrote. Above the bound (or on remote storage) the Spark scan
+# remains the right tool.
+SIDECAR_LOCAL_MAX_ROWS = 262_144
+
+
+def _local_sidecar_rows(
+    index_path: str, buckets: list[int], segs
+) -> list | None:
+    """Driver-side pyarrow twin of the sidecar scan+collect — None
+    (caller falls back to the Spark job) for remote roots, oversized
+    sidecars, or any read failure."""
+    path = os.path.join(index_path, "code_files")
+    if "://" in path:
+        return None
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    try:
+        if (
+            sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            > SIDECAR_LOCAL_MAX_ROWS
+        ):
+            return None
+        bset = set(buckets)
+        sset = set(segs) if segs is not None else None
+        out: list[dict] = []
+        for f in files:
+            tbl = pq.read_table(f)
+            has_seg = "seg" in tbl.column_names
+            for row in tbl.to_pylist():
+                if row["cell_bucket"] not in bset:
+                    continue
+                if sset is not None and has_seg and row["seg"] not in sset:
+                    continue
+                out.append(row)
+        return out
+    except Exception:
+        return None
+
+
 def _committed_sidecar_rows(
     spark: SparkSession, index_path: str, buckets: list[int], segs
 ) -> list:
@@ -384,7 +437,11 @@ def _committed_sidecar_rows(
     segments when the index is transactional (``segs`` not None) —
     the shared visibility resolver for BOTH pruning grains. Driver-
     bounded by files-in-touched-buckets, the same quantity any scan
-    of those buckets reads."""
+    of those buckets reads. Local small sidecars resolve in-process
+    (zero jobs — see :func:`_local_sidecar_rows`)."""
+    local = _local_sidecar_rows(index_path, buckets, segs)
+    if local is not None:
+        return local
     scan = spark.read.parquet(os.path.join(index_path, "code_files")).filter(
         F.col("cell_bucket").isin(buckets)
     )
@@ -435,22 +492,16 @@ def write_ann_index(
 
     cents = _centroids(e, stride)
     assigned = _gemm_assign(
-        e.select("vec_id", F.col("qv").alias("x"), "sq"),
-        cents.select(
-            F.col("cent_id").alias("cid"),
-            F.col("c_qv").alias("cx"),
-            F.col("c_sq").alias("csq"),
-        ),
+        e.selectExpr("vec_id", "qv AS x", "sq"),
+        cents.selectExpr("cent_id AS cid", "c_qv AS cx", "c_sq AS csq"),
         "int",
         n_rows=n_rows,
-    ).select("vec_id", "x", F.col("cid").alias("cluster"))
+    ).selectExpr("vec_id", "x", "cid AS cluster")
     resid = assigned.join(
-        F.broadcast(cents.select(F.col("cent_id").alias("cluster"), "c_qv")),
+        F.broadcast(cents.selectExpr("cent_id AS cluster", "c_qv")),
         "cluster",
-    ).select(
-        "vec_id",
-        "cluster",
-        F.zip_with("x", "c_qv", lambda a, b: a - b).alias("qv"),
+    ).selectExpr(
+        "vec_id", "cluster", "zip_with(x, c_qv, (a, b) -> a - b) AS qv"
     )
     # the residual frame feeds three build writes (codebook, codes'
     # encode, codes' cell join) — staged so the assign GEMM runs once
@@ -585,25 +636,17 @@ def append_ann_index(
     cents = spark.read.parquet(os.path.join(index_path, "centroids"))
     cent_m = spark.read.parquet(os.path.join(index_path, "codebook"))
     assigned = _gemm_assign(
-        e_new.select("vec_id", F.col("qv").alias("x"), "sq"),
-        cents.select(
-            F.col("cent_id").alias("cid"),
-            F.col("c_qv").alias("cx"),
-            F.col("c_sq").alias("csq"),
-        ),
+        e_new.selectExpr("vec_id", "qv AS x", "sq"),
+        cents.selectExpr("cent_id AS cid", "c_qv AS cx", "c_sq AS csq"),
         "int",
         n_rows=n_new,
-    ).select("vec_id", "x", F.col("cid").alias("cluster"))
+    ).selectExpr("vec_id", "x", "cid AS cluster")
     resid = stage(
         assigned.join(
-            F.broadcast(
-                cents.select(F.col("cent_id").alias("cluster"), "c_qv")
-            ),
+            F.broadcast(cents.selectExpr("cent_id AS cluster", "c_qv")),
             "cluster",
-        ).select(
-            "vec_id",
-            "cluster",
-            F.zip_with("x", "c_qv", lambda a, b: a - b).alias("qv"),
+        ).selectExpr(
+            "vec_id", "cluster", "zip_with(x, c_qv, (a, b) -> a - b) AS qv"
         ),
         "ann_index_append_resid",
     )
@@ -783,9 +826,19 @@ def probe_ann_index(
         "ann_index_probes",
     )
     if meta["n_cells"] <= CELL_COLLECT_CAP:
-        cells = sorted(
-            r["probe"] for r in probes.select("probe").distinct().collect()
-        )
+        # the probed-cell set: read the staged probe column driver-side
+        # when the slot is local and small (zero jobs — r18, VERDICT
+        # r17 ask #5); the distinct-collect job remains the fallback
+        # for remote staging roots / big probe batches / the streaming
+        # stager (whose frames are not stage() scans)
+        vals = staged_local_column(probes, "probe", 2_000_000)
+        if vals is not None:
+            cells = sorted(set(vals))
+        else:
+            cells = sorted(
+                r["probe"]
+                for r in probes.select("probe").distinct().collect()
+            )
         codes = fetch_probed_codes(spark, index_path, cells)
     else:
         # extreme-geometry fallback: bucket literals only (bounded by
@@ -831,28 +884,26 @@ def probe_ann_index(
                 .drop("cell_bucket")
             )
     rq = probes.join(
-        F.broadcast(
-            cents.select(F.col("cent_id").alias("probe"), "c_qv")
-        ),
+        F.broadcast(cents.selectExpr("cent_id AS probe", "c_qv")),
         "probe",
-    ).select(
-        "query_id",
-        "probe",
-        F.zip_with("q_qv", "c_qv", lambda a, b: a - b).alias("rq"),
+    ).selectExpr(
+        "query_id", "probe", "zip_with(q_qv, c_qv, (a, b) -> a - b) AS rq"
     )
     n_queries = (
         probes.select("query_id").distinct().count()
         if n_queries_bound is None
         else n_queries_bound
     )
+    # dtab columns carry a d_ prefix so the ADC join condition can be
+    # one unambiguous F.expr string (r18 §4)
     dtab = broadcast_if_small(
         _stage(
-            rq.crossJoin(F.broadcast(cent_m)).select(
-                F.col("query_id").alias("d_query_id"),
-                F.col("probe").alias("d_probe"),
-                "m",
-                "j",
-                _pq_sub_dist(F.col("rq"), F.col("m")).alias("d"),
+            rq.crossJoin(F.broadcast(cent_m)).selectExpr(
+                "query_id AS d_query_id",
+                "probe AS d_probe",
+                "m AS d_m",
+                "j AS d_j",
+                f"{_pq_sub_dist_sql('rq')} AS d",
             ),
             "ann_index_dtab",
         ),
@@ -864,28 +915,25 @@ def probe_ann_index(
     # to one join, same (query, neighbor, m) row set
     cand_codes = broadcast_if_small(
         probes.select("query_id", "probe"), n_queries * nprobe
-    ).join(
-        codes,
-        (F.col("cluster") == F.col("probe"))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
+    ).join(codes, F.expr("cluster = probe AND vec_id != query_id"))
     adc = (
         cand_codes.join(
             dtab,
-            (F.col("d_query_id") == F.col("query_id"))
-            & (F.col("d_probe") == F.col("probe"))
-            & (dtab["m"] == cand_codes["m"])
-            & (dtab["j"] == cand_codes["code"]),
+            F.expr(
+                "d_query_id = query_id AND d_probe = probe"
+                " AND d_m = m AND d_j = code"
+            ),
         )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d").alias("adc"))
     )
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc("neighbor_id")
-    )
     return (
-        adc.withColumn("rnk", F.row_number().over(w_top))
-        .filter(F.col("rnk") <= k)
+        adc.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY adc ASC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {k}")
         .select("query_id", "neighbor_id", "rnk", "adc")
     )
 

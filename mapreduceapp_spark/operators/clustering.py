@@ -270,44 +270,34 @@ def _gemm_assign(
     p = max(KM_ASSIGN_PARTS, spark.sparkContext.defaultParallelism)
     if n_rows is not None:
         p = max(p, -(-n_rows // KM_GROUP_ROWS))
-    v = vectors.select(
-        F.lit(0).alias("side"),
-        F.pmod(F.xxhash64(F.lit("kmassign:"), F.col("vec_id")), F.lit(p)).alias(
-            "pid"
-        ),
+    # selectExpr strings (r18 §4): one py4j round-trip per side instead
+    # of one per column/lit/cast — see similarity._fragment_replicate
+    v = vectors.selectExpr(
+        "0 AS side",
+        f"pmod(xxhash64('kmassign:', vec_id), {p}) AS pid",
         "vec_id",
         "x",
         "sq",
-        F.lit(None).cast("long").alias("cid"),
-        F.lit(None).cast("array<long>").alias("cv"),
-        F.lit(None).cast("long").alias("cs"),
+        "CAST(NULL AS BIGINT) AS cid",
+        "CAST(NULL AS ARRAY<BIGINT>) AS cv",
+        "CAST(NULL AS BIGINT) AS cs",
     )
     # replicate via explode(sequence(0..p-1)) — a pure projection with
     # the same |centroids|·P output rows as the old crossJoin(range(p))
     # form, minus its BroadcastNestedLoopJoin node and per-call
     # broadcast-build job (see similarity._fragment_replicate)
-    c = centroids.withColumn(
-        "pid",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(p - 1).cast("long"))
-        ),
+    cv_src, cs_src = ("cx", "csq") if mode in ("int", "cosine") else ("sx", "c")
+    c = centroids.selectExpr(
+        "1 AS side",
+        f"explode(sequence(CAST(0 AS BIGINT), CAST({p - 1} AS BIGINT)))"
+        " AS pid",
+        "CAST(NULL AS BIGINT) AS vec_id",
+        "CAST(NULL AS ARRAY<BIGINT>) AS x",
+        "CAST(NULL AS BIGINT) AS sq",
+        "cid",
+        f"{cv_src} AS cv",
+        f"{cs_src} AS cs",
     )
-    if mode in ("int", "cosine"):
-        c = c.select(
-            F.lit(1).alias("side"), "pid",
-            F.lit(None).cast("long").alias("vec_id"),
-            F.lit(None).cast("array<long>").alias("x"),
-            F.lit(None).cast("long").alias("sq"),
-            "cid", F.col("cx").alias("cv"), F.col("csq").alias("cs"),
-        )
-    else:
-        c = c.select(
-            F.lit(1).alias("side"), "pid",
-            F.lit(None).cast("long").alias("vec_id"),
-            F.lit(None).cast("array<long>").alias("x"),
-            F.lit(None).cast("long").alias("sq"),
-            "cid", F.col("sx").alias("cv"), F.col("c").alias("cs"),
-        )
 
     def assign_group(pdf: pd.DataFrame) -> pd.DataFrame:
         vec = pdf[pdf["side"] == 0]

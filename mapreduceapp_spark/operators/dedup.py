@@ -858,12 +858,16 @@ def band_key_array():
     """The 16-element band-key column over a ``sig`` column — the
     LSH band family as one expression, shared by the batch candidate
     generators here and the streaming probe (streaming/probe.py), so
-    a probe's band keys are bit-identical to the index's."""
-    return F.array(
-        *[
-            F.xxhash64(F.lit(b), F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS))
+    a probe's band keys are bit-identical to the index's. One F.expr
+    string (r18 §4): the 16 xxhash64(slice) Column constructions cost
+    ~100 py4j round-trips per call; the string parses in one."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"xxhash64({b}, slice(sig, {b * LSH_ROWS + 1}, {LSH_ROWS}))"
             for b in range(LSH_BANDS)
-        ]
+        )
+        + ")"
     )
 
 
@@ -994,14 +998,10 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigb, "doc_b")
         .withColumn(
             "sig_agree",
-            F.aggregate(
-                F.zip_with(
-                    "sig_a",
-                    "sig_b",
-                    lambda x, y: F.when(x == y, 1).otherwise(0),
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b,"
+                " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+                " 0, (acc, x) -> acc + x)"
             ),
         )
         .filter(F.col("sig_agree") >= MINHASH_PERMS // 2)
@@ -1223,8 +1223,20 @@ def _union_find_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    rows = [(d, find(d)) for d in sorted(parent)]
-    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    # Return through the Arrow path (ADVICE r17 #3): a list of tuples
+    # routes through parallelize+pickle — an order of magnitude more
+    # driver memory/time at the gate boundary than handing Arrow a
+    # pandas frame of two int64 columns.
+    import pandas as pd
+
+    docs = sorted(parent)
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "cluster_id": pd.Series([find(d) for d in docs], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(out, "doc_id long, cluster_id long")
 
 
 @register(

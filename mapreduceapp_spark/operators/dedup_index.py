@@ -443,8 +443,13 @@ def append_band_index(
     # forward, the same visibility the crash semantics already give.
     if heal_band_index(spark, index_path):
         meta = index_meta(index_path)
-    # exclusive create: a concurrent or crashed append is visible,
-    # never silently interleaved
+    # exclusive create of the marker. NOTE (ADVICE r17 #1): since the
+    # r17 heal-at-entry above, this guard no longer DETECTS a live
+    # concurrent writer — the heal deletes the other writer's marker
+    # and rolls its partial data forward before this create runs.
+    # Crash visibility is unchanged; protection against two LIVE
+    # writers rests entirely on the documented single-writer-per-index
+    # contract (SCALE.md), not on this create failing.
     with open(_pending_path(index_path), "x") as fh:
         json.dump({"op": "append"}, fh)
     # any raise below leaves the marker in place — the next probe's
@@ -591,10 +596,19 @@ def _push_doc_filter(sigs: DataFrame, cand: DataFrame, n_cand: int) -> DataFrame
     thresh_key = "spark.sql.parquet.pushdown.inFilterThreshold"
     if int(spark.conf.get(thresh_key, "10")) < DOC_PUSH_VALUES_MAX:
         spark.conf.set(thresh_key, str(DOC_PUSH_VALUES_MAX))
-    ids = [
-        r["corpus_doc"]
-        for r in cand.select("corpus_doc").distinct().collect()
-    ]
+    # the candidate slot is staged and ≤ DOC_PUSH_CAP rows here — read
+    # it driver-side when local (zero jobs; r18, VERDICT r17 ask #5),
+    # with the distinct-collect job as the designed fallback
+    from mapreduceapp_spark.plans.staging import staged_local_column
+
+    vals = staged_local_column(cand, "corpus_doc", DOC_PUSH_CAP)
+    if vals is not None:
+        ids = sorted(set(vals))
+    else:
+        ids = [
+            r["corpus_doc"]
+            for r in cand.select("corpus_doc").distinct().collect()
+        ]
     return sigs.filter(F.col("doc_id").isin(ids))
 
 
@@ -686,17 +700,32 @@ def fetch_candidate_sigs(
         return _push_doc_filter(sigs.drop("sig_bucket"), cand, n_cand), n_cand
     if meta.get("sigs_partitioned"):
         sigs = spark.read.parquet(sigs_root)
-        per_bucket = (
-            cand.groupBy(
-                F.pmod(F.col("corpus_doc"), F.lit(n_buckets))
-                .cast("int")
-                .alias("b")
+        # per-bucket candidate counts: driver-side over the staged
+        # candidate slot when local and small (zero jobs; r18, VERDICT
+        # r17 ask #5 — this is the benched probe's hot path at fixture
+        # file geometry), pmod mirrored exactly; the agg job remains
+        # the fallback
+        from mapreduceapp_spark.plans.staging import staged_local_column
+
+        vals = staged_local_column(cand, "corpus_doc", 1_000_000)
+        if vals is not None:
+            from collections import Counter
+
+            cnt = Counter(((v % n_buckets) + n_buckets) % n_buckets for v in vals)
+            sig_buckets = sorted(cnt)
+            n_cand = sum(cnt.values())
+        else:
+            per_bucket = (
+                cand.groupBy(
+                    F.pmod(F.col("corpus_doc"), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
             )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        sig_buckets = sorted(r["b"] for r in per_bucket)
-        n_cand = sum(r["n"] for r in per_bucket)
+            sig_buckets = sorted(r["b"] for r in per_bucket)
+            n_cand = sum(r["n"] for r in per_bucket)
         sigs = (
             sigs.filter(F.col("sig_bucket").isin(sig_buckets))
             if sig_buckets

@@ -178,8 +178,6 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE task (measured 1.9 s single-task stage); spread_table
     # round-robins the raw rows across the cluster first — a no-op at
     # production input sizes (see sources/parquet.py)
-    from mapreduceapp_spark.sources.parquet import spread_table
-
     corpus = grams(
         spread_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % PROBE_MOD != 0

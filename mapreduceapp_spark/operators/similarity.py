@@ -41,11 +41,14 @@ from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.vectors import (
     cosine,
+    cosine_sql,
     dot,
+    dot_sql,
     oracle_cosine,
     oracle_quantize,
     quantize,
     sq_norm,
+    sq_norm_sql,
 )
 from mapreduceapp_spark.plans.hints import broadcast_if_small
 from mapreduceapp_spark.plans.registry import register
@@ -149,26 +152,26 @@ def _fragment_replicate(
     p = max(32, spark.sparkContext.defaultParallelism)
     if n_rows is not None:
         p = max(p, -(-n_rows // FRAGMENT_GROUP_ROWS))
-    v = big.select(
-        F.lit(0).alias("side"),
-        F.pmod(F.xxhash64(F.lit(salt), F.col(hash_col)), F.lit(p)).alias(
-            "pid"
-        ),
-        *[F.col(n) for n, _ in big_cols],
-        *[F.lit(None).cast(t).alias(n) for n, t in small_cols],
+    # selectExpr strings (r18 §4): one py4j round-trip per side instead
+    # of one per column/lit/cast — the union frame is rebuilt by every
+    # GEMM consumer on every builder invocation
+    v = big.selectExpr(
+        "0 AS side",
+        f"pmod(xxhash64('{salt}', {hash_col}), {p}) AS pid",
+        *[n for n, _ in big_cols],
+        *[f"CAST(NULL AS {t}) AS {n}" for n, t in small_cols],
     )
     # replicate via explode(sequence(0..p-1)): a pure projection —
     # same |small|·P output rows as the old crossJoin(range(p)) form,
     # but no BroadcastNestedLoopJoin node and no broadcast-build job
     # per GEMM call (r17 job-count measurement: every broadcast is its
     # own AQE job at 40-450 ms of fixed latency)
-    c = small.select(
-        F.lit(1).alias("side"),
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(p - 1).cast("long"))
-        ).alias("pid"),
-        *[F.lit(None).cast(t).alias(n) for n, t in big_cols],
-        *[F.col(n) for n, _ in small_cols],
+    c = small.selectExpr(
+        "1 AS side",
+        f"explode(sequence(CAST(0 AS BIGINT), CAST({p - 1} AS BIGINT)))"
+        " AS pid",
+        *[f"CAST(NULL AS {t}) AS {n}" for n, t in big_cols],
+        *[n for n, _ in small_cols],
     )
     return v.unionByName(c)
 
@@ -183,26 +186,23 @@ def _guarded_query_set(e: DataFrame, query_name: str, redirect: str) -> DataFram
     design: the construction is subtle enough that a fix applied to
     one inline duplicate and not another would silently disarm a
     query's guard."""
-    q = e.filter(KNN_QUERY_PRED).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("sq").alias("q_sq"),
+    q = e.filter(KNN_QUERY_PRED).selectExpr(
+        "vec_id AS query_id", "qv AS q_qv", "sq AS q_sq"
     )
     qcnt = q.select("query_id").limit(KNN_MAX_BROADCAST_QUERIES + 1).agg(
         F.count(F.lit(1)).alias("_nq")
     )
-    over_budget = F.when(
-        F.col("_nq") > KNN_MAX_BROADCAST_QUERIES,
-        F.raise_error(
-            F.lit(
-                f"{query_name}: query set exceeds the broadcast "
-                f"budget of {KNN_MAX_BROADCAST_QUERIES} rows; use "
-                f"{redirect} for large query sets"
-            )
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    return q.crossJoin(F.broadcast(qcnt)).select(
-        (F.col("query_id") + over_budget).alias("query_id"), "q_qv", "q_sq"
+    msg = (
+        f"{query_name}: query set exceeds the broadcast "
+        f"budget of {KNN_MAX_BROADCAST_QUERIES} rows; use "
+        f"{redirect} for large query sets"
+    )
+    return q.crossJoin(F.broadcast(qcnt)).selectExpr(
+        f"(query_id + CASE WHEN _nq > {KNN_MAX_BROADCAST_QUERIES}"
+        f" THEN CAST(raise_error('{msg}') AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END) AS query_id",
+        "q_qv",
+        "q_sq",
     )
 
 
@@ -211,32 +211,36 @@ def _recall_vs(exact: DataFrame, approx: DataFrame) -> DataFrame:
     neighbor_id) frames; the k·Q-row left join + count every ANN
     evaluation shares (one copy: a future fix to the comparison must
     not need applying in four places)."""
-    a = approx.select(
-        F.col("query_id").alias("a_query_id"),
-        F.col("neighbor_id").alias("a_neighbor_id"),
+    a = approx.selectExpr(
+        "query_id AS a_query_id", "neighbor_id AS a_neighbor_id"
     )
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(
             a,
-            (F.col("query_id") == F.col("a_query_id"))
-            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            F.expr(
+                "query_id = a_query_id AND neighbor_id = a_neighbor_id"
+            ),
             "left",
         )
         .groupBy("query_id")
         .agg(F.count("a_neighbor_id").alias("n_hit"))
     )
-    return hits.select(
+    return hits.selectExpr(
         "query_id",
         "n_hit",
-        F.round(F.col("n_hit") / F.lit(float(KNN_K)), 4).alias("recall_at_k"),
+        f"round(n_hit / CAST({KNN_K} AS DOUBLE), 4) AS recall_at_k",
     )
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduceapp_spark.functions.vectors import quantize_sql
+
     e = tables(spark, sf_dir).embeddings
-    q = e.select("vec_id", quantize("embedding").alias("qv"))
-    return q.withColumn("sq", sq_norm(F.col("qv")))
+    # selectExpr strings: one py4j round-trip per projection instead of
+    # one per Column op (r18 §4 — see functions/vectors.py SQL twins)
+    q = e.selectExpr("vec_id", f"{quantize_sql('embedding')} AS qv")
+    return q.selectExpr("*", f"{sq_norm_sql('qv')} AS sq")
 
 
 _ORACLE_QUANTIZED = f"""
@@ -334,26 +338,22 @@ def _knn_cos_topk(
     if n_rows is None or n_rows < ANN_GEMM_MIN_ROWS:
         scored = (
             F.broadcast(guarded_q)
-            .join(e, F.col("vec_id") != F.col("query_id"))
-            .select(
+            .join(e, F.expr("vec_id != query_id"))
+            .selectExpr(
                 "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                cosine(
-                    dot(F.col("q_qv"), F.col("qv")),
-                    F.col("q_sq"),
-                    F.col("sq"),
-                ).alias("cos"),
+                "vec_id AS neighbor_id",
+                f"{cosine_sql(dot_sql('q_qv', 'qv'), 'q_sq', 'sq')} AS cos",
             )
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos"), F.asc("neighbor_id")
-        )
         return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= KNN_K)
-            .select(
-                "query_id", "neighbor_id", "rnk",
-                F.round("cos", 6).alias("cos"),
+            scored.selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY query_id"
+                " ORDER BY cos DESC, neighbor_id ASC) AS rnk",
+            )
+            .filter(f"rnk <= {KNN_K}")
+            .selectExpr(
+                "query_id", "neighbor_id", "rnk", "round(cos, 6) AS cos"
             )
         )
     return _knn_cos_topk_gemm(e, guarded_q, n_rows)
@@ -469,15 +469,14 @@ def _knn_cos_topk_gemm(
     partial = union.groupBy("pid").applyInPandas(
         topk_group, "query_id long, neighbor_id long, cos double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
     return (
-        partial.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
-        .select(
-            "query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cos")
+        partial.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos DESC, neighbor_id ASC) AS rnk",
         )
+        .filter(f"rnk <= {KNN_K}")
+        .selectExpr("query_id", "neighbor_id", "rnk", "round(cos, 6) AS cos")
     )
 
 
@@ -962,38 +961,33 @@ def ann_topk(
     stated honestly rather than tuned around.
     """
     e = e.withColumn("bucket", _ann_signature_udf()(F.col("qv")))
-    probes = [F.col("bucket")]
+    probe_exprs = ["bucket"]
     if probe_radius >= 1:
-        probes += [
-            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)
-        ]
-    q = (
-        e.filter(query_pred)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qv").alias("q_qv"),
-            F.col("sq").alias("q_sq"),
-            F.explode(F.array(*probes)).alias("probe"),
-        )
+        probe_exprs += [f"bucket ^ {1 << j}" for j in range(LSH_BITS)]
+    q = e.filter(query_pred).selectExpr(
+        "vec_id AS query_id",
+        "qv AS q_qv",
+        "sq AS q_sq",
+        f"explode(array({', '.join(probe_exprs)})) AS probe",
     )
     # equi-join on the bucket key: each (query, probe) pairs with one
     # bucket's members; probes are distinct buckets so no dup pairs
     cand = F.broadcast(q).join(
-        e,
-        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+        e, F.expr("bucket = probe AND vec_id != query_id")
     )
-    scored = cand.select(
+    scored = cand.selectExpr(
         "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine(dot(F.col("q_qv"), F.col("qv")), F.col("q_sq"), F.col("sq")).alias(
-            "cos"
-        ),
+        "vec_id AS neighbor_id",
+        f"{cosine_sql(dot_sql('q_qv', 'qv'), 'q_sq', 'sq')} AS cos",
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cos"))
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos DESC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {k}")
+        .selectExpr("query_id", "neighbor_id", "rnk", "round(cos, 6) AS cos")
     )
 
 
@@ -1044,10 +1038,8 @@ def _ivf_stride(n_rows: int) -> int:
 
 
 def _centroids(e: DataFrame, stride: int) -> DataFrame:
-    return e.filter(f"vec_id % {stride} = {IVF_OFFSET}").select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("qv").alias("c_qv"),
-        F.col("sq").alias("c_sq"),
+    return e.filter(f"vec_id % {stride} = {IVF_OFFSET}").selectExpr(
+        "vec_id AS cent_id", "qv AS c_qv", "sq AS c_sq"
     )
 
 
@@ -1200,36 +1192,32 @@ def ann_ivf(
     # assign GEMM per (lineage, process) instead of one per execution
     assigned = stage(
         _gemm_assign(
-            e.select("vec_id", F.col("qv").alias("x"), "sq"),
-            cents.select(
-                F.col("cent_id").alias("cid"),
-                F.col("c_qv").alias("cx"),
-                F.col("c_sq").alias("csq"),
+            e.selectExpr("vec_id", "qv AS x", "sq"),
+            cents.selectExpr(
+                "cent_id AS cid", "c_qv AS cx", "c_sq AS csq"
             ),
             "cosine",
             n_rows=n_rows,
         ),
         "ivf_assign_cos",
-    ).select(
-        "vec_id", F.col("x").alias("qv"), "sq", F.col("cid").alias("cluster")
-    )
+    ).selectExpr("vec_id", "x AS qv", "sq", "cid AS cluster")
     probes = _gemm_probe_topm(e.filter(query_pred), cents, nprobe)
     cand = F.broadcast(probes).join(
-        assigned,
-        (F.col("cluster") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+        assigned, F.expr("cluster = probe AND vec_id != query_id")
     )
-    scored = cand.select(
+    scored = cand.selectExpr(
         "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine(dot(F.col("q_qv"), F.col("qv")), F.col("q_sq"), F.col("sq")).alias(
-            "cos"
-        ),
+        "vec_id AS neighbor_id",
+        f"{cosine_sql(dot_sql('q_qv', 'qv'), 'q_sq', 'sq')} AS cos",
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cos"))
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos DESC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {k}")
+        .selectExpr("query_id", "neighbor_id", "rnk", "round(cos, 6) AS cos")
     )
 
 
@@ -1509,27 +1497,35 @@ def _pq_sub_dist(vec, m):
     )
 
 
+def _pq_sub_dist_sql(vec: str, m: str = "m", cv: str = "cv") -> str:
+    """SQL twin of :func:`_pq_sub_dist` (r18 §4): the ADC chain's
+    hottest expression, rebuilt by every PQ-family builder invocation
+    — two lambdas plus slice cost ~80 ms of py4j per Column-API
+    construction; the string parses in one round-trip."""
+    return (
+        f"aggregate(zip_with(slice({vec}, {m} * {PQ_SUBDIM} + 1,"
+        f" {PQ_SUBDIM}), {cv}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def _pq_centroid_slices(e: DataFrame, k_cent: int, stride: int) -> DataFrame:
     """(m, j, cv): ``k_cent`` stride-sampled codebook rows exploded
     into PQ_M subspace slices — ≤ 256×8 = 2048 thin rows, broadcast
-    everywhere. Shared by pq_ann and the IVF+PQ composition."""
-    w_cent = Window.orderBy("vec_id")
+    everywhere. Shared by pq_ann and the IVF+PQ composition.
+    SQL-string form (r18 §4), same window/explode/slice tree."""
     cent = (
-        e.filter(F.col("vec_id") % stride == 0)
-        .select("vec_id", "qv")
-        .withColumn("j", F.row_number().over(w_cent) - 1)
-        .filter(F.col("j") < k_cent)
+        e.filter(f"vec_id % {stride} = 0")
+        .selectExpr(
+            "vec_id", "qv",
+            "row_number() OVER (ORDER BY vec_id) - 1 AS j",
+        )
+        .filter(f"j < {k_cent}")
     )
-    return (
-        cent.select(
-            "j",
-            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-            "qv",
-        )
-        .select(
-            "m", "j",
-            F.slice("qv", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cv"),
-        )
+    return cent.selectExpr(
+        "j", f"explode(sequence(0, {PQ_M - 1})) AS m", "qv"
+    ).selectExpr(
+        "m", "j", f"slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS cv"
     )
 
 
@@ -1582,14 +1578,13 @@ def _pq_codes(
     scored = (
         e.select("vec_id", "qv")
         .crossJoin(F.broadcast(cent_m))
-        .select(
-            "vec_id", "m", "j",
-            _pq_sub_dist(F.col("qv"), F.col("m")).alias("d"),
+        .selectExpr(
+            "vec_id", "m", "j", f"{_pq_sub_dist_sql('qv')} AS d"
         )
     )
     return stage(
         scored.groupBy("vec_id", "m").agg(
-            F.min(F.struct("d", "j"))["j"].alias("code")
+            F.expr("min(struct(d, j)).j").alias("code")
         ),
         "pq_codes",
     )
@@ -1674,9 +1669,8 @@ def _pq_codes_gemm(
 def _pq_dtab(qs: DataFrame, cent_m: DataFrame) -> DataFrame:
     """(query_id, m, j, d): each query's exact int64 distance to every
     codebook slice — the Q×M×K asymmetric-distance lookup table."""
-    return qs.crossJoin(F.broadcast(cent_m)).select(
-        "query_id", "m", "j",
-        _pq_sub_dist(F.col("q_qv"), F.col("m")).alias("d"),
+    return qs.crossJoin(F.broadcast(cent_m)).selectExpr(
+        "query_id", "m", "j", f"{_pq_sub_dist_sql('q_qv')} AS d"
     )
 
 
@@ -1710,8 +1704,8 @@ def pq_ann(
     # k_cent·stride ≈ N by construction (stride = max(1, N div K)) —
     # a footer-free row-count estimate for the encode regime gate
     codes = _pq_codes(e, cent_m, n_rows=k_cent * stride)
-    qs = e.filter(KNN_QUERY_PRED).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    qs = e.filter(KNN_QUERY_PRED).selectExpr(
+        "vec_id AS query_id", "qv AS q_qv"
     )
     dtab = _pq_dtab(qs, cent_m)
     # the distance table is Q x M x K rows — size-gate its broadcast
@@ -1733,12 +1727,13 @@ def pq_ann(
         .groupBy("query_id", codes["vec_id"].alias("neighbor_id"))
         .agg(F.sum("d").alias("adc"))
     )
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc("neighbor_id")
-    )
     return (
-        adc.withColumn("rnk", F.row_number().over(w_top))
-        .filter(F.col("rnk") <= top_k)
+        adc.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY adc ASC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {top_k}")
         .select("query_id", "neighbor_id", "rnk", "adc")
     )
 
@@ -1960,22 +1955,20 @@ def _knn_l2_topk(
     if n_rows is None or n_rows < ANN_GEMM_MIN_ROWS:
         scored = (
             F.broadcast(guarded_q)
-            .join(e, F.col("vec_id") != F.col("query_id"))
-            .select(
+            .join(e, F.expr("vec_id != query_id"))
+            .selectExpr(
                 "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                (
-                    F.col("q_sq") + F.col("sq")
-                    - 2 * dot(F.col("q_qv"), F.col("qv"))
-                ).alias("l2sq"),
+                "vec_id AS neighbor_id",
+                f"(q_sq + sq - 2 * {dot_sql('q_qv', 'qv')}) AS l2sq",
             )
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("l2sq"), F.asc("neighbor_id")
-        )
         return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= KNN_K)
+            scored.selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY query_id"
+                " ORDER BY l2sq ASC, neighbor_id ASC) AS rnk",
+            )
+            .filter(f"rnk <= {KNN_K}")
             .select("query_id", "neighbor_id", "rnk", "l2sq")
         )
     return _knn_l2_topk_gemm(e, guarded_q, n_rows)
@@ -2064,12 +2057,13 @@ def _knn_l2_topk_gemm(
     partial = union.groupBy("pid").applyInPandas(
         topk_group, "query_id long, neighbor_id long, l2sq long"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("l2sq"), F.asc("neighbor_id")
-    )
     return (
-        partial.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
+        partial.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY l2sq ASC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {KNN_K}")
         .select("query_id", "neighbor_id", "rnk", "l2sq")
     )
 
@@ -2146,35 +2140,29 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query-set rows ONLY, size-gated: broadcasting the unfiltered
     # corpus here would be exactly the unbounded-broadcast class
     # plans/hints.py exists to prevent
-    qside = e.filter(KNN_QUERY_PRED).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("sq").alias("q_sq"),
+    qside = e.filter(KNN_QUERY_PRED).selectExpr(
+        "vec_id AS query_id", "qv AS q_qv", "sq AS q_sq"
     )
-    nside = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("qv").alias("n_qv"),
-        F.col("sq").alias("n_sq"),
+    nside = e.selectExpr(
+        "vec_id AS neighbor_id", "qv AS n_qv", "sq AS n_sq"
     )
     rer = (
         cand.select("query_id", "neighbor_id")
         .join(broadcast_if_small(qside, n_queries), "query_id")
         .join(nside, "neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (
-                F.col("q_sq") + F.col("n_sq")
-                - 2 * dot(F.col("q_qv"), F.col("n_qv"))
-            ).alias("l2sq"),
+            f"(q_sq + n_sq - 2 * {dot_sql('q_qv', 'n_qv')}) AS l2sq",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("l2sq"), F.asc("neighbor_id")
-    )
     rer10 = (
-        rer.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
+        rer.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY l2sq ASC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {KNN_K}")
         .select("query_id", "neighbor_id")
     )
     return _recall_vs(
@@ -2209,17 +2197,13 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _l2_normalize(e: DataFrame) -> DataFrame:
     """Integer-grid L2 normalization of any (vec_id, qv, sq) frame —
     factored so the anisotropic-fixture variant reuses the exact
-    arithmetic the oracle twin mirrors."""
-    nqv = F.transform(
-        F.col("qv"),
-        lambda x: F.round(
-            x.cast("double") * NORM_SCALE
-            / F.sqrt(F.greatest(F.col("sq"), F.lit(1)).cast("double"))
-        ).cast("long"),
-    )
-    return e.select("vec_id", nqv.alias("qv")).withColumn(
-        "sq", sq_norm(F.col("qv"))
-    )
+    arithmetic the oracle twin mirrors. SQL-string form (r18 §4): the
+    same expression tree in two py4j calls instead of ~60."""
+    return e.selectExpr(
+        "vec_id",
+        f"transform(qv, x -> CAST(round(CAST(x AS DOUBLE) * {NORM_SCALE}"
+        " / sqrt(CAST(greatest(sq, 1) AS DOUBLE))) AS BIGINT)) AS qv",
+    ).selectExpr("*", f"{sq_norm_sql('qv')} AS sq")
 
 
 def _oracle_norm_qv(src: str) -> str:
@@ -2337,19 +2321,15 @@ def ivfpq_ann(
     # multi-consumer rationale; this extends it across the query pair.
     assigned = stage(
         _gemm_assign(
-            e.select("vec_id", F.col("qv").alias("x"), "sq"),
-            cents.select(
-                F.col("cent_id").alias("cid"),
-                F.col("c_qv").alias("cx"),
-                F.col("c_sq").alias("csq"),
-            ),
+            e.selectExpr("vec_id", "qv AS x", "sq"),
+            cents.selectExpr("cent_id AS cid", "c_qv AS cx", "c_sq AS csq"),
             "int",
             n_rows=n_rows,
         ),
         "ivf_assign_int",
-    ).select("vec_id", F.col("cid").alias("cluster"))
-    qs = e.filter(KNN_QUERY_PRED).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    ).selectExpr("vec_id", "cid AS cluster")
+    qs = e.filter(KNN_QUERY_PRED).selectExpr(
+        "vec_id AS query_id", "qv AS q_qv"
     )
     n_queries = qs.count() if n_queries_bound is None else n_queries_bound
     # staged with the residual variant's exact projection so both
@@ -2366,36 +2346,36 @@ def ivfpq_ann(
     # must fall back to a shuffle join, not get an ungated hint)
     cand = (
         broadcast_if_small(probes, n_queries * nprobe)
-        .join(
-            assigned,
-            (F.col("cluster") == F.col("probe"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(assigned, F.expr("cluster = probe AND vec_id != query_id"))
+        .selectExpr("query_id", "vec_id AS neighbor_id")
     )
     cent_m = _pq_centroid_slices(e, k_cent, pq_stride)
     codes = _pq_codes(e, cent_m, n_rows=k_cent * pq_stride)
+    # dtab columns carry a d_ prefix so the ADC join condition can be
+    # one unambiguous F.expr string (r18 §4)
     dtab = broadcast_if_small(
-        _pq_dtab(qs, cent_m).withColumnRenamed("query_id", "d_query_id"),
+        qs.crossJoin(F.broadcast(cent_m)).selectExpr(
+            "query_id AS d_query_id", "m AS d_m", "j AS d_j",
+            f"{_pq_sub_dist_sql('q_qv')} AS d",
+        ),
         n_queries * PQ_M * k_cent,
     )
     adc = (
-        cand.join(codes, cand["neighbor_id"] == codes["vec_id"])
+        cand.join(codes, F.expr("neighbor_id = vec_id"))
         .join(
             dtab,
-            (F.col("d_query_id") == F.col("query_id"))
-            & (dtab["m"] == codes["m"])
-            & (dtab["j"] == codes["code"]),
+            F.expr("d_query_id = query_id AND d_m = m AND d_j = code"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("adc"))
     )
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc("neighbor_id")
-    )
     return (
-        adc.withColumn("rnk", F.row_number().over(w_top))
-        .filter(F.col("rnk") <= k)
+        adc.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY adc ASC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {k}")
         .select("query_id", "neighbor_id", "rnk", "adc")
     )
 
@@ -2570,24 +2550,18 @@ def ivfpq_residual_ann(
     # (lineage, process) serves both ivfpq rungs — see ivfpq_ann
     assigned = stage(
         _gemm_assign(
-            e.select("vec_id", F.col("qv").alias("x"), "sq"),
-            cents.select(
-                F.col("cent_id").alias("cid"),
-                F.col("c_qv").alias("cx"),
-                F.col("c_sq").alias("csq"),
-            ),
+            e.selectExpr("vec_id", "qv AS x", "sq"),
+            cents.selectExpr("cent_id AS cid", "c_qv AS cx", "c_sq AS csq"),
             "int",
             n_rows=n_rows,
         ),
         "ivf_assign_int",
-    ).select("vec_id", "x", F.col("cid").alias("cluster"))
+    ).selectExpr("vec_id", "x", "cid AS cluster")
     cents_b = F.broadcast(
-        cents.select(F.col("cent_id").alias("cluster"), "c_qv")
+        cents.selectExpr("cent_id AS cluster", "c_qv")
     )
-    resid = assigned.join(cents_b, "cluster").select(
-        "vec_id",
-        "cluster",
-        F.zip_with("x", "c_qv", lambda a, b: a - b).alias("qv"),
+    resid = assigned.join(cents_b, "cluster").selectExpr(
+        "vec_id", "cluster", "zip_with(x, c_qv, (a, b) -> a - b) AS qv"
     )
     cent_m = _pq_centroid_slices(
         resid.select("vec_id", "qv"), k_cent, pq_stride
@@ -2603,26 +2577,26 @@ def ivfpq_residual_ann(
         "resid_probes",
     )
     rq = probes.join(
-        F.broadcast(cents.select(F.col("cent_id").alias("probe"), "c_qv")),
+        F.broadcast(cents.selectExpr("cent_id AS probe", "c_qv")),
         "probe",
-    ).select(
-        "query_id",
-        "probe",
-        F.zip_with("q_qv", "c_qv", lambda a, b: a - b).alias("rq"),
+    ).selectExpr(
+        "query_id", "probe", "zip_with(q_qv, c_qv, (a, b) -> a - b) AS rq"
     )
     n_queries = (
         probes.select("query_id").distinct().count()
         if n_queries_bound is None
         else n_queries_bound
     )
+    # dtab columns carry a d_ prefix so the ADC join condition can be
+    # one unambiguous F.expr string (r18 §4)
     dtab = broadcast_if_small(
         stage(
-            rq.crossJoin(F.broadcast(cent_m)).select(
-                F.col("query_id").alias("d_query_id"),
-                F.col("probe").alias("d_probe"),
-                "m",
-                "j",
-                _pq_sub_dist(F.col("rq"), F.col("m")).alias("d"),
+            rq.crossJoin(F.broadcast(cent_m)).selectExpr(
+                "query_id AS d_query_id",
+                "probe AS d_probe",
+                "m AS d_m",
+                "j AS d_j",
+                f"{_pq_sub_dist_sql('rq')} AS d",
             ),
             "resid_dtab",
         ),
@@ -2634,29 +2608,29 @@ def ivfpq_residual_ann(
         broadcast_if_small(probes.select("query_id", "probe"), n_queries * nprobe)
         .join(
             assigned.select("vec_id", "cluster"),
-            (F.col("cluster") == F.col("probe"))
-            & (F.col("vec_id") != F.col("query_id")),
+            F.expr("cluster = probe AND vec_id != query_id"),
         )
-        .select("query_id", "probe", F.col("vec_id").alias("neighbor_id"))
+        .selectExpr("query_id", "probe", "vec_id AS neighbor_id")
     )
     adc = (
-        cand.join(codes, cand["neighbor_id"] == codes["vec_id"])
+        cand.join(codes, F.expr("neighbor_id = vec_id"))
         .join(
             dtab,
-            (F.col("d_query_id") == F.col("query_id"))
-            & (F.col("d_probe") == F.col("probe"))
-            & (dtab["m"] == codes["m"])
-            & (dtab["j"] == codes["code"]),
+            F.expr(
+                "d_query_id = query_id AND d_probe = probe"
+                " AND d_m = m AND d_j = code"
+            ),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("adc"))
     )
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc("neighbor_id")
-    )
     return (
-        adc.withColumn("rnk", F.row_number().over(w_top))
-        .filter(F.col("rnk") <= k)
+        adc.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY adc ASC, neighbor_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {k}")
         .select("query_id", "neighbor_id", "rnk", "adc")
     )
 
@@ -2920,47 +2894,52 @@ def _aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aniso_from(tables(spark, sf_dir).embeddings)
 
 
+def _spark_midsquare_sql(h: str) -> str:
+    """Spark SQL twin of :func:`_midsquare` — h appears twice (no
+    let-binding in SQL lambdas), same value either way."""
+    return (
+        f"((({h}) % {ANISO_PREMOD}) * (({h}) % {ANISO_PREMOD}))"
+        f" % {ANISO_SQMOD}"
+    )
+
+
 def _aniso_from(e: DataFrame) -> DataFrame:
     """The fixture derivation over any (vec_id, embedding) frame —
     split from :func:`_aniso` so the degenerate-row guard below is
-    unit-testable without a parquet table."""
-    vid = F.col("vec_id")
-    j_seq = F.sequence(
-        F.lit(0).cast("long"), (F.size("embedding") - 1).cast("long")
+    unit-testable without a parquet table.
+
+    SQL-string form (r18 §4): the nested mid-square lambda tree cost
+    ~200 py4j round-trips per construction via the Column API; one
+    selectExpr carries the identical expression (value parity pinned
+    by test_aniso_sql_form_matches_column_form and every aniso
+    oracle). w(j) stays float-div-then-trunc (CAST(512 / ((j+1)²) AS
+    BIGINT)) — same two IEEE ops as the Column form it replaces."""
+    g = (
+        f"({_spark_midsquare_sql(f'(vec_id + 1) * {ANISO_GMUL} + {ANISO_GSEED}')})"
+        f" % {ANISO_CLUSTERS}"
     )
-    g = _midsquare((vid + 1) * ANISO_GMUL, F.lit(ANISO_GSEED)) % ANISO_CLUSTERS
-    qv = F.transform(
-        j_seq,
-        lambda j: (
-            (
-                _midsquare((g + 1) * ANISO_MIX_A, (j + 1) * ANISO_MIX_BJ)
-                % ANISO_SPAN
-                - ANISO_HALF
-            )
-            * ANISO_SCALE
-            + (
-                _midsquare((vid + 1) * ANISO_MIX_C, (j + 1) * ANISO_MIX_CJ)
-                % ANISO_NOISE_SPAN
-                - ANISO_NOISE_HALF
-            )
-            # w(j): float-div-then-trunc ≡ integer floor division here
-            # — quotients land ≥ 1/4096 away from any integer except
-            # when exact, far beyond double rounding (see comment)
-            * F.greatest(
-                F.lit(1),
-                (F.lit(ANISO_WNUM) / ((j + 1) * (j + 1))).cast("long"),
-            )
-        ),
+    center_h = f"(({g}) + 1) * {ANISO_MIX_A} + (j + 1) * {ANISO_MIX_BJ}"
+    noise_h = f"(vec_id + 1) * {ANISO_MIX_C} + (j + 1) * {ANISO_MIX_CJ}"
+    qv = (
+        "transform(sequence(CAST(0 AS BIGINT),"
+        " CAST(size(embedding) - 1 AS BIGINT)),"
+        f" j -> ((({_spark_midsquare_sql(center_h)}) % {ANISO_SPAN}"
+        f" - {ANISO_HALF}) * {ANISO_SCALE})"
+        f" + ((({_spark_midsquare_sql(noise_h)}) % {ANISO_NOISE_SPAN}"
+        f" - {ANISO_NOISE_HALF})"
+        f" * greatest(1, CAST({ANISO_WNUM} / ((j + 1) * (j + 1))"
+        " AS BIGINT))))"
     )
     # ADVICE r12: for a zero-length embedding Spark's sequence(0, -1)
     # yields a DESCENDING [0, -1] while DuckDB's generate_series(0, -1)
     # yields [] — guard so both engines emit an empty qv and the
     # integer-exact oracle parity survives degenerate rows.
-    qv = F.when(F.size("embedding") > 0, qv).otherwise(
-        F.array().cast("array<bigint>")
+    q = e.selectExpr(
+        "vec_id",
+        f"CASE WHEN size(embedding) > 0 THEN {qv}"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END AS qv",
     )
-    q = e.select("vec_id", qv.alias("qv"))
-    return q.withColumn("sq", sq_norm(F.col("qv")))
+    return q.selectExpr("*", f"{sq_norm_sql('qv')} AS sq")
 
 
 # h must appear twice in SQL (no let-binding inside list_transform
@@ -3072,19 +3051,19 @@ def _opq_permute(e: DataFrame) -> DataFrame:
     """(vec_id, qv, sq) with qv transpose-permuted — orthogonal, so
     L2 distances (and sq) are preserved exactly; only the PQ
     subspace allocation changes. Non-64-dim rows pass through
-    unpermuted (both engines agree — see the aniso empty-row guard)."""
-    idx = F.sequence(F.lit(0), F.lit(_OPQ_DIM - 1))
-    permuted = F.transform(
-        idx,
-        lambda i: F.element_at(
-            F.col("qv"),
-            ((i % PQ_M) * PQ_SUBDIM + (i / PQ_M).cast("long") + 1).cast("int"),
-        ),
+    unpermuted (both engines agree — see the aniso empty-row guard).
+    SQL-string form (r18 §4); the index arithmetic keeps the Column
+    form's float-div-then-trunc CAST(i / M AS BIGINT)."""
+    permuted = (
+        f"transform(sequence(0, {_OPQ_DIM - 1}),"
+        f" i -> element_at(qv, CAST((i % {PQ_M}) * {PQ_SUBDIM}"
+        f" + CAST(i / {PQ_M} AS BIGINT) + 1 AS INT)))"
     )
-    qv = F.when(F.size("qv") == _OPQ_DIM, permuted).otherwise(F.col("qv"))
-    return e.select("vec_id", qv.alias("qv")).withColumn(
-        "sq", sq_norm(F.col("qv"))
-    )
+    return e.selectExpr(
+        "vec_id",
+        f"CASE WHEN size(qv) = {_OPQ_DIM} THEN {permuted}"
+        " ELSE qv END AS qv",
+    ).selectExpr("*", f"{sq_norm_sql('qv')} AS sq")
 
 
 _ORACLE_OPQ_ANISO_QV = f"""

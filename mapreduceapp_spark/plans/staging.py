@@ -188,6 +188,44 @@ def slot(spark, name: str, key: str, make_df) -> DataFrame:
     return scan
 
 
+def staged_local_column(
+    scan: DataFrame, column: str, max_rows: int
+) -> list | None:
+    """One column of a frame returned by ``stage()``, read driver-side
+    from the staged parquet via pyarrow — ZERO Spark jobs (r18,
+    VERDICT r17 ask #5: the index probes ran a full Spark job — task
+    scheduling, AQE, the works — to collect a few thousand ints that
+    this process just wrote to local disk).
+
+    Same object contract as :func:`staged_row_count` (the argument
+    must be the exact ``stage()`` result), same designed degradation:
+    returns None — and the caller falls back to a collect job — when
+    the frame is not a local staged scan, the footers say the slot
+    exceeds ``max_rows`` (the driver-read bound: the Spark job is the
+    right tool for a big slot), or anything about the read fails."""
+    path = getattr(scan, "_mrapp_staged_path", None)
+    if path is None or "://" in path:
+        return None
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    try:
+        if sum(pq.ParquetFile(f).metadata.num_rows for f in files) > max_rows:
+            return None
+        out: list = []
+        for f in files:
+            out.extend(
+                pq.read_table(f, columns=[column]).column(0).to_pylist()
+            )
+        return out
+    except Exception:
+        return None
+
+
 def staged_row_count(scan: DataFrame) -> int | None:
     """Row count of a frame returned by ``stage()`` — summed from the
     staged files' parquet footers, driver-side metadata only, zero
