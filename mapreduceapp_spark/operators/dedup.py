@@ -904,8 +904,20 @@ def minhash_candidates(sh: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     thousands with a map-side filter first, making the later distinct
     ~free. Multi-band duplication is small anyway (measured 4% on the
     rehearsal corpus), so filtering duplicates costs nothing extra.
+
+    r18: the capped band-entry table is STAGED before the self-join.
+    Left lazy, BOTH join sides re-derived it — two band expansions,
+    two band-key exchanges, two sorts, two cap windows per execution
+    (plans/r18/q_minhash_neardup_before.txt nodes 1-7 vs 8-14).
+    Staged, the expansion+cap runs once and the join reads thin
+    (doc_id, band_key) bytes twice — same rows by construction, and
+    at corpus scale one write+2 reads of the entry table beats two
+    expand+shuffle+sort+window passes over it.
     """
-    bands = _capped_band_entries(_minhash_band_entries(sh), ["band_key"], cap)
+    bands = stage(
+        _capped_band_entries(_minhash_band_entries(sh), ["band_key"], cap),
+        "minhash_bands",
+    )
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band_key"])
@@ -994,7 +1006,20 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     siga = sh.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sigb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
-        cand.join(siga, "doc_a")
+        # rebalance the THIN candidate pairs before the prefilter
+        # (r18, guide §2.5): hot band buckets emit up to cap²/2 pairs
+        # from one bucket, so the single stage that runs band join +
+        # sig joins + the 64-element agreement fold was task-skewed
+        # (calm A/B at sf0.1: est stage 2.76 → 1.70 s from this
+        # rebalance alone, 0.99 s with the staged band table). The
+        # exchange moves 16-byte pair rows only — the same
+        # thin-rows-before-compute-dense-work argument as the r17
+        # verify-stage spread below. At corpus scale this is one extra
+        # exchange of 16-byte rows ahead of a join that shuffles the
+        # candidates regardless — bounded overhead, never a new
+        # payload shuffle.
+        cand.repartition(sh.sparkSession.sparkContext.defaultParallelism)
+        .join(siga, "doc_a")
         .join(sigb, "doc_b")
         .withColumn(
             "sig_agree",

@@ -387,25 +387,29 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the sketch alone (see q_count_distinct's docstring for the
     cost contrast).
 
-    Plan shape: the exact and approx aggregates run as SEPARATE
-    scans joined on the tiny group key (broadcast, |groups| rows).
-    Fusing them into one ``agg()`` looks cheaper but is a trap:
-    Spark's mixed distinct/non-distinct rewrite keys the FIRST
-    aggregate level by (group, distinct-key), so the rsd=0.01 HLL
-    partial buffer (2^14 registers ≈ 1,638 longs ≈ 13 KB) is
-    materialized and shuffled PER DISTINCT KEY — ~570 MB of aggregate
-    state at sf0.1, measured 3.9 s calm vs ~0.9 s for this split
-    (and catastrophic at scale). Split, each side is the canonical
-    two-level plan with per-(group × partition) partial state only.
+    Plan shape (r18, guide §2.3/§2.4): ONE scan, two aggregate
+    levels. Level 1 dedupes to the distinct (status, custkey) pairs
+    — exactly the first level Spark's own countDistinct rewrite
+    builds, with map-side partial dedup. Level 2 computes BOTH
+    answers over the deduped rows: ``count(1)`` IS the exact
+    distinct count, and the HLL sketch over the deduped custkeys is
+    REGISTER-IDENTICAL to one over the raw rows (HLL insertion is
+    idempotent per value: register[b] = max(register[b], ρ(hash(v))),
+    so duplicates never change the state or the estimate — pinned by
+    test_approx_distinct_hll_dedup_invariant). The r15 form ran the
+    two aggregates as SEPARATE full scans joined on the group key;
+    this halves the scan work and drops the join outright. The
+    documented mixed distinct/non-distinct single-agg trap (the HLL
+    partial buffer shuffled per distinct key — measured 3.9 s vs
+    0.9 s at sf0.1, catastrophic at scale) stays avoided: neither
+    level mixes distinct and non-distinct aggregate functions.
     """
     t = tables(spark, sf_dir)
-    exact = t.orders.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_customers")
-    )
-    approx = t.orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx")
-    )
-    return exact.join(F.broadcast(approx), "o_orderstatus").select(
+    dedup = t.orders.select("o_orderstatus", "o_custkey").distinct()
+    return dedup.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+    ).select(
         "o_orderstatus",
         "exact_customers",
         (

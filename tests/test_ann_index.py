@@ -271,6 +271,7 @@ def test_probe_cell_collect_gate_row_equal(spark, sf_dir, tmp_path, monkeypatch)
     assert fb_rows == lit_rows and fb_rows
 
 
+@pytest.mark.slow
 def test_index_survives_relocation(spark, sf_dir, tmp_path):
     """Relative sidecar paths: a moved/copied index probes its
     current location, never its birthplace."""
@@ -377,6 +378,7 @@ def test_append_placement_and_consistency(spark, sf_dir, tmp_path):
     assert listed == on_disk
 
 
+@pytest.mark.slow
 def test_append_segmentation_invariant(spark, sf_dir, tmp_path):
     """append(batch) ≡ append(half1); append(half2): every appended
     row's cell and code depend only on the frozen artifacts, so the
@@ -487,6 +489,7 @@ def test_ann_slot_staleness_fingerprint(spark, sf_dir, tmp_path, monkeypatch):
     assert ann_index_meta(path)["n_rows"] == true_rows, "stale slot kept"
 
 
+@pytest.mark.slow
 def test_ann_append_crash_rolls_back_on_both_pruning_grains(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -541,6 +544,7 @@ def test_ann_append_crash_rolls_back_on_both_pruning_grains(
     monkeypatch.undo()
 
 
+@pytest.mark.slow
 def test_ann_append_retry_never_resurrects_orphans(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -685,6 +689,7 @@ def test_recompact_invalidates_meta_before_rebuild(
     assert got.count() > 0
 
 
+@pytest.mark.slow
 def test_maybe_recompact_consumes_drift_trigger(spark, sf_dir, tmp_path):
     """The trigger's consumer: a control append (drift_ratio ~1) must
     NOT trigger recompaction; a drifted append (ratio >> 2) must —

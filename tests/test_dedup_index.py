@@ -224,6 +224,7 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_sig_bytes_proportional_to_candidates(spark, sf_dir, tmp_path):
     """The r11 deliverable (VERDICT r10 ask #1): sig bytes read are
     proportional to CANDIDATE count, not to min(n_cand, B)/B of the
@@ -341,6 +342,7 @@ def test_fetch_regime_gate_and_point_push(spark, sf_dir, tmp_path):
     assert [r["doc_id"] for r in sigs_f.select("doc_id").collect()] == [doc]
 
 
+@pytest.mark.slow
 def test_index_survives_relocation(spark, sf_dir, tmp_path):
     """ADVICE r11 (medium): the sidecar must not pin absolute paths.
     Build a fine-grid index (sidecar path engaged), probe it, MOVE
@@ -382,6 +384,7 @@ def test_probe_of_empty_batch_is_empty(spark, sf_dir, tmp_path):
     assert probe_band_index(spark, path, empty).count() == 0
 
 
+@pytest.mark.slow
 def test_indexed_stream_equals_batch_twin(spark, sf_dir, tmp_path):
     """Drain the batch split through the foreachBatch indexed runner
     in multiple micro-batches; the union of emitted pairs must equal
@@ -587,6 +590,7 @@ def test_band_append_placement_and_sidecar_consistency(spark, sf_dir, tmp_path):
     assert cov.count() == 0
 
 
+@pytest.mark.slow
 def test_band_append_segmentation_invariant(spark, sf_dir, tmp_path):
     """append(batch) ≡ append(half1); append(half2) — every appended
     row depends only on the doc plus the frozen layout (appends are
@@ -686,6 +690,7 @@ def test_band_append_probe_cap_regime_both_sides(spark, sf_dir, tmp_path, monkey
     assert all(r["jac"] == 1.0 for r in got_under)
 
 
+@pytest.mark.slow
 def test_band_append_crash_heal(spark, sf_dir, tmp_path, monkeypatch):
     """A crash between the data writes and the sidecar/meta rewrite
     leaves the _pending marker; the NEXT probe heals (regenerates
@@ -726,6 +731,7 @@ def test_band_append_crash_heal(spark, sf_dir, tmp_path, monkeypatch):
     assert meta["n_sig_files"] == n_disk
 
 
+@pytest.mark.slow
 def test_band_append_after_crash_heals_at_entry(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -781,6 +787,7 @@ def test_band_append_requires_current_format(spark, sf_dir, tmp_path):
         append_band_index(spark, path, sh8)
 
 
+@pytest.mark.slow
 def test_indexed_stream_admit_finds_cross_batch_dups(spark, sf_dir, tmp_path):
     """The VERDICT r15 ask #1 scenario: a two-batch stream where
     batch 2 duplicates batch 1. With admit=True the epoch-2 probe

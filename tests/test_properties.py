@@ -21,6 +21,7 @@ from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 
 SETTINGS = settings(
     max_examples=8,
@@ -492,6 +493,7 @@ tie_vec = st.lists(
 
 @given(vecs=st.lists(tie_vec, min_size=3, max_size=24))
 @SETTINGS
+@pytest.mark.slow
 def test_knn_gemm_parity_law(spark, vecs):
     """GEMM exact-kNN ≡ broadcast-join + window form on random tied
     vector sets (every 100th vec_id is a query by the engine's

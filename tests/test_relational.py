@@ -50,6 +50,35 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert {r["o_orderstatus"]: r["exact_customers"] for r in rows} == exact
 
 
+def test_approx_distinct_hll_dedup_invariant(spark, sf_dir):
+    """r18 single-scan rewrite guard: the HLL++ estimate over the
+    deduped (status, custkey) pairs must be bit-identical to one over
+    the raw rows — insertion is idempotent per value, so the register
+    state (and thus the deterministic estimate) cannot differ. This is
+    the invariant that lets q_approx_distinct compute exact + sketch
+    in one scan instead of two scans and a join."""
+    from pyspark.sql import functions as F
+
+    from mapreduceapp_spark.sources import tables
+
+    orders = tables(spark, sf_dir).orders
+    raw = {
+        r["o_orderstatus"]: r["a"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("a"))
+        .collect()
+    }
+    dedup = {
+        r["o_orderstatus"]: r["a"]
+        for r in orders.select("o_orderstatus", "o_custkey")
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("a"))
+        .collect()
+    }
+    assert raw == dedup
+
+
 def test_approx_percentile_flag_and_half_grid(spark, sf_dir):
     """The GK sketch must land within the 5% flag bound on every
     group, and the exact median must sit on the half-integer grid —

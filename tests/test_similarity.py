@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from tests.oracle import assert_matches_oracle
 
 
@@ -895,6 +897,7 @@ def test_knn_cosine_gemm_equals_sql(spark, sf_dir):
     assert sql_rows == gemm_rows and sql_rows
 
 
+@pytest.mark.slow
 def test_gemm_chunked_merge_matches(spark, sf_dir, monkeypatch):
     """The kernels' running top-k merge across fragment chunks is the
     subtlest code path and never triggers at fixture scale (fragments
@@ -930,6 +933,7 @@ def test_gemm_chunked_merge_matches(spark, sf_dir, monkeypatch):
     assert cos_sql == cos_gemm and cos_sql
 
 
+@pytest.mark.slow
 def test_knn_cosine_zero_norm_fails_on_both_plans(spark):
     """Under ANSI mode (the session default) a zero-norm vector makes
     the codegen cosine a DIVIDE_BY_ZERO job failure; the GEMM plan
@@ -950,6 +954,7 @@ def test_knn_cosine_zero_norm_fails_on_both_plans(spark):
         _knn_cos_topk(e, "z_gemm", "x", n_rows=10**9).collect()
 
 
+@pytest.mark.slow
 def test_knn_l2_gemm_overflow_guard(spark):
     """Components past the int64 distance headroom make the GEMM
     KERNEL raise (numpy would silently wrap where the ANSI codegen
@@ -976,6 +981,7 @@ def test_knn_l2_gemm_overflow_guard(spark):
         _knn_l2_topk(e, "ovf_gemm", n_rows=10**9).collect()
 
 
+@pytest.mark.slow
 def test_knn_l2_gemm_headroom_boundary_exact(spark):
     """The guard fires BEFORE, not after, the first value that could
     wrap (VERDICT r13 ask #8): components at exactly ±189,000,000
@@ -1009,6 +1015,7 @@ def test_knn_l2_gemm_headroom_boundary_exact(spark):
         _knn_l2_topk(e_o, "hb_gemm_over", n_rows=10**9).collect()
 
 
+@pytest.mark.slow
 def test_knn_cosine_gemm_overflow_guard(spark):
     """The cosine kernel's r14 headroom guard (ADVICE r13): a single
     10**9 component keeps sq ≈ 1e18 (JVM sq_norm succeeds) but
@@ -1080,6 +1087,7 @@ def test_fragment_replicate_group_count(spark):
     assert p_for(n_big) == max(floor, 1000)
 
 
+@pytest.mark.slow
 def test_pq_codes_gemm_headroom_boundary_exact(spark):
     """Encode twin of the kNN boundary pin (VERDICT r13 ask #8):
     components at exactly ±536,000,000 pass (worst sub-distance

@@ -654,6 +654,7 @@ def test_bloom_point_lookup_skips_files(spark, sf_dir, tmp_path):
     assert sorted(miss.columns) == sorted(full.columns)
 
 
+@pytest.mark.slow
 def test_txlog_random_op_sequences_match_model(spark, tmp_path):
     """Property: any sequence of append / upsert / compact /
     checkpoint leaves the latest snapshot equal to a plain dict
