@@ -39,6 +39,26 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# SQL-string twins (r18 §4 — one py4j round-trip instead of one per
+# Column op; see functions/vectors.py for the rationale and the
+# schema/value-parity pin in tests/test_sql_forms.py).
+
+
+def chars_sql(text: str) -> str:
+    """SQL twin of :func:`chars`."""
+    return f"filter(split({text}, ''), x -> x != '')"
+
+
+def tokens_sql(text: str) -> str:
+    """SQL twin of :func:`tokens`."""
+    return f"filter(split(lower({text}), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+
+
+def token_count_sql(text: str) -> str:
+    """SQL twin of :func:`token_count`."""
+    return f"size({tokens_sql(text)})"
+
+
 def shingles(text: Column | str, k: int = 5) -> Column:
     """k-gram character shingles (distinct) of the lowercased text —
     pure-expression form.

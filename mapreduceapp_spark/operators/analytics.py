@@ -516,36 +516,47 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a single row. z is scale-invariant, so the centi-unit scaling
     cancels exactly like it would in real units.
     """
-    dec = lambda c: c.cast("decimal(30,0)")  # noqa: E731 — local widener
+    # SQL-string form (r18 §4): the conditional-moment aggregates and
+    # the z chain cost ~1,100 py4j round-trips via the Column API;
+    # the strings below replicate the IDENTICAL casts and operation
+    # order (the cross-engine bit-equality argument in the docstring
+    # depends on it), verified by the unchanged oracle hash.
     ev = tables(spark, sf_dir).events.filter(
-        F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
-    ).select("event_type", F.round(F.col("value") * 100).cast("long").alias("v"))
+        f"event_type IN ('{AB_ARM_A}', '{AB_ARM_B}')"
+    ).selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
 
     def arm(t: str, suffix: str):
-        is_t = F.col("event_type") == t
+        c = f"event_type = '{t}'"
         return [
-            F.count(F.when(is_t, 1)).alias(f"n_{suffix}"),
-            F.sum(F.when(is_t, F.col("v"))).alias(f"s_{suffix}"),
-            F.sum(F.when(is_t, dec(F.col("v") * F.col("v")))).alias(f"q_{suffix}"),
+            F.expr(f"count(CASE WHEN {c} THEN 1 END)").alias(f"n_{suffix}"),
+            F.expr(f"sum(CASE WHEN {c} THEN v END)").alias(f"s_{suffix}"),
+            F.expr(
+                f"sum(CASE WHEN {c} THEN CAST(v * v AS DECIMAL(30,0)) END)"
+            ).alias(f"q_{suffix}"),
         ]
 
     st = ev.agg(*arm(AB_ARM_A, "a"), *arm(AB_ARM_B, "b"))
-    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    mean = lambda s, n: f"(CAST({s} AS DOUBLE) / {n})"  # noqa: E731
     var = lambda n, s, q: (  # noqa: E731 — population variance
-        (dec(F.col(n)) * F.col(q) - dec(F.col(s)) * dec(F.col(s))).cast("double")
-        / (F.col(n).cast("double") * F.col(n))
+        f"(CAST(CAST({n} AS DECIMAL(30,0)) * {q}"
+        f" - CAST({s} AS DECIMAL(30,0)) * CAST({s} AS DECIMAL(30,0))"
+        f" AS DOUBLE) / (CAST({n} AS DOUBLE) * {n}))"
     )
-    se = F.sqrt(var("n_a", "s_a", "q_a") / F.col("n_a") + var("n_b", "s_b", "q_b") / F.col("n_b"))
-    return st.select(
-        F.lit(AB_ARM_A).alias("arm_a"),
-        F.lit(AB_ARM_B).alias("arm_b"),
+    se = (
+        f"sqrt({var('n_a', 's_a', 'q_a')} / n_a"
+        f" + {var('n_b', 's_b', 'q_b')} / n_b)"
+    )
+    return st.selectExpr(
+        f"'{AB_ARM_A}' AS arm_a",
+        f"'{AB_ARM_B}' AS arm_b",
         "n_a",
         "n_b",
-        F.col("s_a").alias("sum_a_x100"),
-        F.col("s_b").alias("sum_b_x100"),
-        mean("s_a", "n_a").alias("mean_a_x100"),
-        mean("s_b", "n_b").alias("mean_b_x100"),
-        ((mean("s_a", "n_a") - mean("s_b", "n_b")) / se).alias("z_score"),
+        "s_a AS sum_a_x100",
+        "s_b AS sum_b_x100",
+        f"{mean('s_a', 'n_a')} AS mean_a_x100",
+        f"{mean('s_b', 'n_b')} AS mean_b_x100",
+        f"(({mean('s_a', 'n_a')} - {mean('s_b', 'n_b')}) / {se})"
+        " AS z_score",
     )
 
 

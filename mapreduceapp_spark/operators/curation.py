@@ -56,6 +56,17 @@ def hash_bucket(key: Column, buckets: int = 100, salt: str = "") -> Column:
     return code % buckets
 
 
+def hash_bucket_sql(key: str, buckets: int = 100, salt: str = "") -> str:
+    """Spark SQL twin of :func:`hash_bucket` (r18 §4) — identical
+    hash, substring positions, char-code arithmetic and modulus."""
+    h = f"sha2(concat('{salt}', CAST({key} AS STRING)), 256)"
+    return (
+        f"((ascii(substring({h}, 1, 1)) * 31"
+        f" + ascii(substring({h}, 2, 1))) * 31"
+        f" + ascii(substring({h}, 3, 1))) % {buckets}"
+    )
+
+
 def oracle_hash_bucket(key: str, buckets: int = 100, salt: str = "") -> str:
     h = f"sha256(concat('{salt}', CAST({key} AS VARCHAR)))"
     return (

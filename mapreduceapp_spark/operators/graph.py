@@ -97,27 +97,21 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         "copurchase_lp",
     )
-    a = lp.alias("a")
-    b = lp.alias("b")
+    b = lp.selectExpr("l_orderkey", "l_partkey AS p2")
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
+        lp.join(b, "l_orderkey")
+        .where("l_partkey < p2")
+        .selectExpr("l_partkey AS p1", "p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= MIN_SUPPORT)
+        .where(f"support >= {MIN_SUPPORT}")
         .select("p1", "p2")
     )
 
 
 def _degrees(edges: DataFrame) -> DataFrame:
     """(x, deg) — undirected degree of every endpoint."""
-    ends = edges.select(F.col("p1").alias("x")).unionAll(
-        edges.select(F.col("p2").alias("x"))
-    )
+    ends = edges.selectExpr("p1 AS x").unionAll(edges.selectExpr("p2 AS x"))
     return ends.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
 
 
@@ -155,39 +149,29 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # orient: src = endpoint with smaller (deg, id). p1 < p2 always,
     # so (d1, p1) < (d2, p2) reduces to d1 <= d2.
-    d1 = deg.select(F.col("x").alias("p1"), F.col("deg").alias("d1"))
-    d2 = deg.select(F.col("x").alias("p2"), F.col("deg").alias("d2"))
-    low_first = F.col("d1") <= F.col("d2")
+    d1 = deg.selectExpr("x AS p1", "deg AS d1")
+    d2 = deg.selectExpr("x AS p2", "deg AS d2")
     oriented = (
         e.join(d1, "p1")
         .join(d2, "p2")
-        .select(
-            F.when(low_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
-            F.when(low_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-            F.when(low_first, F.col("d2")).otherwise(F.col("d1")).alias("ddeg"),
+        .selectExpr(
+            "IF(d1 <= d2, p1, p2) AS src",
+            "IF(d1 <= d2, p2, p1) AS dst",
+            "IF(d1 <= d2, d2, d1) AS ddeg",
         )
     )
 
     # The wedge pair must be ordered by the SAME (deg, id) total
     # order the orientation uses — ordering by raw id would look for
     # half the closing edges in the direction that does not exist.
-    w1 = oriented.select(
-        F.col("src"), F.col("dst").alias("b"), F.col("ddeg").alias("bd")
-    )
-    w2 = oriented.select(
-        F.col("src"), F.col("dst").alias("c"), F.col("ddeg").alias("cd")
-    )
+    w1 = oriented.selectExpr("src", "dst AS b", "ddeg AS bd")
+    w2 = oriented.selectExpr("src", "dst AS c", "ddeg AS cd")
     wedges = (
         w1.join(w2, "src")
-        .where(
-            (F.col("bd") < F.col("cd"))
-            | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
-        )
+        .where("bd < cd OR (bd = cd AND b < c)")
         .select("b", "c")
     )
-    closing = oriented.select(
-        F.col("src").alias("b"), F.col("dst").alias("c")
-    )
+    closing = oriented.selectExpr("src AS b", "dst AS c")
     tri = (
         wedges.join(closing, ["b", "c"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -248,32 +232,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject on (rank DESC, node ASC) — the id
     tiebreak makes the cut deterministic (the Q10 convention)."""
     e = stage(copurchase_edges(spark, sf_dir), "copurchase_edges")
-    d = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
-        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    d = e.selectExpr("p1 AS src", "p2 AS dst").unionAll(
+        e.selectExpr("p2 AS src", "p1 AS dst")
     )
-    deg = _degrees(e).select(F.col("x").alias("src"), "deg")
+    deg = _degrees(e).selectExpr("x AS src", "deg")
     # (src, dst, deg): each edge tagged with its source's out-degree.
     ds = stage(d.join(deg, "src"), "copurchase_out_edges")
 
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(PR_MICRO).cast("long").alias("rank_micro"),
+    ranks = deg.selectExpr(
+        "src AS node", f"CAST({PR_MICRO} AS BIGINT) AS rank_micro"
     )
     for _ in range(PR_ITERS):
         ranks = (
-            ds.join(ranks, ds["src"] == ranks["node"])
-            .select(
-                F.col("dst"),
-                F.expr("rank_micro div deg").alias("contrib"),
-            )
+            ds.join(ranks, F.expr("src = node"))
+            .selectExpr("dst", "rank_micro DIV deg AS contrib")
             .groupBy("dst")
             .agg(
-                (
-                    F.lit(150000)
-                    + F.expr("85 * sum(contrib) div 100")
-                ).alias("rank_micro")
+                F.expr("150000 + 85 * sum(contrib) DIV 100").alias(
+                    "rank_micro"
+                )
             )
-            .select(F.col("dst").alias("node"), "rank_micro")
+            .selectExpr("dst AS node", "rank_micro")
         )
     return ranks.orderBy(
         F.col("rank_micro").desc(), F.col("node").asc()

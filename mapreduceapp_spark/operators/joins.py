@@ -257,39 +257,41 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     nr = (
         t.nation.join(
-            F.broadcast(t.region.filter(F.col("r_name") == Q5_REGION)),
-            F.col("n_regionkey") == F.col("r_regionkey"),
+            F.broadcast(t.region.filter(f"r_name = '{Q5_REGION}'")),
+            F.expr("n_regionkey = r_regionkey"),
         ).select("n_nationkey", "n_name")
     )
     cust = t.customer.join(
-        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+        F.broadcast(nr), F.expr("c_nationkey = n_nationkey")
     ).select("c_custkey", "c_nationkey", "n_name")
     ords = t.orders.filter(
-        (F.col("o_orderdate") >= F.lit(Q5_YEAR_LO).cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit(Q5_YEAR_HI).cast("timestamp"))
+        f"o_orderdate >= TIMESTAMP '{Q5_YEAR_LO}'"
+        f" AND o_orderdate < TIMESTAMP '{Q5_YEAR_HI}'"
     ).select("o_orderkey", "o_custkey")
-    oc = ords.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+    oc = ords.join(cust, F.expr("o_custkey = c_custkey")).select(
         "o_orderkey", "c_nationkey", "n_name"
     )
-    li = t.lineitem.select(
+    li = t.lineitem.selectExpr(
         "l_orderkey",
         "l_suppkey",
-        (
-            F.round(F.col("l_extendedprice") * 100).cast("long")
-            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-        ).alias("rev_x10000"),
+        "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+        " AS rev_x10000",
     )
-    ocl = oc.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    ocl = oc.join(li, F.expr("o_orderkey = l_orderkey"))
     return (
         ocl.join(
             t.supplier,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("s_nationkey") == F.col("c_nationkey")),
+            F.expr(
+                "l_suppkey = s_suppkey AND s_nationkey = c_nationkey"
+            ),
         )
         .groupBy("n_name")
         .agg(
-            (F.sum(F.col("rev_x10000").cast("decimal(38,0)")) / F.lit(10000.0))
-            .alias("revenue")
+            F.expr(
+                "sum(CAST(rev_x10000 AS DECIMAL(38,0)))"
+                " / CAST(10000 AS DOUBLE)"
+            ).alias("revenue")
         )
     )
 

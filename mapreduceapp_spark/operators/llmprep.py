@@ -21,13 +21,13 @@ Shared determinism rules (see memory of functions/numeric.py):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE, tokens
-from mapreduceapp_spark.operators.curation import hash_bucket, oracle_hash_bucket
+from mapreduceapp_spark.functions.text import TOKEN_SPLIT_RE, tokens_sql
+from mapreduceapp_spark.operators.curation import oracle_hash_bucket
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.plans.staging import slot, stage
+from mapreduceapp_spark.plans.staging import slot
 from mapreduceapp_spark.sources import spread_table, tables
 
 # ---------------------------------------------------------------- helpers
@@ -97,6 +97,35 @@ def word_grams(words: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_grams_sql(w: str, n: int) -> str:
+    """SQL-string twin of :func:`word_grams` over a named array
+    column ``w`` (r18 §4 — one py4j round-trip instead of one per
+    Column op/lambda; schema+value parity pinned by
+    tests/test_sql_forms.py::test_word_grams_sql_matches_column_form).
+    Same two codegen strategies, same null-padding + tail-slice
+    semantics."""
+    if n >= 4:
+        shifted = [
+            f"slice({w}, {k + 1}, greatest(size({w}) - {k}, 0))"
+            for k in range(n)
+        ]
+        fields = ", ".join(f"s.`{i}`" for i in range(n))
+        grams = (
+            f"transform(arrays_zip({', '.join(shifted)}),"
+            f" s -> concat_ws(' ', {fields}))"
+        )
+    else:
+        grams = w
+        for k in range(1, n):
+            sh = f"slice({w}, {k + 1}, greatest(size({w}) - {k}, 0))"
+            grams = f"zip_with({grams}, {sh}, (a, b) -> concat_ws(' ', a, b))"
+    return (
+        f"CASE WHEN size({w}) >= {n}"
+        f" THEN slice({grams}, 1, size({w}) - {n} + 1)"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 def _oracle_words(src: str = "documents") -> str:
     return (
         f"SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
@@ -151,7 +180,6 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is one corpus scan + a benchmark-sized broadcast.
     """
     d = tables(spark, sf_dir).documents
-    w = tokens("text")
     # The probe and corpus branches consume DISJOINT doc subsets
     # (doc_id % 7), so a shared gram table saves no gram work — each
     # doc's 8-grams are built in exactly one branch. Filtering doc_id
@@ -162,8 +190,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them per corpus shard — the same once-per-process shape
     # stage() gives the bench here (bounded temp-parquet, not the
     # session-lifetime persist round 2 leaked).
-    grams = lambda docs: docs.select(  # noqa: E731 — tiny local plan fragment
-        "doc_id", F.explode(F.array_distinct(word_grams(w, CONTAM_NGRAM))).alias("gram")
+    grams = lambda docs: docs.selectExpr(  # noqa: E731 — local fragment
+        "doc_id", f"{tokens_sql('text')} AS w"
+    ).selectExpr(
+        "doc_id",
+        f"explode(array_distinct({word_grams_sql('w', CONTAM_NGRAM)}))"
+        " AS gram",
     )
     probe = slot(
         spark,
@@ -232,20 +264,25 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds the most frequent gram's distinct-partition count.
     """
     d = spread_table(spark, sf_dir, "documents")
-    w = tokens("text")
+    toks = d.selectExpr(f"{tokens_sql('text')} AS w")
     parts = []
     for n in (2, 3):
-        grams = d.select(F.explode(word_grams(w, n)).alias("gram"))
+        grams = toks.selectExpr(
+            f"explode({word_grams_sql('w', n)}) AS gram"
+        )
         parts.append(
             grams.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(n).alias("n"), "gram", "cnt")
+            .selectExpr(f"{n} AS n", "gram", "cnt")
         )
     counts = parts[0].unionByName(parts[1])
-    rw = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
     return (
-        counts.withColumn("rnk", F.row_number().over(rw))
-        .filter(F.col("rnk") <= NGRAM_TOPK)
+        counts.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY n"
+            " ORDER BY cnt DESC, gram ASC) AS rnk",
+        )
+        .filter(f"rnk <= {NGRAM_TOPK}")
         .select("n", "gram", "cnt", "rnk")
     )
 
@@ -296,30 +333,26 @@ def duplicate_passage_pairs(
     expensive part — the corpus scan and the text explode), measured
     4.4 s warm vs 1.1 s staged at sf0.1."""
     d = spread_table(spark, sf_dir, "documents")
-    w = tokens("text")
     g = slot(
         spark,
         "passage_windows",
         f"{sf_dir}|{cap}",  # cap changes the staged plan (tests pin tiny caps)
-        lambda: d.select(
+        lambda: d.selectExpr("doc_id", f"{tokens_sql('text')} AS w")
+        .selectExpr(
             "doc_id",
-            F.explode(word_grams(w, PASSAGE_NGRAM)).alias("gram"),
+            f"explode({word_grams_sql('w', PASSAGE_NGRAM)}) AS gram",
         )
-        .select("doc_id", F.sha2("gram", 256).alias("gh"))
+        .selectExpr("doc_id", "sha2(gram, 256) AS gh")
         .distinct()
-        .withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("gh"))
-        )
-        .filter(F.col("df") <= cap)
+        .selectExpr("*", "count(1) OVER (PARTITION BY gh) AS df")
+        .filter(f"df <= {cap}")
         .drop("df"),
     )
+    gb = g.selectExpr("doc_id AS doc_b", "gh")
     return (
-        g.alias("a")
-        .join(g.alias("b"), ["gh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        g.join(gb, "gh")
+        .filter("doc_id < doc_b")
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_windows"))
         .filter(F.col("shared_windows") >= min_shared)
     )
@@ -447,53 +480,51 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k windows over |terms| small partitions.
     """
     d = spread_table(spark, sf_dir, "documents")
-    w = tokens("text")
+    tfs = ", ".join(
+        f"named_struct('term', '{t}', 'tf',"
+        f" size(filter(w, x -> x = '{t}')))"
+        for t in BM25_TERMS
+    )
     per_doc = slot(
         spark,
         "bm25_doc_stats",
         sf_dir,
-        lambda: d.select(
-            "doc_id",
-            F.size(w).alias("dl"),
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("term"),
-                        F.size(F.filter(w, lambda x: x == t)).alias("tf"),
-                    )
-                    for t in BM25_TERMS
-                ]
-            ).alias("tfs"),
-        ),
+        lambda: d.selectExpr(
+            "doc_id", f"{tokens_sql('text')} AS w"
+        ).selectExpr("doc_id", "size(w) AS dl", f"array({tfs}) AS tfs"),
     )
     tf = (
-        per_doc.select("doc_id", "dl", F.explode("tfs").alias("t"))
-        .select("doc_id", "dl", "t.term", F.col("t.tf").alias("tf"))
-        .filter(F.col("tf") > 0)
+        per_doc.selectExpr("doc_id", "dl", "explode(tfs) AS t")
+        .selectExpr("doc_id", "dl", "t.term", "t.tf AS tf")
+        .filter("tf > 0")
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     )
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    # SQL twin of the Column score chain with the IDENTICAL literal
+    # folds Python produced (1 - B pre-folds to 0.25; D-suffixed
+    # literals stay DOUBLE — bare SQL decimals would become DECIMAL
+    # and change the arithmetic)
     score = (
-        F.ln(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * (F.col("tf") * (BM25_K1 + 1))
-        / (
-            F.col("tf")
-            + BM25_K1 * (1 - BM25_B + BM25_B * (F.col("dl") / avgdl))
-        )
+        "ln(1 + (n_docs - df + 0.5D) / (df + 0.5D))"
+        f" * (tf * {BM25_K1 + 1!r}D)"
+        f" / (tf + {BM25_K1!r}D * ({1 - BM25_B!r}D + {BM25_B!r}D"
+        " * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))"
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", "term", "tf", F.round(score, 4).alias("score"))
+        .selectExpr("doc_id", "term", "tf", f"round({score}, 4) AS score")
     )
-    rw = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(rw))
-        .filter(F.col("rnk") <= BM25_TOPK)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY term"
+            " ORDER BY score DESC, doc_id ASC) AS rnk",
+        )
+        .filter(f"rnk <= {BM25_TOPK}")
         .select("term", "doc_id", "tf", "score", "rnk")
     )
 
@@ -565,19 +596,22 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact sums the curation pipeline uses. At 100 TB: two
     scans of a two-column projection + a |sources|-row broadcast.
     """
+    from mapreduceapp_spark.functions.text import token_count_sql
+    from mapreduceapp_spark.operators.curation import hash_bucket_sql
+
     d = spread_table(spark, sf_dir, "documents")
-    doc_tok = d.select(
-        "doc_id",
-        "source",
-        F.size(tokens("text")).alias("ntok"),
+    doc_tok = d.selectExpr(
+        "doc_id", "source", f"{token_count_sql('text')} AS ntok"
     )
     per_src = doc_tok.groupBy("source").agg(
         F.sum("ntok").alias("src_tok")
-    ).withColumn(
-        "w",
+    ).selectExpr(
+        "source",
+        "src_tok",
         # unbounded substring + try_cast: stays aligned with the
         # oracle twin for arbitrary-length / non-numeric suffixes
-        1 + F.coalesce(F.expr("try_cast(substring(source, 4) as bigint)"), F.lit(0)) % 3,
+        "1 + coalesce(try_cast(substring(source, 4) AS BIGINT), 0) % 3"
+        " AS w",
     )
     totals = per_src.agg(
         F.sum("src_tok").alias("total_tok"), F.sum("w").alias("sum_w")
@@ -586,9 +620,9 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_tok.join(F.broadcast(per_src), "source")
         .crossJoin(F.broadcast(totals))
         .filter(
-            hash_bucket(F.col("doc_id"), MIX_BUCKETS, "mix:")
-            * F.col("src_tok") * MIX_BUDGET_DEN * F.col("sum_w")
-            < F.lit(MIX_BUCKETS) * F.col("w") * F.col("total_tok") * MIX_BUDGET_NUM
+            f"{hash_bucket_sql('doc_id', MIX_BUCKETS, 'mix:')}"
+            f" * src_tok * {MIX_BUDGET_DEN} * sum_w"
+            f" < {MIX_BUCKETS} * w * total_tok * {MIX_BUDGET_NUM}"
         )
     )
     return kept.groupBy("source").agg(
@@ -634,14 +668,21 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     other per-doc quality signals.
     """
     d = spread_table(spark, sf_dir, "documents")
-    grams = word_grams(tokens("text"), REP_NGRAM)
-    n = F.size(grams)
-    nd = F.size(F.array_distinct(grams))
-    return d.select(
-        "doc_id",
-        n.alias("n_grams"),
-        nd.alias("n_distinct"),
-        F.when((n - nd) * 100 > n * REP_MAX_PCT, 1).otherwise(0).alias("repetitive"),
+    g = word_grams_sql("w", REP_NGRAM)
+    return (
+        d.selectExpr("doc_id", f"{tokens_sql('text')} AS w")
+        .selectExpr(
+            "doc_id",
+            f"size({g}) AS n_grams",
+            f"size(array_distinct({g})) AS n_distinct",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            f"IF((n_grams - n_distinct) * 100 > n_grams * {REP_MAX_PCT},"
+            " 1, 0) AS repetitive",
+        )
     )
 
 
@@ -694,40 +735,44 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the per-shard summary (count, first doc, max order
     key) — the observable a loader manifest needs.
     """
+    from mapreduceapp_spark.operators.curation import hash_bucket_sql
+
     d = tables(spark, sf_dir).documents
-    ordered = d.select(
-        "doc_id", hash_bucket(F.col("doc_id"), 4096, "order:").alias("ord_key")
+    ordered = d.selectExpr(
+        "doc_id", f"{hash_bucket_sql('doc_id', 4096, 'order:')} AS ord_key"
     )
     # (1) per-key offsets: tiny aggregate; the unpartitioned window
     # below runs over <=4096 rows, not the corpus
     key_counts = ordered.groupBy("ord_key").agg(F.count(F.lit(1)).alias("kc"))
-    off_w = Window.orderBy("ord_key").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = key_counts.select(
-        "ord_key", (F.sum("kc").over(off_w) - F.col("kc")).alias("off")
+    offsets = key_counts.selectExpr(
+        "ord_key",
+        "sum(kc) OVER (ORDER BY ord_key ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) - kc AS off",
     )
     n_total = ordered.agg(F.count(F.lit(1)).alias("n")).select("n")
     # (2) within-key rank: partitioned window, scales horizontally
-    in_key = Window.partitionBy("ord_key").orderBy("doc_id")
     ranked = (
-        ordered.withColumn("krn", F.row_number().over(in_key))
+        ordered.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY ord_key ORDER BY doc_id)"
+            " AS krn",
+        )
         .join(F.broadcast(offsets), "ord_key")
-        .withColumn("rn", F.col("off") + F.col("krn"))
+        .selectExpr("*", "(off + krn) AS rn")
         .crossJoin(F.broadcast(n_total))
     )
     # ntile(k) semantics from exact ints: first N%k shards take
     # ceil(N/k) rows, the rest floor(N/k); floor-division via
     # floor(double) is exact at these magnitudes (<2^53)
-    nbig = F.col("n") % SHARD_COUNT
-    smallsz = F.floor(F.col("n") / SHARD_COUNT)
-    bigsz = smallsz + 1
-    cut = nbig * bigsz
-    shard = F.when(
-        F.col("rn") <= cut, F.floor((F.col("rn") - 1) / bigsz) + 1
-    ).otherwise(nbig + F.floor((F.col("rn") - 1 - cut) / smallsz) + 1)
+    k = SHARD_COUNT
+    bigsz = f"(floor(n / {k}) + 1)"
+    cut = f"((n % {k}) * {bigsz})"
+    shard = (
+        f"CASE WHEN rn <= {cut} THEN floor((rn - 1) / {bigsz}) + 1"
+        f" ELSE n % {k} + floor((rn - 1 - {cut}) / floor(n / {k})) + 1 END"
+    )
     return (
-        ranked.withColumn("shard", shard.cast("bigint"))
+        ranked.selectExpr("*", f"CAST({shard} AS BIGINT) AS shard")
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -835,14 +880,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk class, verified clean at every test scale).
     """
     d = spread_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    toks = d.selectExpr("doc_id", f"explode({tokens_sql('text')}) AS w")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     tot = counts.agg(F.sum("cnt").alias("total"))
-    lp = counts.crossJoin(F.broadcast(tot)).select(
+    lp = counts.crossJoin(F.broadcast(tot)).selectExpr(
         "w",
-        F.round(F.ln(F.col("cnt") / F.col("total")) * UNIGRAM_LP_MICRO)
-        .cast("long")
-        .alias("lp_w"),
+        f"CAST(round(ln(cnt / total) * {UNIGRAM_LP_MICRO}) AS BIGINT)"
+        " AS lp_w",
     )
     per_doc = toks.join(lp, "w").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_toks"),
@@ -853,20 +897,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q = a/b in 1e-4 units — see the UNIGRAM_LP_MICRO note. DIV is
     # integer division on longs in both engines; operands are kept
     # non-negative so truncation direction can't differ.
-    return per_doc.select(
+    return per_doc.selectExpr(
         "doc_id",
         "n_toks",
-        (
-            F.expr(
-                f"CASE WHEN sum_lp < 0 THEN -1 ELSE 1 END"
-                f" * ((2 * abs(sum_lp) + n_toks * {scale})"
-                f" DIV (2 * n_toks * {scale}))"
-            )
-            / F.lit(10000.0)
-        ).alias("avg_lp"),
-        (F.col("sum_lp") >= F.lit(UNIGRAM_KEEP_MICRO) * F.col("n_toks"))
-        .cast("int")
-        .alias("keep"),
+        "((CASE WHEN sum_lp < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * abs(sum_lp) + n_toks * {scale})"
+        f" DIV (2 * n_toks * {scale})))"
+        " / CAST(10000 AS DOUBLE)) AS avg_lp",
+        f"CAST(sum_lp >= {UNIGRAM_KEEP_MICRO} * n_toks AS INT) AS keep",
     )
 
 
@@ -954,52 +992,40 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluations, not per row).
     """
     d = spread_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(tokens("text")).alias("w"))
+    toks = d.selectExpr(f"explode({tokens_sql('text')}) AS w")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     topk = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(ZIPF_TOP_K)
-    from pyspark.sql import Window as W
-
-    ranked = topk.select(
+    ranked = topk.selectExpr(
         "cnt",
-        F.row_number()
-        .over(W.orderBy(F.desc("cnt"), F.asc("w")))
-        .alias("rank"),
+        "row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank",
     )
-    dec = "decimal(38,0)"
-    xy = ranked.select(
-        F.round(F.ln("rank") * ZIPF_MICRO).cast("long").alias("x"),
-        F.round(F.ln("cnt") * ZIPF_MICRO).cast("long").alias("y"),
+    dec = "DECIMAL(38,0)"
+    xy = ranked.selectExpr(
+        f"CAST(round(ln(rank) * {ZIPF_MICRO}) AS BIGINT) AS x",
+        f"CAST(round(ln(cnt) * {ZIPF_MICRO}) AS BIGINT) AS y",
     )
     s = xy.agg(
-        F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("sxy"),
-        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+        F.expr(f"CAST(count(1) AS {dec})").alias("n"),
+        F.expr(f"sum(CAST(x AS {dec}))").alias("sx"),
+        F.expr(f"sum(CAST(y AS {dec}))").alias("sy"),
+        F.expr(f"sum(CAST(x AS {dec}) * CAST(y AS {dec}))").alias("sxy"),
+        F.expr(f"sum(CAST(x AS {dec}) * CAST(x AS {dec}))").alias("sxx"),
     )
-    return s.select(
-        F.col("n").cast("long").alias("n_ranked"),
-        (
-            F.expr(
-                "CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
-                " * ((2 * abs(n * sxy - sx * sy) * 10000"
-                "     + (n * sxx - sx * sx))"
-                "    DIV (2 * (n * sxx - sx * sx)))"
-            )
-            / F.lit(10000.0)
-        ).alias("slope"),
-        (
-            F.expr(
-                "CASE WHEN sy * (n * sxx - sx * sx)"
-                "          - (n * sxy - sx * sy) * sx < 0"
-                " THEN -1 ELSE 1 END"
-                " * ((2 * abs(sy * (n * sxx - sx * sx)"
-                "             - (n * sxy - sx * sy) * sx) * 10000"
-                f"     + n * (n * sxx - sx * sx) * {ZIPF_MICRO})"
-                f"    DIV (2 * n * (n * sxx - sx * sx) * {ZIPF_MICRO}))"
-            )
-            / F.lit(10000.0)
-        ).alias("intercept"),
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_ranked",
+        "((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(n * sxy - sx * sy) * 10000"
+        "     + (n * sxx - sx * sx))"
+        "    DIV (2 * (n * sxx - sx * sx))))"
+        " / CAST(10000 AS DOUBLE)) AS slope",
+        "((CASE WHEN sy * (n * sxx - sx * sx)"
+        "          - (n * sxy - sx * sy) * sx < 0"
+        " THEN -1 ELSE 1 END"
+        " * ((2 * abs(sy * (n * sxx - sx * sx)"
+        "             - (n * sxy - sx * sy) * sx) * 10000"
+        f"     + n * (n * sxx - sx * sx) * {ZIPF_MICRO})"
+        f"    DIV (2 * n * (n * sxx - sx * sx) * {ZIPF_MICRO})))"
+        " / CAST(10000 AS DOUBLE)) AS intercept",
     )
 
 
@@ -1039,20 +1065,18 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tables(spark, sf_dir).documents
     s = d.groupBy("source").agg(F.count(F.lit(1)).alias("x"))
-    wall = Window.partitionBy()
-    r = s.select(
+    r = s.selectExpr(
         "x",
-        F.row_number().over(Window.partitionBy().orderBy("x", "source")).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("x").over(wall).alias("tot"),
+        "row_number() OVER (ORDER BY x, source) AS i",
+        "count(1) OVER () AS n",
+        "sum(x) OVER () AS tot",
     )
     return r.agg(
         F.max("n").alias("n_sources"),
         F.max("tot").alias("total_docs"),
-        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).alias("gini_num"),
-        (F.max("n") * F.max("tot")).alias("gini_den"),
-        (
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
-            / (F.max("n") * F.max("tot"))
-        ).alias("gini"),
+        F.expr("sum((2 * i - n - 1) * x)").alias("gini_num"),
+        F.expr("max(n) * max(tot)").alias("gini_den"),
+        F.expr("sum((2 * i - n - 1) * x) / (max(n) * max(tot))").alias(
+            "gini"
+        ),
     )

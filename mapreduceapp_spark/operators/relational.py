@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.numeric import (
@@ -724,8 +724,8 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing: it recomputes both sides and the driver hash pins all
     four columns, including the approx value itself.
     """
-    ev = tables(spark, sf_dir).events.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    ev = tables(spark, sf_dir).events.selectExpr(
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS c"
     )
     dom = F.broadcast(
         ev.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).selectExpr(
@@ -733,9 +733,8 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tagged = ev.unionByName(
-        ev.withColumn("event_type", F.lit("__ALL__"))
+        ev.selectExpr("'__ALL__' AS event_type", "c")
     )
-    n_w = Window.partitionBy("event_type")
     hist_g = (
         ev.crossJoin(dom)
         .selectExpr("event_type", "(c - lo) DIV width AS bucket")
@@ -746,19 +745,16 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = hist_g.unionByName(
         hist_g.groupBy("bucket")
         .agg(F.sum("cnt").alias("cnt"))
-        .withColumn("event_type", F.lit("__ALL__"))
-        .select("event_type", "bucket", "cnt")
+        .selectExpr("'__ALL__' AS event_type", "bucket", "cnt")
     )
-    cum_w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    hist_c = hist.withColumn("cum", F.sum("cnt").over(cum_w)).withColumn(
-        "n", F.sum("cnt").over(n_w)
+    hist_c = hist.selectExpr(
+        "*",
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+        "sum(cnt) OVER (PARTITION BY event_type) AS n",
     )
     apx = (
-        hist_c.filter(F.col("cum") * 2 >= F.col("n"))
+        hist_c.filter("cum * 2 >= n")
         .groupBy("event_type")
         .agg(F.min("bucket").alias("mb"))
     )
@@ -777,39 +773,31 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degeneracy, not a plan property.
     loc = F.broadcast(
         hist_c.join(apx, "event_type")
-        .filter(F.col("bucket") == F.col("mb"))
-        .select(
-            "event_type",
-            "mb",
-            (F.col("cum") - F.col("cnt")).alias("before"),
-            F.expr("(n + 1) DIV 2").alias("r"),
+        .filter("bucket = mb")
+        .selectExpr(
+            "event_type", "mb", "(cum - cnt) AS before", "(n + 1) DIV 2 AS r"
         )
     )
-    rb_w = Window.partitionBy("event_type").orderBy("c")
     med = (
         tagged.crossJoin(dom)
         .selectExpr("event_type", "c", "(c - lo) DIV width AS bucket")
         .join(loc, "event_type")
-        .filter(F.col("bucket") == F.col("mb"))
-        .withColumn("rb", F.row_number().over(rb_w))
-        .filter(F.col("rb") == F.col("r") - F.col("before"))
-        .select("event_type", F.col("c").alias("exact_median_cents"))
-    )
-    approx = F.col("lo") + F.col("mb") * F.col("width") + F.expr(
-        "width DIV 2"
+        .filter("bucket = mb")
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY event_type ORDER BY c) AS rb",
+        )
+        .filter("rb = r - before")
+        .selectExpr("event_type", "c AS exact_median_cents")
     )
     return (
         med.join(apx, "event_type")
         .crossJoin(dom)
-        .select(
+        .selectExpr(
             "event_type",
             "exact_median_cents",
-            approx.alias("approx_median_cents"),
-            (
-                F.abs(approx - F.col("exact_median_cents"))
-                <= F.col("width")
-            )
-            .cast("int")
-            .alias("err_le_width"),
+            "(lo + mb * width + width DIV 2) AS approx_median_cents",
+            "CAST(abs(lo + mb * width + width DIV 2"
+            " - exact_median_cents) <= width AS INT) AS err_le_width",
         )
     )

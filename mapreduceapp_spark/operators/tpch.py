@@ -58,10 +58,28 @@ def _rev():
     ).alias("rev_x10000")
 
 
-def _rev_sum(alias: str = "revenue"):
+# SQL-string twins (r18 §4): every builder below constructs its whole
+# projection/filter chain as selectExpr strings — one py4j round-trip
+# per projection instead of one per Column op (the module's builders
+# measured 500-1,050 round-trips each). Identical casts and operation
+# order; the 10000.0 divisor is written CAST(10000 AS DOUBLE) because
+# a bare SQL float literal is DECIMAL, which would change the result
+# type the Column form (F.lit(10000.0), a double) produces.
+_REV_SQL = (
+    "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_x10000"
+)
+
+
+def _rev_sum_sql(alias: str = "revenue") -> str:
     return (
-        F.sum(F.col("rev_x10000").cast("decimal(38,0)")) / F.lit(10000.0)
-    ).alias(alias)
+        "sum(CAST(rev_x10000 AS DECIMAL(38,0)))"
+        f" / CAST(10000 AS DOUBLE) AS {alias}"
+    )
+
+
+def _rev_sum(alias: str = "revenue"):
+    return F.expr(_rev_sum_sql(alias).rsplit(" AS ", 1)[0]).alias(alias)
 
 
 def _oracle_rev(l: str = "l") -> str:
@@ -108,15 +126,15 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     ords = t.orders.filter(
-        (F.col("o_orderdate") >= F.lit(Q4_LO).cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit(Q4_HI).cast("timestamp"))
+        f"o_orderdate >= TIMESTAMP '{Q4_LO}'"
+        f" AND o_orderdate < TIMESTAMP '{Q4_HI}'"
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     last_ship = t.lineitem.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("max_ship")
     )
     return (
-        ords.join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("max_ship") > F.col("o_orderdate"))
+        ords.join(last_ship, F.expr("o_orderkey = l_orderkey"))
+        .filter("max_ship > o_orderdate")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
@@ -159,26 +177,25 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer test everywhere.
     """
     t = tables(spark, sf_dir)
-    disc_x100 = F.round(F.col("l_discount") * 100).cast("long")
     return (
         t.lineitem.filter(
-            (F.col("l_shipdate") >= F.lit(Q6_LO).cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(Q6_HI).cast("timestamp"))
-            & (F.col("l_quantity") < Q6_QTY_MAX)
+            f"l_shipdate >= TIMESTAMP '{Q6_LO}'"
+            f" AND l_shipdate < TIMESTAMP '{Q6_HI}'"
+            f" AND l_quantity < {Q6_QTY_MAX}"
         )
         .filter(
-            disc_x100.between(Q6_DISC_LO_X100, Q6_DISC_HI_X100)
+            "CAST(round(l_discount * 100) AS BIGINT)"
+            f" BETWEEN {Q6_DISC_LO_X100} AND {Q6_DISC_HI_X100}"
         )
-        .select(
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * disc_x100
-            ).alias("disc_rev_x10000")
+        .selectExpr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * CAST(round(l_discount * 100) AS BIGINT))"
+            " AS disc_rev_x10000"
         )
         .agg(
-            (
-                F.sum(F.col("disc_rev_x10000").cast("decimal(38,0)"))
-                / F.lit(10000.0)
+            F.expr(
+                "sum(CAST(disc_rev_x10000 AS DECIMAL(38,0)))"
+                " / CAST(10000 AS DOUBLE)"
             ).alias("revenue")
         )
     )
@@ -223,35 +240,31 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     two = t.nation.filter(
-        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+        f"n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')"
     ).select("n_nationkey", "n_name")
     supp = t.supplier.join(
-        F.broadcast(two.withColumnRenamed("n_name", "supp_nation")),
-        F.col("s_nationkey") == F.col("n_nationkey"),
+        F.broadcast(two.selectExpr("n_nationkey", "n_name AS supp_nation")),
+        F.expr("s_nationkey = n_nationkey"),
     ).select("s_suppkey", "supp_nation")
     cust = t.customer.join(
-        F.broadcast(
-            two.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
-                "n_nationkey", "cn_key"
-            )
-        ),
-        F.col("c_nationkey") == F.col("cn_key"),
+        F.broadcast(two.selectExpr("n_nationkey AS cn_key", "n_name AS cust_nation")),
+        F.expr("c_nationkey = cn_key"),
     ).select("c_custkey", "cust_nation")
     li = t.lineitem.filter(
-        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q7_HI).cast("timestamp"))
-    ).select("l_orderkey", "l_suppkey", "l_shipdate", _rev())
+        f"l_shipdate >= TIMESTAMP '{Q7_LO}'"
+        f" AND l_shipdate < TIMESTAMP '{Q7_HI}'"
+    ).selectExpr("l_orderkey", "l_suppkey", "l_shipdate", _REV_SQL)
     oc = t.orders.select("o_orderkey", "o_custkey").join(
-        cust, F.col("o_custkey") == F.col("c_custkey")
+        cust, F.expr("o_custkey = c_custkey")
     )
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        li.join(F.broadcast(supp), F.expr("l_suppkey = s_suppkey"))
+        .join(oc, F.expr("l_orderkey = o_orderkey"))
+        .filter("supp_nation != cust_nation")
         .groupBy(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            F.expr("year(l_shipdate)").alias("l_year"),
         )
         .agg(_rev_sum())
     )
@@ -314,47 +327,50 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     asia_nations = (
         t.nation.join(
-            F.broadcast(t.region.filter(F.col("r_name") == Q8_REGION)),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        ).select(F.col("n_nationkey").alias("cust_nkey"))
+            F.broadcast(t.region.filter(f"r_name = '{Q8_REGION}'")),
+            F.expr("n_regionkey = r_regionkey"),
+        ).selectExpr("n_nationkey AS cust_nkey")
     )
     cust = t.customer.join(
-        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cust_nkey")
+        F.broadcast(asia_nations), F.expr("c_nationkey = cust_nkey")
     ).select("c_custkey")
     supp = t.supplier.join(
         F.broadcast(
-            t.nation.select(
-                F.col("n_nationkey").alias("supp_nkey"),
-                F.col("n_name").alias("supp_nation"),
+            t.nation.selectExpr(
+                "n_nationkey AS supp_nkey", "n_name AS supp_nation"
             )
         ),
-        F.col("s_nationkey") == F.col("supp_nkey"),
+        F.expr("s_nationkey = supp_nkey"),
     ).select("s_suppkey", "supp_nation")
-    pk = t.part.filter(F.col("p_type") == Q8_PART_TYPE).select("p_partkey")
+    pk = t.part.filter(f"p_type = '{Q8_PART_TYPE}'").select("p_partkey")
     oc = (
         t.orders.select("o_orderkey", "o_custkey", "o_orderdate")
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
+        .selectExpr("o_orderkey", "year(o_orderdate) AS o_year")
     )
-    li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", _rev())
+    li = t.lineitem.selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", _REV_SQL
+    )
     vol = (
-        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(F.broadcast(pk), F.expr("l_partkey = p_partkey"))
+        .join(F.broadcast(supp), F.expr("l_suppkey = s_suppkey"))
+        .join(oc, F.expr("l_orderkey = o_orderkey"))
     )
-    dec = "decimal(38,0)"
-    target = F.when(
-        F.col("supp_nation") == Q8_TARGET_NATION, F.col("rev_x10000")
-    ).otherwise(F.lit(0))
+    target = (
+        f"CASE WHEN supp_nation = '{Q8_TARGET_NATION}'"
+        " THEN rev_x10000 ELSE 0 END"
+    )
     return vol.groupBy("o_year").agg(
-        (
-            F.sum(target.cast(dec)).cast("double")
-            / F.sum(F.col("rev_x10000").cast(dec)).cast("double")
+        F.expr(
+            f"CAST(sum(CAST({target} AS DECIMAL(38,0))) AS DOUBLE)"
+            " / CAST(sum(CAST(rev_x10000 AS DECIMAL(38,0))) AS DOUBLE)"
         ).alias("mkt_share"),
-        (F.sum(target.cast(dec)) / F.lit(10000.0)).alias("nation_rev"),
-        (F.sum(F.col("rev_x10000").cast(dec)) / F.lit(10000.0)).alias(
-            "total_rev"
-        ),
+        F.expr(
+            f"sum(CAST({target} AS DECIMAL(38,0))) / CAST(10000 AS DOUBLE)"
+        ).alias("nation_rev"),
+        F.expr(
+            "sum(CAST(rev_x10000 AS DECIMAL(38,0))) / CAST(10000 AS DOUBLE)"
+        ).alias("total_rev"),
     )
 
 
@@ -393,25 +409,22 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-fact shuffle is lineitem⋈orders for the order year.
     """
     t = tables(spark, sf_dir)
-    pk = t.part.filter(F.col("p_name").like(f"%{Q9_NAME_WORD}%")).select(
-        "p_partkey"
-    )
+    pk = t.part.filter(f"p_name LIKE '%{Q9_NAME_WORD}%'").select("p_partkey")
     supp = t.supplier.join(
         F.broadcast(
-            t.nation.select(
-                F.col("n_nationkey").alias("sn_key"),
-                F.col("n_name").alias("nation"),
-            )
+            t.nation.selectExpr("n_nationkey AS sn_key", "n_name AS nation")
         ),
-        F.col("s_nationkey") == F.col("sn_key"),
+        F.expr("s_nationkey = sn_key"),
     ).select("s_suppkey", "nation")
-    li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", _rev())
+    li = t.lineitem.selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", _REV_SQL
+    )
     return (
-        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(F.broadcast(pk), F.expr("l_partkey = p_partkey"))
+        .join(F.broadcast(supp), F.expr("l_suppkey = s_suppkey"))
         .join(
-            t.orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+            t.orders.selectExpr("o_orderkey", "year(o_orderdate) AS o_year"),
+            F.expr("l_orderkey = o_orderkey"),
         )
         .groupBy("nation", "o_year")
         .agg(_rev_sum("profit"))
@@ -458,31 +471,27 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     ords = t.orders.filter(
-        (F.col("o_orderdate") >= F.lit(Q10_LO).cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit(Q10_HI).cast("timestamp"))
+        f"o_orderdate >= TIMESTAMP '{Q10_LO}'"
+        f" AND o_orderdate < TIMESTAMP '{Q10_HI}'"
     ).select("o_orderkey", "o_custkey")
-    li = t.lineitem.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", _rev()
+    li = t.lineitem.filter("l_returnflag = 'R'").selectExpr(
+        "l_orderkey", _REV_SQL
     )
     per_cust = (
-        ords.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        ords.join(li, F.expr("o_orderkey = l_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum(F.col("rev_x10000").cast("decimal(38,0)")).alias("rx"))
+        .agg(F.expr("sum(CAST(rev_x10000 AS DECIMAL(38,0)))").alias("rx"))
     )
-    nat = t.nation.select(
-        F.col("n_nationkey").alias("cn_key"), "n_name"
-    )
+    nat = t.nation.selectExpr("n_nationkey AS cn_key", "n_name")
     return (
-        per_cust.join(
-            t.customer, F.col("o_custkey") == F.col("c_custkey")
-        )
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("cn_key"))
-        .select(
+        per_cust.join(t.customer, F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(nat), F.expr("c_nationkey = cn_key"))
+        .selectExpr(
             "c_custkey",
             "c_name",
             "c_acctbal",
             "n_name",
-            (F.col("rx") / F.lit(10000.0)).alias("revenue"),
+            "(rx / CAST(10000 AS DOUBLE)) AS revenue",
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(Q10_TOP_N)
@@ -528,21 +537,24 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     li = t.lineitem.filter(
-        (F.col("l_shipdate") >= F.lit(Q12_LO).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q12_HI).cast("timestamp"))
+        f"l_shipdate >= TIMESTAMP '{Q12_LO}'"
+        f" AND l_shipdate < TIMESTAMP '{Q12_HI}'"
     ).select("l_orderkey", "l_shipdate", "l_linestatus")
     ords = t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    high = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
     return (
-        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(ords, F.expr("l_orderkey = o_orderkey"))
         .filter(
-            F.col("l_shipdate")
-            >= F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+            f"l_shipdate >= o_orderdate + INTERVAL {Q12_LATE_DAYS} DAYS"
         )
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            F.expr(f"sum(CASE WHEN {high} THEN 1 ELSE 0 END)").alias(
+                "high_line_count"
+            ),
+            F.expr(f"sum(CASE WHEN {high} THEN 0 ELSE 1 END)").alias(
+                "low_line_count"
+            ),
         )
     )
 
@@ -585,25 +597,29 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash check pins the integers)."""
     t = tables(spark, sf_dir)
     li = t.lineitem.filter(
-        (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
-    ).select("l_partkey", _rev())
+        f"l_shipdate >= TIMESTAMP '{Q14_LO}'"
+        f" AND l_shipdate < TIMESTAMP '{Q14_HI}'"
+    ).selectExpr("l_partkey", _REV_SQL)
     ptype = t.part.select("p_partkey", "p_type")
-    dec = "decimal(38,0)"
-    promo = F.when(
-        F.col("p_type") == Q14_PROMO_TYPE, F.col("rev_x10000")
-    ).otherwise(F.lit(0))
+    promo = (
+        f"CASE WHEN p_type = '{Q14_PROMO_TYPE}'"
+        " THEN rev_x10000 ELSE 0 END"
+    )
     return (
-        li.join(F.broadcast(ptype), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(F.broadcast(ptype), F.expr("l_partkey = p_partkey"))
         .agg(
-            (
-                F.lit(100.0)
-                * F.sum(promo.cast(dec)).cast("double")
-                / F.sum(F.col("rev_x10000").cast(dec)).cast("double")
+            F.expr(
+                "CAST(100 AS DOUBLE)"
+                f" * CAST(sum(CAST({promo} AS DECIMAL(38,0))) AS DOUBLE)"
+                " / CAST(sum(CAST(rev_x10000 AS DECIMAL(38,0))) AS DOUBLE)"
             ).alias("promo_pct"),
-            (F.sum(promo.cast(dec)) / F.lit(10000.0)).alias("promo_rev"),
-            (
-                F.sum(F.col("rev_x10000").cast(dec)) / F.lit(10000.0)
+            F.expr(
+                f"sum(CAST({promo} AS DECIMAL(38,0)))"
+                " / CAST(10000 AS DOUBLE)"
+            ).alias("promo_rev"),
+            F.expr(
+                "sum(CAST(rev_x10000 AS DECIMAL(38,0)))"
+                " / CAST(10000 AS DOUBLE)"
             ).alias("total_rev"),
         )
     )
@@ -650,21 +666,21 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     rev = (
         t.lineitem.filter(
-            (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+            f"l_shipdate >= TIMESTAMP '{Q15_LO}'"
+            f" AND l_shipdate < TIMESTAMP '{Q15_HI}'"
         )
-        .select("l_suppkey", _rev())
+        .selectExpr("l_suppkey", _REV_SQL)
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("rev_x10000").cast("decimal(38,0)")).alias("rx"))
+        .agg(F.expr("sum(CAST(rev_x10000 AS DECIMAL(38,0)))").alias("rx"))
     )
     mx = rev.agg(F.max("rx").alias("mx"))
     return (
-        rev.join(F.broadcast(mx), F.col("rx") == F.col("mx"))
-        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
+        rev.join(F.broadcast(mx), F.expr("rx = mx"))
+        .join(t.supplier, F.expr("l_suppkey = s_suppkey"))
+        .selectExpr(
             "s_suppkey",
             "s_name",
-            (F.col("rx") / F.lit(10000.0)).alias("total_revenue"),
+            "(rx / CAST(10000 AS DOUBLE)) AS total_revenue",
         )
     )
 
@@ -712,24 +728,16 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join + map-side ungrouped aggregate).
     """
     t = tables(spark, sf_dir)
-    part_pred = None
-    for brand, size_lo, size_hi, _, _ in Q19_BRANCHES:
-        c = (F.col("p_brand") == brand) & F.col("p_size").between(
-            size_lo, size_hi
-        )
-        part_pred = c if part_pred is None else (part_pred | c)
-    parts = t.part.filter(part_pred).select("p_partkey", "p_brand", "p_size")
-    li = t.lineitem.select("l_partkey", "l_quantity", _rev())
-    joined = li.join(
-        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    part_pred = " OR ".join(
+        f"(p_brand = '{brand}' AND p_size BETWEEN {size_lo} AND {size_hi})"
+        for brand, size_lo, size_hi, _, _ in Q19_BRANCHES
     )
-    full = None
-    for brand, size_lo, size_hi, qty_lo, qty_hi in Q19_BRANCHES:
-        c = (
-            (F.col("p_brand") == brand)
-            & F.col("p_size").between(size_lo, size_hi)
-            & (F.col("l_quantity") >= qty_lo)
-            & (F.col("l_quantity") <= qty_hi)
-        )
-        full = c if full is None else (full | c)
+    parts = t.part.filter(part_pred).select("p_partkey", "p_brand", "p_size")
+    li = t.lineitem.selectExpr("l_partkey", "l_quantity", _REV_SQL)
+    joined = li.join(F.broadcast(parts), F.expr("l_partkey = p_partkey"))
+    full = " OR ".join(
+        f"(p_brand = '{brand}' AND p_size BETWEEN {size_lo} AND {size_hi}"
+        f" AND l_quantity >= {qty_lo} AND l_quantity <= {qty_hi})"
+        for brand, size_lo, size_hi, qty_lo, qty_hi in Q19_BRANCHES
+    )
     return joined.filter(full).agg(_rev_sum())

@@ -163,6 +163,42 @@ def test_band_key_sql_form_matches_column_form(spark, sf_dir):
     assert _rows(old) == _rows(new)
 
 
+def test_word_grams_sql_matches_column_form(spark):
+    from mapreduceapp_spark.functions.text import tokens_sql
+    from mapreduceapp_spark.operators.llmprep import (
+        word_grams,
+        word_grams_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c d e f g h i j",), ("x y",), ("",), ("one",)],
+        "text string",
+    )
+    base = df.selectExpr(f"{tokens_sql('text')} AS w")
+    for n in (2, 3, 8, 16):
+        old = base.select(word_grams(F.col("w"), n).alias("g"))
+        new = base.selectExpr(f"{word_grams_sql('w', n)} AS g")
+        assert old.schema == new.schema, n
+        assert old.collect() == new.collect(), n
+
+
+def test_hash_bucket_sql_matches_column_form(spark, sf_dir):
+    from mapreduceapp_spark.operators.curation import (
+        hash_bucket,
+        hash_bucket_sql,
+    )
+
+    d = tables(spark, sf_dir).documents.limit(200)
+    old = d.select(
+        "doc_id", hash_bucket(F.col("doc_id"), 4096, "order:").alias("b")
+    )
+    new = d.selectExpr(
+        "doc_id", f"{hash_bucket_sql('doc_id', 4096, 'order:')} AS b"
+    )
+    assert old.schema == new.schema
+    assert _rows(old) == _rows(new)
+
+
 def test_pq_sub_dist_sql_matches_column_form(spark, sf_dir):
     e = S._quantized(spark, sf_dir)
     cent_m = S._pq_centroid_slices(e, 8, 7)
