@@ -279,26 +279,28 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scanned twice but never shuffled. With a handful of types the
     stats side is O(types) rows at any SF.
     """
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — local widener
-    ev = tables(spark, sf_dir).events.select(
+    ev = tables(spark, sf_dir).events.selectExpr(
         "event_id",
         "event_type",
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+        "CAST(round(value * 100) AS BIGINT) AS v",
     )
     st = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),
         # square in decimal BEFORE summing: v^2 ~ 1e8 per row, so an
         # int64 sum overflows past ~1e11 rows/group — real at 100 TB
-        F.sum((F.col("v") * F.col("v")).cast("decimal(30,0)")).alias("q"),
+        F.expr("sum(CAST(v * v AS DECIMAL(30,0)))").alias("q"),
     )
     j = ev.join(F.broadcast(st), "event_type")
-    dev = dec(F.col("n") * F.col("v")) - dec(F.col("s"))
-    spread = dec(F.col("n")) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s"))
-    return j.filter((dev * dev) > (F.lit(9).cast("decimal(38,0)") * spread)).select(
-        "event_id", "event_type", "value"
+    dev = "(CAST(n * v AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)))"
+    spread = (
+        "(CAST(n AS DECIMAL(38,0)) * q"
+        " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
     )
+    return j.filter(
+        f"({dev} * {dev}) > (CAST(9 AS DECIMAL(38,0)) * {spread})"
+    ).select("event_id", "event_type", "value")
 
 
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -354,29 +356,31 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependence.
     """
     ev = tables(spark, sf_dir).events.select("user_id", "ts", "event_type")
-    w = Window.partitionBy("user_id")
-    stage_min = lambda typ, after: F.min(  # noqa: E731 — local helper
-        F.when(
-            (F.col("event_type") == typ)
-            & (F.lit(True) if after is None else F.col("ts") >= F.col(after)),
-            F.col("ts"),
+    over = "OVER (PARTITION BY user_id)"
+    s3 = (
+        ev.selectExpr(
+            "*",
+            f"min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' AND true"
+            f" THEN ts END) {over} AS t1",
         )
-    ).over(w)
-    s1 = ev.withColumn("t1", stage_min(FUNNEL_STAGES[0], None))
-    s2 = s1.withColumn("t2", stage_min(FUNNEL_STAGES[1], "t1"))
-    s3 = s2.withColumn("t3", stage_min(FUNNEL_STAGES[2], "t2"))
-    depth = (
-        F.when(F.col("t1").isNull(), 0)
-        .when(F.col("t2").isNull(), 1)
-        .when(F.col("t3").isNull(), 2)
-        .otherwise(3)
+        .selectExpr(
+            "*",
+            f"min(CASE WHEN event_type = '{FUNNEL_STAGES[1]}'"
+            f" AND ts >= t1 THEN ts END) {over} AS t2",
+        )
+        .selectExpr(
+            "*",
+            f"min(CASE WHEN event_type = '{FUNNEL_STAGES[2]}'"
+            f" AND ts >= t2 THEN ts END) {over} AS t3",
+        )
     )
-    return (
-        s3.groupBy("user_id")
-        .agg(
-            F.first(depth).alias("funnel_depth"),
-            F.first("t1").alias("first_view_ts"),
-        )
+    depth = (
+        "CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1"
+        " WHEN t3 IS NULL THEN 2 ELSE 3 END"
+    )
+    return s3.groupBy("user_id").agg(
+        F.expr(f"first({depth})").alias("funnel_depth"),
+        F.first("t1").alias("first_view_ts"),
     )
 
 

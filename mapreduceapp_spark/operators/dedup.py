@@ -1053,17 +1053,25 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pre-staging this was a separate plain-shingle derivation so the
     # signature work wasn't recomputed per branch; with the table
     # staged, one combined pass serves every branch)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = sh.selectExpr("doc_id AS doc_a", "sh AS sh_a")
+    sb = sh.selectExpr("doc_id AS doc_b", "sh AS sh_b")
     verified = (
         est.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "uni", F.size("sh_a") + F.size("sh_b") - F.col("inter")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "size(array_intersect(sh_a, sh_b)) AS inter",
+            "sh_a",
+            "sh_b",
         )
-        .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
-        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "(size(sh_a) + size(sh_b) - inter) AS uni",
+        )
+        .filter(f"CAST(inter AS DOUBLE) / uni >= {JACCARD_THRESHOLD}")
     )
     return verified.select(
         "doc_a", "doc_b", "inter", "uni", _int_round4("inter", "uni").alias("jac")
@@ -1131,34 +1139,29 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _doc_shingles_with_minhash(spark, sf_dir),
     )
-    is_new = (F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE
+    new_pred = f"doc_id % {INCR_BATCH_MOD} >= {INCR_BATCH_RESIDUE}"
     corpus_bands = _capped_band_entries(
-        _minhash_band_entries(sh.filter(~is_new)), ["band_key"], LSH_BUCKET_CAP
+        _minhash_band_entries(sh.filter(f"NOT ({new_pred})")),
+        ["band_key"],
+        LSH_BUCKET_CAP,
+    ).selectExpr("doc_id AS corpus_doc", "band_key")
+    batch_bands = _minhash_band_entries(sh.filter(new_pred)).selectExpr(
+        "doc_id AS new_doc", "band_key"
     )
-    batch_bands = _minhash_band_entries(sh.filter(is_new))
-    cand = (
-        batch_bands.alias("b")
-        .join(corpus_bands.alias("c"), ["band_key"])
-        .select(
-            F.col("c.doc_id").alias("corpus_doc"),
-            F.col("b.doc_id").alias("new_doc"),
-        )
+    cand = batch_bands.join(corpus_bands, "band_key").select(
+        "corpus_doc", "new_doc"
     )
-    sig_c = sh.select(F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c"))
-    sig_n = sh.select(F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n"))
+    sig_c = sh.selectExpr("doc_id AS corpus_doc", "sig AS sig_c")
+    sig_n = sh.selectExpr("doc_id AS new_doc", "sig AS sig_n")
     est = (
         cand.join(sig_c, "corpus_doc")
         .join(sig_n, "new_doc")
         .withColumn(
             "sig_agree",
-            F.aggregate(
-                F.zip_with(
-                    "sig_c",
-                    "sig_n",
-                    lambda x, y: F.when(x == y, 1).otherwise(0),
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
+            F.expr(
+                "aggregate(zip_with(sig_c, sig_n,"
+                " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+                " 0, (acc, x) -> acc + x)"
             ),
         )
         .filter(F.col("sig_agree") >= MINHASH_PERMS // 2)
@@ -1168,15 +1171,25 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("corpus_doc", "new_doc")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c"))
-    sb = sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n"))
+    sa = sh.selectExpr("doc_id AS corpus_doc", "sh AS sh_c")
+    sb = sh.selectExpr("doc_id AS new_doc", "sh AS sh_n")
     return (
         est.join(sa, "corpus_doc")
         .join(sb, "new_doc")
-        .withColumn("inter", F.size(F.array_intersect("sh_c", "sh_n")))
-        .withColumn("uni", F.size("sh_c") + F.size("sh_n") - F.col("inter"))
-        .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
-        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        .selectExpr(
+            "corpus_doc",
+            "new_doc",
+            "size(array_intersect(sh_c, sh_n)) AS inter",
+            "sh_c",
+            "sh_n",
+        )
+        .selectExpr(
+            "corpus_doc",
+            "new_doc",
+            "inter",
+            "(size(sh_c) + size(sh_n) - inter) AS uni",
+        )
+        .filter(f"CAST(inter AS DOUBLE) / uni >= {JACCARD_THRESHOLD}")
         .select(
             "corpus_doc",
             "new_doc",
@@ -1592,15 +1605,15 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarially dense corpus it bounds the candidate volume the r5
     rehearsal measured at 1250x for 10x rows.
     """
-    from mapreduceapp_spark.functions.text import tokens
+    from mapreduceapp_spark.functions.text import tokens_sql
 
     d = spread_table(spark, sf_dir, "documents")
     # one row per token OCCURRENCE with weight 1: summing ±1 votes
     # over occurrences equals summing cnt-weighted votes over
     # distinct tokens, so the (doc, tok) pre-aggregation shuffle a
     # first cut had bought nothing — dropped
-    doc_tokens = d.select(
-        "doc_id", F.explode(tokens("text")).alias("tok"), F.lit(1).alias("cnt")
+    doc_tokens = d.selectExpr(
+        "doc_id", f"explode({tokens_sql('text')}) AS tok", "1 AS cnt"
     )
     # stage the fingerprints: both sides of the banded self-join
     # consume them, and without materialization Spark computes the
@@ -1612,12 +1625,10 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = slot(spark, "simhash_fp", sf_dir, lambda: _simhash(doc_tokens))
     cand = simhash_candidates(fp)
     return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        cand.selectExpr(
+            "doc_a", "doc_b", "bit_count(sh_a ^ sh_b) AS hamming"
         )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+        .filter(f"hamming <= {SIMHASH_MAX_HAMMING}")
         # distinct after the hamming cut: the full candidate stream
         # (3.7M rows at rehearsal scale even capped) never shuffles —
         # only the hamming-≤3 survivors do (see minhash_candidates)
@@ -1627,21 +1638,17 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_band_entries(fp: DataFrame) -> DataFrame:
     """(doc_id, simhash, band_id, band_bits) rows — SIMHASH_BANDS per
-    doc — from the fingerprint table."""
+    doc — from the fingerprint table. One selectExpr (r18 §4)."""
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
-    return fp.select(
+    mask = (1 << band_bits) - 1
+    arr = ", ".join(
+        f"shiftrightunsigned(simhash, {b * band_bits}) & {mask}"
+        for b in range(SIMHASH_BANDS)
+    )
+    return fp.selectExpr(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(
-                        F.col("simhash"), b * band_bits
-                    ).bitwiseAND(F.lit((1 << band_bits) - 1))
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_bits"),
+        f"posexplode(array({arr})) AS (band_id, band_bits)",
     )
 
 
@@ -1669,16 +1676,13 @@ def simhash_candidates(fp: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     bands = _capped_band_entries(
         _simhash_band_entries(fp), ["band_id", "band_bits"], cap
     )
+    bb = bands.selectExpr(
+        "doc_id AS doc_b", "simhash AS sh_b", "band_id", "band_bits"
+    )
     return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_bits"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        bands.join(bb, ["band_id", "band_bits"])
+        .filter("doc_id < doc_b")
+        .selectExpr("doc_id AS doc_a", "doc_b", "simhash AS sh_a", "sh_b")
     )
 
 

@@ -844,39 +844,27 @@ def probe_band_index(
     # warns about, with no candidate bound to justify it.
     thin = n_cand is not None and n_cand >= THIN_PREFILTER_MIN_CAND
     if thin:
-        sig_c = sigs.select(
-            F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c")
-        )
+        sig_c = sigs.selectExpr("doc_id AS corpus_doc", "sig AS sig_c")
         sig_n = broadcast_if_small(
-            probe_sh.select(
-                F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n")
-            ),
+            probe_sh.selectExpr("doc_id AS new_doc", "sig AS sig_n"),
             n_batch_est,
         )
     else:
-        sig_c = sigs.select(
-            F.col("doc_id").alias("corpus_doc"),
-            F.col("sig").alias("sig_c"),
-            F.col("sh").alias("sh_c"),
+        sig_c = sigs.selectExpr(
+            "doc_id AS corpus_doc", "sig AS sig_c", "sh AS sh_c"
         )
-        sig_n = probe_sh.select(
-            F.col("doc_id").alias("new_doc"),
-            F.col("sig").alias("sig_n"),
-            F.col("sh").alias("sh_n"),
+        sig_n = probe_sh.selectExpr(
+            "doc_id AS new_doc", "sig AS sig_n", "sh AS sh_n"
         )
     surv = (
         sig_c.join(cand, "corpus_doc")
         .join(sig_n, "new_doc")
         .withColumn(
             "sig_agree",
-            F.aggregate(
-                F.zip_with(
-                    "sig_c",
-                    "sig_n",
-                    lambda x, y: F.when(x == y, 1).otherwise(0),
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
+            F.expr(
+                "aggregate(zip_with(sig_c, sig_n,"
+                " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+                " 0, (acc, x) -> acc + x)"
             ),
         )
         .filter(F.col("sig_agree") >= MINHASH_PERMS // 2)
@@ -889,23 +877,29 @@ def probe_band_index(
         .dropDuplicates(["corpus_doc", "new_doc"])
     )
     if thin:
-        sh_c = sigs.select(
-            F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
-        )
+        sh_c = sigs.selectExpr("doc_id AS corpus_doc", "sh AS sh_c")
         sh_n = broadcast_if_small(
-            probe_sh.select(
-                F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n")
-            ),
+            probe_sh.selectExpr("doc_id AS new_doc", "sh AS sh_n"),
             n_batch_est,
         )
         est = surv.join(sh_c, "corpus_doc").join(sh_n, "new_doc")
     else:
         est = surv
     return (
-        est.withColumn("inter", F.size(F.array_intersect("sh_c", "sh_n")))
-        .withColumn("uni", F.size("sh_c") + F.size("sh_n") - F.col("inter"))
-        .withColumn("jacc", F.col("inter").cast("double") / F.col("uni"))
-        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        est.selectExpr(
+            "corpus_doc",
+            "new_doc",
+            "size(array_intersect(sh_c, sh_n)) AS inter",
+            "sh_c",
+            "sh_n",
+        )
+        .selectExpr(
+            "corpus_doc",
+            "new_doc",
+            "inter",
+            "(size(sh_c) + size(sh_n) - inter) AS uni",
+        )
+        .filter(f"CAST(inter AS DOUBLE) / uni >= {JACCARD_THRESHOLD}")
         .select(
             "corpus_doc",
             "new_doc",

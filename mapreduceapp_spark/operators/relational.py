@@ -534,33 +534,39 @@ def q_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
 
-    def check(name: str, df: DataFrame, bad) -> DataFrame:
+    def check(name: str, df: DataFrame, bad: str) -> DataFrame:
         return df.agg(
-            F.lit(name).alias("check_name"),
-            F.count(F.when(bad, 1)).alias("violations"),
+            F.expr(f"'{name}'").alias("check_name"),
+            F.expr(f"count(CASE WHEN {bad} THEN 1 END)").alias(
+                "violations"
+            ),
             F.count(F.lit(1)).alias("checked"),
         )
 
     li = t.lineitem
     orphan = t.orders.join(
         F.broadcast(t.customer.select("c_custkey")),
-        F.col("o_custkey") == F.col("c_custkey"),
+        F.expr("o_custkey = c_custkey"),
         "left",
     )
     return (
-        check("lineitem_null_shipdate", li, F.col("l_shipdate").isNull())
+        check("lineitem_null_shipdate", li, "l_shipdate IS NULL")
         .unionByName(
             check(
                 "lineitem_discount_range",
                 li,
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                "l_discount < 0 OR l_discount > 1",
             )
         )
         .unionByName(
-            check("lineitem_quantity_positive", li, F.col("l_quantity") <= 0)
+            check("lineitem_quantity_positive", li, "l_quantity <= 0")
         )
-        .unionByName(check("orders_fk_customer", orphan, F.col("c_custkey").isNull()))
-        .unionByName(check("events_value_nonnegative", t.events, F.col("value") < 0))
+        .unionByName(
+            check("orders_fk_customer", orphan, "c_custkey IS NULL")
+        )
+        .unionByName(
+            check("events_value_nonnegative", t.events, "value < 0")
+        )
     )
 
 

@@ -74,51 +74,45 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies the same keep-max-event_id rule).
     """
     ev = tables(spark, sf_dir).events
-    left = ev.select(
+    left = ev.selectExpr(
         "event_id",
         "user_id",
         "ts",
-        F.lit(1).alias("tag"),
-        F.col("event_id").alias("tie"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-        F.lit(None).cast("double").alias("p_value"),
+        "1 AS tag",
+        "event_id AS tie",
+        "CAST(NULL AS TIMESTAMP) AS p_ts",
+        "CAST(NULL AS DOUBLE) AS p_value",
     )
-    right = (
-        ev.filter(F.col("event_type") == ASOF_MARKER)
-        .select(
-            F.lit(None).cast("long").alias("event_id"),
-            "user_id",
-            "ts",
-            F.lit(0).alias("tag"),
-            F.col("event_id").alias("tie"),
-            F.col("ts").alias("p_ts"),
-            F.col("value").alias("p_value"),
-        )
+    right = ev.filter(f"event_type = '{ASOF_MARKER}'").selectExpr(
+        "CAST(NULL AS BIGINT) AS event_id",
+        "user_id",
+        "ts",
+        "0 AS tag",
+        "event_id AS tie",
+        "ts AS p_ts",
+        "value AS p_value",
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "tie")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts, tag, tie"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    merged = left.unionByName(right).select(
+    merged = left.unionByName(right).selectExpr(
         "event_id",
         "user_id",
         "ts",
         "tag",
-        F.last("p_ts", ignorenulls=True).over(w).alias("asof_purchase_ts"),
-        F.last("p_value", ignorenulls=True).over(w).alias("asof_purchase_value"),
+        f"last(p_ts, true) {over} AS asof_purchase_ts",
+        f"last(p_value, true) {over} AS asof_purchase_value",
     )
-    return (
-        merged.filter((F.col("tag") == 1) & F.col("asof_purchase_ts").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            "asof_purchase_ts",
-            "asof_purchase_value",
-            F.expr(
-                "(unix_micros(ts) - unix_micros(asof_purchase_ts)) div 1000000"
-            ).alias("secs_since"),
-        )
+    return merged.filter(
+        "tag = 1 AND asof_purchase_ts IS NOT NULL"
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        "asof_purchase_ts",
+        "asof_purchase_value",
+        "(unix_micros(ts) - unix_micros(asof_purchase_ts)) DIV 1000000"
+        " AS secs_since",
     )
 
 
@@ -148,35 +142,29 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rows × bucket-occupancy), not O(rows²); at 100 TB the bucket
     width tunes the fan-out/precision trade.
     """
-    ev = tables(spark, sf_dir).events.select(
-        "event_id", "user_id", "ts", F.expr("unix_micros(ts)").alias("us")
+    ev = tables(spark, sf_dir).events.selectExpr(
+        "event_id", "user_id", "ts", "unix_micros(ts) AS us"
     )
-    bucketed = ev.withColumn("bucket", F.expr(f"us div {RANGE_GAP_US}"))
-    probes = bucketed.select(
-        F.col("event_id").alias("event_a"),
-        F.col("user_id"),
-        F.col("us").alias("us_a"),
-        F.col("ts").alias("ts_a"),
-        F.explode(
-            F.array(F.col("bucket"), F.col("bucket") + 1)
-        ).alias("bucket"),
+    bucketed = ev.selectExpr("*", f"us DIV {RANGE_GAP_US} AS bucket")
+    probes = bucketed.selectExpr(
+        "event_id AS event_a",
+        "user_id",
+        "us AS us_a",
+        "ts AS ts_a",
+        "explode(array(bucket, bucket + 1)) AS bucket",
     )
-    build = bucketed.select(
-        F.col("event_id").alias("event_b"),
-        F.col("user_id"),
-        F.col("us").alias("us_b"),
-        F.col("ts").alias("ts_b"),
+    build = bucketed.selectExpr(
+        "event_id AS event_b",
+        "user_id",
+        "us AS us_b",
+        "ts AS ts_b",
         "bucket",
     )
     cand = probes.join(build, ["user_id", "bucket"])
-    gap = F.col("us_b") - F.col("us_a")
-    ordered = (F.col("ts_a") < F.col("ts_b")) | (
-        (F.col("ts_a") == F.col("ts_b")) & (F.col("event_a") < F.col("event_b"))
-    )
-    return (
-        cand.filter((gap >= 0) & (gap <= RANGE_GAP_US) & ordered)
-        .select("event_a", "event_b", "user_id", gap.alias("gap_us"))
-    )
+    return cand.filter(
+        f"(us_b - us_a) >= 0 AND (us_b - us_a) <= {RANGE_GAP_US}"
+        " AND (ts_a < ts_b OR (ts_a = ts_b AND event_a < event_b))"
+    ).selectExpr("event_a", "event_b", "user_id", "(us_b - us_a) AS gap_us")
 
 
 @register(

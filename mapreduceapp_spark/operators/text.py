@@ -781,29 +781,35 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL CASE chain and the Spark ``when`` chain agree exactly).
     Map-only — no shuffle; at 100 TB this runs at scan speed.
     """
-    tk = tokens("text")
-    langs = sorted(LANG_MARKERS)
-    def marker_hits(markers: tuple[str, ...]):
-        # single-arg lambda: F.filter inspects arity, and a default
-        # second parameter would be misread as the index argument
-        return lambda x: x.isin(*markers)
+    from mapreduceapp_spark.functions.text import tokens_sql
 
-    scores = {
-        lang: F.size(F.filter(tk, marker_hits(LANG_MARKERS[lang]))).alias(f"s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    scores = [
+        f"size(filter(tk, x -> x IN ("
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"))) AS s_{lang}"
         for lang in langs
-    }
-    scored = spread_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("lang").alias("actual_lang"), *scores.values()
+    ]
+    scored = (
+        spread_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id", "lang AS actual_lang", f"{tokens_sql('text')} AS tk"
+        )
+        .selectExpr("doc_id", "actual_lang", *scores)
     )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
-    pred = F.when(F.col(f"s_{langs[0]}") == best, F.lit(langs[0]))
-    for lang in langs[1:]:
-        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
-    return scored.select(
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+        )
+        + " END"
+    )
+    return scored.selectExpr(
         "doc_id",
         "actual_lang",
-        pred.alias("pred_lang"),
-        best.alias("best_score"),
+        f"{pred} AS pred_lang",
+        f"{best} AS best_score",
     )
 
 
