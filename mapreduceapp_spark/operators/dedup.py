@@ -1154,7 +1154,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_c = sh.selectExpr("doc_id AS corpus_doc", "sig AS sig_c")
     sig_n = sh.selectExpr("doc_id AS new_doc", "sig AS sig_n")
     est = (
-        cand.join(sig_c, "corpus_doc")
+        # rebalance the thin candidate pairs before the prefilter —
+        # the same hot-band-bucket skew fix as q_minhash_neardup (r18,
+        # guide §2.5): the band join + 64-element agreement fold ran
+        # in one skewed stage; the exchange moves 16-byte rows only
+        cand.repartition(spark.sparkContext.defaultParallelism)
+        .join(sig_c, "corpus_doc")
         .join(sig_n, "new_doc")
         .withColumn(
             "sig_agree",

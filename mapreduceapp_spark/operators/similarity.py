@@ -550,15 +550,28 @@ def _neardup_pairs_gemm(e: DataFrame, nb: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    spark = e.sparkSession
-    tiles = spark.createDataFrame(
-        [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
+    # tile replication via explode(sequence(...)) — a pure projection
+    # emitting exactly the rows the old broadcast join against a
+    # parallelized (ba, bb) tile list produced (r18: the r17
+    # explode-replication fix applied to the tiling frame — two
+    # broadcast-build jobs and a driver-side createDataFrame gone per
+    # execution; rows identical by construction: a_side gets every
+    # bb in [bid, nb), b_side every ba in [0, bid])
+    a_side = e.selectExpr(
+        "CAST(bid AS INT) AS ba",
+        f"explode(sequence(bid, {nb - 1})) AS bb",
+        "0 AS side",
+        "vec_id",
+        "qv",
+        "sq",
     )
-    a_side = e.join(F.broadcast(tiles), F.col("bid") == F.col("ba")).select(
-        "ba", "bb", F.lit(0).alias("side"), "vec_id", "qv", "sq"
-    )
-    b_side = e.join(F.broadcast(tiles), F.col("bid") == F.col("bb")).select(
-        "ba", "bb", F.lit(1).alias("side"), "vec_id", "qv", "sq"
+    b_side = e.selectExpr(
+        "explode(sequence(0, bid)) AS ba",
+        "CAST(bid AS INT) AS bb",
+        "1 AS side",
+        "vec_id",
+        "qv",
+        "sq",
     )
     both = a_side.unionByName(b_side)
 

@@ -149,14 +149,23 @@ def probe_winnow_index(
     scanned, so corpus index bytes scale with the probe's fingerprint
     spread, not the corpus."""
     n_buckets = winnow_index_meta(index_path)["n_buckets"]
-    buckets = sorted(
-        r["b"]
-        for r in probe_fps.select(
-            F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int").alias("b")
+    # staged probe slots resolve their bucket set driver-side (zero
+    # jobs — r18, the staged_local_column convention; pmod mirrored
+    # exactly); non-staged/remote/oversized frames keep the collect job
+    from mapreduceapp_spark.plans.staging import staged_local_column
+
+    vals = staged_local_column(probe_fps, "fp", 2_000_000)
+    if vals is not None:
+        buckets = sorted({((v % n_buckets) + n_buckets) % n_buckets for v in vals})
+    else:
+        buckets = sorted(
+            r["b"]
+            for r in probe_fps.select(
+                F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
     idx = spark.read.parquet(os.path.join(index_path, "fps"))
     if not buckets:
         return idx.filter(F.lit(False)).drop("bucket")
