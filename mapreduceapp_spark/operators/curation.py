@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from mapreduceapp_spark.operators.text import BPE_TOKEN_RE
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.plans.staging import stage
 from mapreduceapp_spark.sources import spread_table, tables
 
 # Split fractions in bucket points (out of 100): train 80 / val 10 / test 10.
@@ -256,35 +255,41 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH detection it composes — everything this query *adds* is scan
     or broadcast work.
     """
-    from mapreduceapp_spark.functions.text import token_count
+    from mapreduceapp_spark.functions.text import token_count_sql
     from mapreduceapp_spark.operators.dedup import q_minhash_neardup
+    from mapreduceapp_spark.plans.staging import slot
 
     t = tables(spark, sf_dir)
-    filtered = t.documents.select(
-        "doc_id", "lang", token_count("text").alias("ntok")
-    ).filter(F.col("ntok") >= MIN_TOKENS)
+    filtered = t.documents.selectExpr(
+        "doc_id", "lang", f"{token_count_sql('text')} AS ntok"
+    ).filter(f"ntok >= {MIN_TOKENS}")
 
     # same stage slot+plan as q_dedup_clusters: whichever runs first
-    # materializes the LSH pair detection; the other reads it
-    pairs = stage(
-        q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+    # materializes the LSH pair detection; the other reads it (slot():
+    # repeat invocations skip constructing the whole minhash plan)
+    pairs = slot(
+        spark,
         "minhash_pairs",
+        sf_dir,
+        lambda: q_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
     )
     # a pair only kills doc_b if its earlier endpoint survived quality
-    live_a = filtered.select(F.col("doc_id").alias("doc_a"))
+    live_a = filtered.selectExpr("doc_id AS doc_a")
     drop = (
         pairs.join(live_a, "doc_a")
-        .select(F.col("doc_b").alias("doc_id"))
+        .selectExpr("doc_b AS doc_id")
         .distinct()
     )
     kept = filtered.join(F.broadcast(drop), "doc_id", "left_anti")
 
-    b = hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(b < TRAIN_CUT, "train").when(b < VAL_CUT, "val").otherwise("test")
-    )
+    b = hash_bucket_sql("doc_id")
     return (
-        kept.withColumn("split", split)
+        kept.selectExpr(
+            "*",
+            f"CASE WHEN {b} < {TRAIN_CUT} THEN 'train'"
+            f" WHEN {b} < {VAL_CUT} THEN 'val'"
+            " ELSE 'test' END AS split",
+        )
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -69,7 +69,7 @@ from mapreduceapp_spark.operators.dedup import (
 )
 from mapreduceapp_spark.plans.hints import broadcast_if_small
 from mapreduceapp_spark.plans.registry import register
-from mapreduceapp_spark.plans.staging import stage, staging_root
+from mapreduceapp_spark.plans.staging import slot, stage, staging_root
 
 # Directory-partition sizing for the persisted index — DERIVED from
 # the corpus footprint at build time (the engine's stride convention:
@@ -965,8 +965,19 @@ def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse) the corpus split's band index, then probe the batch split
     against it. Equals ``q_incremental_dedup`` row-for-row — pinned
     by the shared oracle AND tests/test_dedup_index.py."""
-    sh = stage(_doc_shingles_with_minhash(spark, sf_dir), "minhash_signatures")
-    batch = sh.filter((F.col("doc_id") % INCR_BATCH_MOD) >= INCR_BATCH_RESIDUE)
+    # slot(), not bare stage(): the (name, sf_dir) memo skips
+    # CONSTRUCTING the shingle+signature producer plan on repeat
+    # invocations (the r17 slot rationale — the other signature
+    # consumers already use it)
+    sh = slot(
+        spark,
+        "minhash_signatures",
+        sf_dir,
+        lambda: _doc_shingles_with_minhash(spark, sf_dir),
+    )
+    batch = sh.filter(
+        f"doc_id % {INCR_BATCH_MOD} >= {INCR_BATCH_RESIDUE}"
+    )
     return probe_band_index(spark, _index_slot(spark, sf_dir), batch)
 
 

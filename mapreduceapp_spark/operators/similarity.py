@@ -40,14 +40,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceapp_spark.functions.vectors import (
-    cosine,
     cosine_sql,
-    dot,
     dot_sql,
     oracle_cosine,
     oracle_quantize,
-    quantize,
-    sq_norm,
     sq_norm_sql,
 )
 from mapreduceapp_spark.plans.hints import broadcast_if_small

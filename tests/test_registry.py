@@ -68,6 +68,17 @@ def test_every_query_builds_lazily(spark, sf_dir):
               "q_txlog_incremental_agg", "q_txlog_delete_travel"}
 
     tracker = spark.sparkContext.statusTracker()
+    # warm pass (r18): stage-slot writes happen on FIRST construction,
+    # and which builder pays which shared slot's write depends on what
+    # ran earlier in the session — this test was green only when
+    # test_dedup/test_llmprep had pre-warmed the memos (the ADVICE r6
+    # order-coupling, resurfaced whenever a subset run reordered
+    # files). Build everything once untimed so the assertion pass
+    # below measures the builders' OWN steady-state job behavior.
+    for name, builder in all_queries().items():
+        if name in executed_demos:
+            continue
+        builder(spark, sf_dir)
     for name, builder in all_queries().items():
         if name in executed_demos or name in staged:
             continue
